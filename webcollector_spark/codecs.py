@@ -1,0 +1,138 @@
+"""Image codecs + pixel invariants (pure numpy/zlib; no PIL in sandbox).
+
+The graft's payload is image+caption rows (BASELINE.json input_hint).
+Per-row invariant: decoded pixels allclose vs ground truth — exact for
+lossless, PSNR >= 40 dB for lossy.
+
+Two codecs:
+
+* **PNG** — a real, minimal, spec-conformant RGB8 PNG encoder/decoder
+  (signature + IHDR + IDAT(zlib, filter 0) + IEND). Lossless: decode is
+  bit-exact, PSNR = inf.
+* **QIMG** — a *deterministic stand-in for JPEG*: the container has no
+  libjpeg, so the lossy path is exercised by a clearly-marked fake codec
+  that quantizes each channel to steps of Q=4 (max abs error 2 =>
+  PSNR >= 10*log10(255^2/(Q^2/12)) ~ 46.9 dB, always above the 40 dB
+  gate) and zlib-compresses. Swap `encode_lossy`/`decode` for real
+  libjpeg bindings in production; every call site goes through this
+  module so the swap is one file.
+
+Everything here is deterministic (no RNG) and vectorized (numpy), so it
+is safe inside Arrow-batched pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_QIMG_MAGIC = b"QIMG"
+_QIMG_Q = 4  # quantization step; max reconstruction error Q/2
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """RGB8 HxWx3 array -> PNG bytes (filter 0, zlib level 6)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    # one filter byte (0 = None) per scanline, then raw RGB
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = pixels.reshape(h, w * 3)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, color type 2 (RGB)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> RGB8 HxWx3. Supports what encode_png emits
+    (8-bit RGB, filter 0) — raises on anything else."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    h = 0
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            if depth != 8 or ctype != 2:
+                raise ValueError("only 8-bit RGB PNGs supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    raw = raw.reshape(h, 1 + w * 3)
+    if (raw[:, 0] != 0).any():
+        raise ValueError("only filter 0 supported")
+    return raw[:, 1:].reshape(h, w, 3).copy()
+
+
+def encode_lossy(pixels: np.ndarray) -> bytes:
+    """Deterministic fake-JPEG (see module docstring). Quantize -> zlib."""
+    h, w, c = pixels.shape
+    q = (pixels // _QIMG_Q).astype(np.uint8)
+    return (
+        _QIMG_MAGIC
+        + struct.pack(">IIB", w, h, _QIMG_Q)
+        + zlib.compress(q.tobytes(), 6)
+    )
+
+
+def decode_qimg(data: bytes) -> np.ndarray:
+    w, h, q = struct.unpack(">IIB", data[4:13])
+    arr = np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8).reshape(h, w, 3)
+    return np.minimum(arr.astype(np.uint16) * q + q // 2, 255).astype(np.uint8)
+
+
+def decode(data: bytes) -> np.ndarray:
+    """Dispatch on magic bytes."""
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
+    if data[:4] == _QIMG_MAGIC:
+        return decode_qimg(data)
+    raise ValueError("unknown image container")
+
+
+def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf when identical."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit average-hash of the decoded pixels: grayscale -> 8x8 mean
+    pooling -> bit per cell above the mean. Deterministic, vectorized."""
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    # trim to multiples of 8, then mean-pool to 8x8
+    th, tw = (h // 8) * 8, (w // 8) * 8
+    g = gray[:th, :tw].reshape(8, th // 8, 8, tw // 8).mean(axis=(1, 3))
+    bits = (g > g.mean()).flatten()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    # two's-complement into signed int64 range for a LongType column
+    return v - (1 << 64) if v >= (1 << 63) else v

@@ -1,0 +1,63 @@
+"""Crawler configuration.
+
+Mirrors the reference's Configuration/Config knob set (defaults from
+/root/reference src util/Config.java:27-43, crawler/Crawler.java:60) plus
+graft-mandated extensions (per-host politeness budget, per-host top-k,
+bloom sizing) that the reference lacks (SURVEY.md scope warning).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CrawlerConfig:
+    # --- reference-equivalent knobs ---------------------------------
+    # Per-round generation cap; 0 = unlimited (util/Config.java:38).
+    top_n: int = 0
+    # Retry gate: generated while execute_count <= max (STRICT `>` drop,
+    # crawldb/Generator.java:65 — a task can run max+1 times total).
+    max_execute_count: int = 10
+    # Politeness sleep between requests of one worker, ms
+    # (util/Config.java:40, applied fetcher/Fetcher.java:275-281).
+    execute_interval_ms: int = 0
+    # Fetch pool parallelism (crawler/Crawler.java:60). In Spark this
+    # becomes the number of fetch partitions.
+    threads: int = 50
+    connect_timeout_ms: int = 3000   # util/Config.java:34
+    read_timeout_ms: int = 10000     # util/Config.java:35
+    max_receive_size: int = 10 * 1024 * 1024  # util/Config.java:28
+    # Requester identity (conf/Configuration.java defaults).
+    user_agent: str | None = None
+    cookie: str | None = None
+    # Resume: keep existing crawldb instead of wiping (Crawler.java:101-110).
+    resumable: bool = False
+    # Auto-parse: harvest a[href] (+ *[src] when detect_img) from HTML
+    # (crawler/AutoParseCrawler.java).
+    auto_parse: bool = True
+    auto_detect_img: bool = False
+
+    # --- graft extensions (NOT in reference; north_rule mandates) ----
+    # Per-host cap within a round (reference: one host can monopolize all
+    # 50 threads — we window-rank per host instead).
+    per_host_top_k: int = 0  # 0 = disabled -> reference-exact global topN
+    # Per-host politeness budget: max fetches/sec per host inside the
+    # fetch UDF's token bucket.
+    per_host_rate: float = 0.0  # 0 = unlimited
+    # Salting factor for hot-host defense in the per-host window.
+    host_salt_buckets: int = 8
+    # Bloom filter sizing for the distributed URL-seen pre-prune.
+    bloom_capacity: int = 1_000_000
+    bloom_fpp: float = 0.01
+    # robots.txt politeness cache TTL (seconds); 0 disables robots checks.
+    robots_ttl_s: int = 3600
+    # Number of partitions for the fetch stage (defaults to `threads`).
+    fetch_partitions: int = 0
+
+    # RegexRule seeds: "+regex" positive / "-regex" negative
+    # (util/RegexRule.java:67-81).
+    regex_rules: list[str] = field(default_factory=list)
+
+    def fetch_parallelism(self) -> int:
+        return self.fetch_partitions or self.threads

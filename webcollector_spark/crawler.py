@@ -1,0 +1,180 @@
+"""O10/O11 — the round-loop driver (reference crawler/Crawler.java:91-149).
+
+One crawl round = one Spark job chain:
+
+    frontier snapshot                       (Iceberg/parquet scan)
+      -> generate (O2: filter+order+limit | per-host salted top-k)
+      -> repartition(host) -> fetch mapInPandas (O3/O4/O5/O12)
+      -> discovered links explode + dedup (O5/O8)
+      -> bloom + anti-join seen filter (O6)
+      -> merge: fetch last-wins, links first-wins (O9, new snapshot)
+      -> rounds manifest append (lineage; resume reads max round)
+
+Differences from the reference, on purpose:
+  * the reference folds segments at the START of the next round
+    (Fetcher.java:310), leaving unmerged trailing segments after the
+    final round until a resume; we commit the merge at the END of each
+    round — an atomic snapshot per round, same visited set at every
+    round boundary, and resume never sees partial state.
+  * break-on-zero-generate matches Crawler.java:142-144.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webcollector_spark.config import CrawlerConfig
+from webcollector_spark.operators.fetch import fetch as fetch_op
+from webcollector_spark.operators.generate import generate, generate_per_host
+from webcollector_spark.operators.parse import discovered_links
+from webcollector_spark.operators.seen import build_bloom, seen_filter
+from webcollector_spark.schema import (
+    CODE_NOT_SET,
+    FRONTIER_SCHEMA,
+    STATUS_DB_FAILED,
+    STATUS_DB_UNEXECUTED,
+    host_of,
+)
+from webcollector_spark.sources.requester import Requester
+from webcollector_spark.store import ParquetFrontierStore, RamFrontierStore
+
+_CORE_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
+
+
+def seed_rows(
+    spark: SparkSession,
+    seeds: list[str | tuple[str, str]],
+    depth: int = 0,
+    priority: float = 0.0,
+) -> DataFrame:
+    """Build CrawlDatum rows for seed URLs (or (key, url) pairs)."""
+    rows = []
+    for s in seeds:
+        key, url = (s, s) if isinstance(s, str) else s
+        rows.append(
+            (key, url, STATUS_DB_UNEXECUTED, None, 0, CODE_NOT_SET, None, None,
+             host_of(url), depth, priority)
+        )
+    return spark.createDataFrame(rows, schema=FRONTIER_SCHEMA)
+
+
+@dataclass
+class RoundMetrics:
+    round: int
+    generated: int
+    fetched: int
+    failed: int
+    new_links: int
+    wall_ms: int
+
+
+@dataclass
+class BreadthCrawler:
+    """PySpark-native BreadthCrawler (reference plugin/rocks/BreadthCrawler).
+
+    crawl_path=None -> in-memory frontier (reference RamCrawler)."""
+
+    spark: SparkSession
+    requester: Requester
+    crawl_path: str | None = None
+    config: CrawlerConfig = field(default_factory=CrawlerConfig)
+
+    def __post_init__(self):
+        if self.crawl_path:
+            self.store = ParquetFrontierStore(
+                self.spark, self.crawl_path, resumable=self.config.resumable
+            )
+        else:
+            self.store = RamFrontierStore(self.spark)
+        self._seeds: list[str | tuple[str, str]] = []
+        self._forced_seeds: list[str | tuple[str, str]] = []
+        self.metrics: list[RoundMetrics] = []
+
+    # -- seeding (Crawler.java:284-286 / forced :72-78) ----------------
+    def add_seed(self, url: str | list[str], force: bool = False) -> "BreadthCrawler":
+        urls = url if isinstance(url, list) else [url]
+        (self._forced_seeds if force else self._seeds).extend(urls)
+        return self
+
+    def add_regex(self, rule: str) -> "BreadthCrawler":
+        self.config.regex_rules.append(rule)
+        return self
+
+    # -- the crawl loop -------------------------------------------------
+    def start(self, max_depth: int) -> list[RoundMetrics]:
+        cfg = self.config
+        if self._seeds:
+            self.store.inject(seed_rows(self.spark, self._seeds), force=False)
+        if self._forced_seeds:
+            self.store.inject(seed_rows(self.spark, self._forced_seeds), force=True)
+        if self.store.is_empty():
+            return self.metrics  # nothing injected -> zero-generate, done
+        start_round = self.store.last_round() + 1  # resume point
+
+        for r in range(start_round, max_depth):
+            t0 = time.monotonic()
+            frontier = self.store.load()
+
+            # O2 generate
+            if cfg.per_host_top_k > 0:
+                gen = generate_per_host(
+                    frontier, cfg.per_host_top_k, cfg.max_execute_count,
+                    cfg.top_n, cfg.host_salt_buckets,
+                )
+            else:
+                gen = generate(frontier, cfg.top_n, cfg.max_execute_count)
+            n_gen = gen.count()
+            if n_gen == 0:  # Crawler.java:142-144
+                break
+
+            # O3-O5 fetch + parse (one Arrow pass); reused twice -> persist
+            fetched = fetch_op(gen, self.requester, cfg).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            n_failed = fetched.filter(F.col("status") == STATUS_DB_FAILED).count()
+
+            # O5/O6: discovered links, pruned against the current frontier
+            links = discovered_links(fetched)
+            bloom = None
+            if cfg.bloom_capacity > 0:
+                bloom = build_bloom(
+                    frontier.select("key"), "key", cfg.bloom_capacity, cfg.bloom_fpp
+                )
+            fresh = seen_filter(links, frontier.select("key"), "key", bloom)
+
+            # O9 merge: one snapshot commit
+            n_links = fresh.count()
+            self.store.merge(fetched.select(*_CORE_COLS), fresh)
+            fetched.unpersist()
+
+            m = RoundMetrics(
+                round=r,
+                generated=n_gen,
+                fetched=n_gen - n_failed,
+                failed=n_failed,
+                new_links=n_links,
+                wall_ms=int((time.monotonic() - t0) * 1000),
+            )
+            self.metrics.append(m)
+            self.store.log_round(**m.__dict__)
+        return self.metrics
+
+    # -- inspection ------------------------------------------------------
+    def frontier(self) -> DataFrame:
+        return self.store.load()
+
+    def visited(self) -> DataFrame:
+        return self.store.load().filter(F.col("status") != STATUS_DB_UNEXECUTED)
+
+
+class RamCrawler(BreadthCrawler):
+    """One-shot in-memory crawl: run until a round generates zero
+    (reference plugin/ram/RamCrawler.java:30-43, start(MAX_VALUE))."""
+
+    def start(self, max_depth: int | None = None) -> list[RoundMetrics]:
+        return super().start(max_depth if max_depth is not None else 1 << 30)

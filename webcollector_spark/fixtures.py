@@ -1,0 +1,123 @@
+"""Deterministic synthetic fixtures (FIXTURES.md sections A1-A4).
+
+No network, no external data: the "web" is a seeded site graph whose
+pages serve image+caption payloads from the corpus table. Everything is
+reproducible from (seed, n_pages, n_hosts) — the per-image pixel ground
+truth is recomputable via `ground_truth_pixels`, so tests can verify the
+decoded-pixel invariant without storing raw arrays.
+
+Graph shape (exercises every engine path):
+* host skew — host 0 owns ~50% of pages (salting/AQE defense test),
+* ~2% redirect pages (301/302 + location, reference O12 semantics:
+  requester does NOT follow; code+location recorded),
+* ~3% failing pages (404) and ~2% flaky pages (fail until the Nth try,
+  exercising retry/executeCount),
+* a few dead out-links (URL not in graph -> FAILED path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from webcollector_spark import codecs
+
+SEED = 42
+
+
+def _page_url(host_id: int, page_id: int) -> str:
+    return f"http://h{host_id:03d}.test/p/{page_id}"
+
+
+def ground_truth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
+    """Recompute the exact pixel array the generator encoded for this id."""
+    idx = int(image_id[3:])
+    rng = np.random.default_rng(SEED * 1_000_003 + idx)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def make_corpus(n: int, seed: int = SEED) -> pd.DataFrame:
+    """Image+caption corpus, exactly the input_hint shape
+    (image_id, bytes, w, h, fmt, caption, phash)."""
+    rng = np.random.default_rng(seed)
+    sizes = np.array([32, 64, 128])
+    rows = []
+    for i in range(n):
+        image_id = f"img{i:08d}"
+        w = int(sizes[rng.integers(0, 3)])
+        h = int(sizes[rng.integers(0, 3)])
+        pixels = ground_truth_pixels(image_id, w, h)
+        lossy = rng.random() < 0.10
+        data = codecs.encode_lossy(pixels) if lossy else codecs.encode_png(pixels)
+        host = f"h{i % 7:03d}.test"
+        rows.append(
+            {
+                "image_id": image_id,
+                "bytes": data,
+                "w": w,
+                "h": h,
+                "fmt": "jpeg" if lossy else "png",
+                "caption": f"caption of {image_id} from {host}",
+                "phash": codecs.phash64(codecs.decode(data)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def make_site_graph(
+    n_pages: int,
+    n_hosts: int = 10,
+    out_degree: int = 4,
+    seed: int = SEED,
+) -> pd.DataFrame:
+    """Deterministic link structure over `n_pages` pages (FIXTURES.md A2).
+
+    Page i serves image img{i % n_pages}. Host assignment is skewed:
+    host 0 gets ~half the pages, the rest round-robin.
+    """
+    rng = np.random.default_rng(seed + 1)
+    # skewed host assignment
+    host_ids = np.where(
+        rng.random(n_pages) < 0.5, 0, 1 + (np.arange(n_pages) % max(1, n_hosts - 1))
+    )
+    urls = [_page_url(int(host_ids[i]), i) for i in range(n_pages)]
+    rows = []
+    for i in range(n_pages):
+        r = rng.random()
+        code, location = 200, None
+        if r < 0.02 and n_pages > 1:  # redirect page
+            code = 301 if rng.random() < 0.5 else 302
+            location = urls[int(rng.integers(0, n_pages))]
+        elif r < 0.05:  # hard failure
+            code = 404
+        links = [urls[int(j)] for j in rng.integers(0, n_pages, size=out_degree)]
+        if rng.random() < 0.05:  # a dead out-link
+            links.append(f"http://h{int(host_ids[i]):03d}.test/dead/{i}")
+        rows.append(
+            {
+                "url": urls[i],
+                "host": f"h{int(host_ids[i]):03d}.test",
+                "image_id": f"img{i:08d}",
+                "out_links": links,
+                "http_code": code,
+                "location": location,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def seeds_for(graph: pd.DataFrame, n_seeds: int = 3) -> list[str]:
+    """First n urls in sorted order — a deterministic seed list."""
+    return sorted(graph["url"].tolist())[:n_seeds]
+
+
+def html_for_page(url: str, links: list[str], caption: str | None) -> str:
+    """Render a page's HTML (what the synthetic requester serves): the
+    caption in a <p class=caption> plus anchor tags for each out-link."""
+    anchors = "\n".join(f'<a href="{u}">link</a>' for u in links)
+    cap = f'<p class="caption">{caption}</p>' if caption else ""
+    return (
+        f"<html><head><title>{url}</title>"
+        f'<meta http-equiv="Content-Type" content="text/html; charset=utf-8"/></head>'
+        f"<body>{cap}\n{anchors}</body></html>"
+    )

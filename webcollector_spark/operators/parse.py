@@ -1,0 +1,48 @@
+"""O5/O8/O13 — turn fetched pages' harvested links into frontier rows.
+
+The fetch UDF already extracted + RegexRule-filtered the links array
+(one pass over the decoded HTML); here we explode it and mint CrawlDatum
+rows: key = url (the reference default, CrawlDatum.java:239-245),
+depth = parent+1 (the reference carries depth in meta,
+example/DemoAnnotatedDepthCrawler.java:58-70 — we make it a real column),
+priority inherited. Intra-round dedup by key (the KV link segment is
+naturally key-unique, RocksDBManager.java:140-144).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from webcollector_spark.schema import CODE_NOT_SET, STATUS_DB_UNEXECUTED
+
+
+def discovered_links(fetched: DataFrame) -> DataFrame:
+    """Explode fetched.links into new UNEXECUTED CrawlDatum rows."""
+    exploded = fetched.filter(F.col("links").isNotNull()).select(
+        F.explode("links").alias("url"),
+        (F.col("depth") + 1).alias("depth"),
+        F.col("priority"),
+    )
+    w = Window.partitionBy("key").orderBy(F.col("depth").asc(), F.col("url").asc())
+    return (
+        exploded.select(
+            F.col("url").alias("key"),  # default key identity (O13)
+            "url",
+            F.lit(STATUS_DB_UNEXECUTED).alias("status"),
+            F.lit(None).cast("long").alias("execute_time"),
+            F.lit(0).alias("execute_count"),
+            F.lit(CODE_NOT_SET).alias("code"),
+            F.lit(None).cast("string").alias("location"),
+            F.lit(None).cast("map<string,string>").alias("meta"),
+            F.lower(
+                F.regexp_extract(F.col("url"), r"^[a-z]+://([^/:]+)", 1)
+            ).alias("host"),
+            "depth",
+            "priority",
+        )
+        # first-wins inside the round: keep the shallowest depth per key
+        .withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .drop("__rn")
+    )

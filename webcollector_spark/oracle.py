@@ -1,0 +1,138 @@
+"""Single-process replay oracle of the reference crawl loop.
+
+A faithful, tiny reimplementation of WebCollector's BreadthCrawler round
+semantics (crawler/Crawler.java:91-149 + crawldb/Generator.java:49-78 +
+fetcher/Fetcher.java:237-281 + RocksDBManager merge :160-197), used as
+the golden model in replay-equivalence tests: the Spark engine must
+produce the same per-round generated key sequence (sorted-key mode), the
+same final visited set, and the same statuses/execute_counts on the same
+deterministic site graph.
+
+Shares the HTML extraction + RegexRule + requester code with the engine,
+so what the equivalence tests actually pin down is the *dataflow*
+semantics: generate ordering, topN truncation, strict-`>` retry
+boundary, merge conflict rules, seen-filter correctness.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from webcollector_spark.functions import html as H
+from webcollector_spark.functions.charset import decode_html
+from webcollector_spark.functions.regex_rule import RegexRule
+from webcollector_spark.schema import (
+    CODE_NOT_SET,
+    STATUS_DB_FAILED,
+    STATUS_DB_SUCCESS,
+    STATUS_DB_UNEXECUTED,
+    host_of,
+)
+from webcollector_spark.sources.requester import SUCCESS_CODES, Requester, RobotsCache
+
+
+@dataclass
+class OracleDatum:
+    key: str
+    url: str
+    status: int = STATUS_DB_UNEXECUTED
+    execute_count: int = 0
+    code: int = CODE_NOT_SET
+    location: str | None = None
+    depth: int = 0
+
+
+@dataclass
+class OracleCrawler:
+    requester: Requester
+    top_n: int = 0
+    max_execute_count: int = 10
+    regex_rules: list[str] = field(default_factory=list)
+    auto_parse: bool = True
+    robots: bool = False
+
+    def __post_init__(self):
+        self.db: dict[str, OracleDatum] = {}
+        self.generated_per_round: list[list[str]] = []
+        self._rule = RegexRule(self.regex_rules)
+        self._robots = RobotsCache(self.requester) if self.robots else None
+
+    def inject(self, urls: list[str], force: bool = False) -> None:
+        for u in urls:
+            if force or u not in self.db:
+                self.db[u] = OracleDatum(key=u, url=u)
+
+    def start(self, depth: int) -> None:
+        for _ in range(depth):
+            generated = self._generate()
+            if not generated:
+                break
+            self.generated_per_round.append([d.key for d in generated])
+            fetch_seg: dict[str, OracleDatum] = {}
+            link_seg: dict[str, OracleDatum] = {}
+            for d in generated:
+                self._execute(d, fetch_seg, link_seg)
+            # merge: fetch overwrite (RocksDBManager.java:167-171),
+            # link insert-if-absent (:176-183)
+            for k, v in fetch_seg.items():
+                self.db[k] = v
+            for k, v in link_seg.items():
+                if k not in self.db:
+                    self.db[k] = v
+
+    def _generate(self) -> list[OracleDatum]:
+        out = []
+        for k in sorted(self.db):  # key-lexicographic cursor
+            d = self.db[k]
+            if d.status == STATUS_DB_SUCCESS:
+                continue
+            if d.execute_count > self.max_execute_count:  # strict >
+                continue
+            out.append(d)
+            if self.top_n and len(out) >= self.top_n:
+                break
+        return out
+
+    def _execute(
+        self,
+        d: OracleDatum,
+        fetch_seg: dict[str, OracleDatum],
+        link_seg: dict[str, OracleDatum],
+    ) -> None:
+        nd = OracleDatum(
+            key=d.key, url=d.url, execute_count=d.execute_count + 1, depth=d.depth
+        )
+        links: list[str] = []
+        if self._robots is not None and not self._robots.allowed(host_of(d.url), d.url):
+            nd.status, nd.code = STATUS_DB_FAILED, -2
+        else:
+            resp = self.requester.fetch(d.url, attempt=nd.execute_count)
+            nd.code, nd.location = resp.code, resp.location
+            if resp.code in SUCCESS_CODES:
+                nd.status = STATUS_DB_SUCCESS
+                if resp.code in (301, 302) and resp.location:
+                    links.append(resp.location)
+                if (
+                    resp.content
+                    and resp.content_type
+                    and "text/html" in resp.content_type
+                    and self.auto_parse
+                ):
+                    text, _ = decode_html(resp.content)
+                    harvested = H.extract_links(text, d.url)
+                    if not self._rule.is_empty():
+                        harvested = [u for u in harvested if self._rule.satisfy(u)]
+                    links.extend(harvested)
+            else:
+                nd.status = STATUS_DB_FAILED
+        fetch_seg[nd.key] = nd  # last-wins within segment
+        for u in links:
+            if u not in link_seg:
+                link_seg[u] = OracleDatum(key=u, url=u, depth=d.depth + 1)
+
+    # -- inspection helpers for tests -----------------------------------
+    def visited_keys(self) -> set[str]:
+        return {k for k, d in self.db.items() if d.status != STATUS_DB_UNEXECUTED}
+
+    def state(self) -> dict[str, tuple[int, int, int]]:
+        return {k: (d.status, d.execute_count, d.code) for k, d in self.db.items()}

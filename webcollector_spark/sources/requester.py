@@ -1,0 +1,184 @@
+"""Requester plugins — the fetch source (reference fetcher/Requester +
+plugin/net/OkHttpRequester.java:58-138).
+
+* `SyntheticRequester` — deterministic in-process web built from the
+  fixtures site graph + corpus: serves HTML pages whose body embeds the
+  page's image payload as a base64 data URI plus anchor tags for each
+  out-link. Picklable -> shipped to executors via broadcast.
+* `HttpRequester` — stdlib-urllib production path: no-redirect (the
+  reference requester records 301/302 + Location without following,
+  OkHttpRequester.java:59-66), UA/Cookie headers, connect/read timeouts,
+  response byte cap (maxReceiveSize, util/Config.java:28). Untestable in
+  this sandbox (no network) — covered only by interface tests.
+* `RobotsCache` — graft extension (NOT in reference): per-executor TTL
+  cache of parsed robots.txt allow/deny prefixes.
+
+Success-code set {200, 301, 302, 404} mirrors OkHttpRequester.java:48-55:
+those codes mark the datum SUCCESS; transport errors mark it FAILED.
+"""
+
+from __future__ import annotations
+
+import base64
+import time
+from dataclasses import dataclass
+
+SUCCESS_CODES = frozenset({200, 301, 302, 404})
+
+
+@dataclass
+class Response:
+    code: int
+    location: str | None = None
+    content_type: str | None = None
+    content: bytes | None = None
+    error: str | None = None
+
+
+class Requester:
+    def fetch(self, url: str, attempt: int = 1) -> Response:  # pragma: no cover
+        """`attempt` is 1-based (execute_count+1) so deterministic flaky
+        behavior keys on crawl state, not process-local counters."""
+        raise NotImplementedError
+
+    def robots_txt(self, host: str) -> str | None:
+        """Return robots.txt body for host, or None for allow-all."""
+        return None
+
+
+class SyntheticRequester(Requester):
+    """Serves the deterministic fixture web. `flaky_until` maps url ->
+    number of attempts that fail before succeeding (exercises retry)."""
+
+    def __init__(
+        self,
+        graph_rows: list[dict],
+        corpus_rows: list[dict],
+        flaky_until: dict[str, int] | None = None,
+        robots: dict[str, str] | None = None,
+    ):
+        self._pages = {r["url"]: r for r in graph_rows}
+        self._images = {r["image_id"]: r for r in corpus_rows}
+        self._flaky = dict(flaky_until or {})
+        self._robots = dict(robots or {})
+
+    def robots_txt(self, host: str) -> str | None:
+        return self._robots.get(host)
+
+    def fetch(self, url: str, attempt: int = 1) -> Response:
+        page = self._pages.get(url)
+        if page is None:
+            return Response(code=-1, error="connect timeout (no such host/page)")
+        if attempt <= self._flaky.get(url, 0):
+            return Response(code=-1, error="read timeout (flaky)")
+        if page["http_code"] in (301, 302):
+            return Response(code=page["http_code"], location=page["location"])
+        if page["http_code"] != 200:
+            return Response(code=page["http_code"])
+        img = self._images.get(page["image_id"]) if page["image_id"] else None
+        caption = img["caption"] if img else None
+        body = _render_page(url, list(page["out_links"]), caption, img)
+        return Response(code=200, content_type="text/html", content=body)
+
+
+def _render_page(url: str, links: list[str], caption: str | None, img) -> bytes:
+    anchors = "\n".join(f'<a href="{u}">link</a>' for u in links)
+    cap = f'<p class="caption">{caption}</p>' if caption else ""
+    img_tag = ""
+    if img is not None:
+        b64 = base64.b64encode(bytes(img["bytes"])).decode("ascii")
+        mime = "image/png" if img["fmt"] == "png" else "image/jpeg"
+        img_tag = f'<img src="data:{mime};base64,{b64}"/>'
+    html = (
+        f"<html><head><title>{url}</title>"
+        '<meta http-equiv="Content-Type" content="text/html; charset=utf-8"/></head>'
+        f"<body>{cap}\n{img_tag}\n{anchors}</body></html>"
+    )
+    return html.encode("utf-8")
+
+
+class HttpRequester(Requester):
+    """Production HTTP fetch via stdlib urllib — no redirects followed."""
+
+    def __init__(
+        self,
+        user_agent: str | None = None,
+        cookie: str | None = None,
+        connect_timeout_ms: int = 3000,
+        read_timeout_ms: int = 10000,
+        max_receive_size: int = 10 * 1024 * 1024,
+    ):
+        self.user_agent = user_agent
+        self.cookie = cookie
+        self.timeout = (connect_timeout_ms + read_timeout_ms) / 1000.0
+        self.max_receive_size = max_receive_size
+
+    def fetch(self, url: str, attempt: int = 1) -> Response:  # pragma: no cover - needs network
+        import urllib.error
+        import urllib.request
+
+        class _NoRedirect(urllib.request.HTTPRedirectHandler):
+            def redirect_request(self, *a, **k):
+                return None
+
+        req = urllib.request.Request(url)
+        if self.user_agent:
+            req.add_header("User-Agent", self.user_agent)
+        if self.cookie:
+            req.add_header("Cookie", self.cookie)
+        opener = urllib.request.build_opener(_NoRedirect)
+        try:
+            with opener.open(req, timeout=self.timeout) as resp:
+                body = resp.read(self.max_receive_size)
+                return Response(
+                    code=resp.status,
+                    content_type=resp.headers.get("Content-Type"),
+                    content=body,
+                )
+        except urllib.error.HTTPError as e:
+            return Response(code=e.code, location=e.headers.get("Location"))
+        except Exception as e:  # transport error -> FAILED
+            return Response(code=-1, error=str(e))
+
+    def robots_txt(self, host: str) -> str | None:  # pragma: no cover
+        r = self.fetch(f"http://{host}/robots.txt")
+        if r.code == 200 and r.content:
+            return r.content.decode("utf-8", "replace")
+        return None
+
+
+class RobotsCache:
+    """Per-executor TTL cache of robots.txt disallow prefixes (graft
+    extension; the reference has no robots support)."""
+
+    def __init__(self, requester: Requester, ttl_s: int = 3600):
+        self.requester = requester
+        self.ttl_s = ttl_s
+        self._cache: dict[str, tuple[float, list[str]]] = {}
+
+    @staticmethod
+    def parse_disallows(body: str) -> list[str]:
+        """Disallow prefixes for User-agent: * (minimal RFC 9309 subset)."""
+        disallows: list[str] = []
+        active = False
+        for line in body.splitlines():
+            line = line.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            field, _, value = line.partition(":")
+            field, value = field.strip().lower(), value.strip()
+            if field == "user-agent":
+                active = value == "*"
+            elif field == "disallow" and active and value:
+                disallows.append(value)
+        return disallows
+
+    def allowed(self, host: str, url: str, now: float | None = None) -> bool:
+        now = time.time() if now is None else now
+        entry = self._cache.get(host)
+        if entry is None or now - entry[0] > self.ttl_s:
+            body = self.requester.robots_txt(host)
+            entry = (now, self.parse_disallows(body) if body else [])
+            self._cache[host] = entry
+        path = "/" + url.split("://", 1)[-1].split("/", 1)[-1] if "/" in url.split("://", 1)[-1] else "/"
+        return not any(path.startswith(p) for p in entry[1])

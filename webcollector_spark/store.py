@@ -1,0 +1,169 @@
+"""FrontierStore — the CrawlDB (reference: crawldb/DBManager.java contract,
+RocksDB impl plugin/rocks/RocksDBManager.java:40-220).
+
+Two backends behind one semantic contract (O1 inject / O9 merge / resume):
+
+* `ParquetFrontierStore` — persistent, snapshot-per-round parquet layout
+  (`<path>/frontier_v{N}/`). The sandbox has no Iceberg jars; in
+  production the same dataflow is a single `MERGE INTO frontier` on an
+  Iceberg table bucket-partitioned by host, and each `frontier_v{N}`
+  corresponds to an Iceberg snapshot id. Copy-on-write here is explicit:
+  new_version = old.anti(fetched) UNION fetched UNION links.anti(all-keys),
+  which is exactly the row-level operation Iceberg CoW performs.
+* `RamFrontierStore` — in-memory DataFrame with localCheckpoint() per
+  merge (truncates the iterative plan lineage), mirroring the reference's
+  RamDB (plugin/ram/RamDB.java:30-36) for one-shot crawls and tests.
+
+MERGE conflict rules (the part that is easy to get subtly wrong —
+RocksDBManager.java:160-197):
+  * fetch segment:  put() unconditionally  -> LAST-WINS overwrite-or-insert
+  * link  segment:  put() only if absent   -> FIRST-WINS across rounds
+  * within a round, the KV segment itself dedups by key (last write wins
+    for fetch, any-single-row for links) -> we dedup both sides by key
+    before merging.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from webcollector_spark.schema import FRONTIER_SCHEMA
+
+_CORE_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
+
+
+def _core(df: DataFrame) -> DataFrame:
+    """Project to the persisted CrawlDatum columns in canonical order."""
+    return df.select(*_CORE_COLS)
+
+
+def _dedup_last_wins(df: DataFrame, order_col: str = "execute_time") -> DataFrame:
+    w = Window.partitionBy("key").orderBy(
+        F.col(order_col).desc_nulls_last(), F.col("execute_count").desc()
+    )
+    return df.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+
+
+class RamFrontierStore:
+    """In-memory frontier (reference RamDBManager). Not persistent."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._df: DataFrame | None = None
+        self.rounds: list[dict] = []
+
+    # -- O1: inject ----------------------------------------------------
+    def inject(self, seeds: DataFrame, force: bool = False) -> None:
+        """Insert seeds; skip keys already present unless `force`
+        (DBManager.inject contract, RocksDBManager.java:72-100)."""
+        seeds = _core(_dedup_last_wins(seeds))
+        if self._df is None:
+            self._set(seeds)
+            return
+        if force:
+            # forced seeds overwrite matched rows (Crawler.java:72-78)
+            kept = self._df.join(seeds.select("key"), "key", "left_anti")
+            self._set(_core(kept).unionByName(seeds))
+        else:
+            fresh = seeds.join(self._df.select("key"), "key", "left_anti")
+            self._set(self._df.unionByName(fresh))
+
+    # -- O9: merge -----------------------------------------------------
+    def merge(self, fetched: DataFrame | None, links: DataFrame | None) -> None:
+        """Fold a round's segments: fetch last-wins, link first-wins."""
+        cur = self._df
+        assert cur is not None, "inject before merge"
+        if fetched is not None:
+            fetched = _core(_dedup_last_wins(fetched))
+            cur = _core(cur.join(fetched.select("key"), "key", "left_anti")).unionByName(
+                fetched
+            )
+        if links is not None:
+            links = _core(links.dropDuplicates(["key"]))
+            fresh = links.join(cur.select("key"), "key", "left_anti")
+            cur = cur.unionByName(fresh)
+        self._set(cur)
+
+    def load(self) -> DataFrame:
+        assert self._df is not None, "store is empty"
+        return self._df
+
+    def is_empty(self) -> bool:
+        return self._df is None
+
+    def _set(self, df: DataFrame) -> None:
+        # localCheckpoint truncates the iterative-loop lineage; eager so
+        # each round's plan is materialized once (the reference's
+        # per-round segment fold is likewise eager, Fetcher.java:310).
+        self._df = df.localCheckpoint(eager=True)
+
+    # -- lineage -------------------------------------------------------
+    def log_round(self, **metrics) -> None:
+        self.rounds.append(metrics)
+
+    def last_round(self) -> int:
+        return max((r["round"] for r in self.rounds), default=-1)
+
+    def destroy(self) -> None:
+        self._df = None
+        self.rounds = []
+
+
+class ParquetFrontierStore(RamFrontierStore):
+    """Persistent frontier: one parquet snapshot per committed version +
+    a JSON-lines rounds manifest. Resume = read latest committed version
+    (reference resumable mode, Crawler.java:101-110)."""
+
+    def __init__(self, spark: SparkSession, path: str, resumable: bool = False):
+        super().__init__(spark)
+        self.path = path
+        self._version = -1
+        if not resumable and os.path.exists(path):
+            shutil.rmtree(path)  # non-resumable start wipes the db (Crawler.java:104-110)
+        os.makedirs(path, exist_ok=True)
+        versions = sorted(
+            int(d.split("_v")[1])
+            for d in os.listdir(path)
+            if d.startswith("frontier_v")
+            and os.path.exists(os.path.join(path, d, "_SUCCESS"))
+        )
+        if versions:
+            self._version = versions[-1]
+            self._df = spark.read.parquet(self._vdir(self._version))
+        manifest = os.path.join(path, "rounds.jsonl")
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                self.rounds = [json.loads(line) for line in fh]
+
+    def _vdir(self, v: int) -> str:
+        return os.path.join(self.path, f"frontier_v{v}")
+
+    def _set(self, df: DataFrame) -> None:
+        v = self._version + 1
+        # Write partitioned by key so the next round's generate scan is
+        # already clustered; _SUCCESS marker = commit (snapshot semantics).
+        _core(df).write.mode("overwrite").parquet(self._vdir(v))
+        self._version = v
+        self._df = self.spark.read.parquet(self._vdir(v))
+        # retain last 2 snapshots (resume needs only the latest)
+        old = self._vdir(v - 2)
+        if v >= 2 and os.path.exists(old):
+            shutil.rmtree(old)
+
+    def log_round(self, **metrics) -> None:
+        metrics.setdefault("snapshot_id", self._version)
+        metrics.setdefault("wall_ts", int(time.time() * 1000))
+        super().log_round(**metrics)
+        with open(os.path.join(self.path, "rounds.jsonl"), "a") as fh:
+            fh.write(json.dumps(metrics) + "\n")
+
+    def destroy(self) -> None:
+        super().destroy()
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
