@@ -1,0 +1,109 @@
+"""Benchmark runner (driver contract): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus a crawl-round throughput figure on the
+synthetic web. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "urls_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "generate_topn",
+    "perhost_topk",
+    "merge_lastwins",
+    "inject_antijoin",
+    "tpch_q1",
+    "broadcast_dim_join",
+    "sessionize",
+    "events_hourly",
+    "token_count",
+    "quality_score",
+    "dedup_exact",
+    "minhash_band",
+    "lsh_candidate_pairs",
+    "simhash",
+    "ann_cosine_topk",
+    "embedding_norm",
+]
+
+
+def crawl_bench(spark, n_pages: int = 3000, depth: int = 3) -> dict:
+    """BFS crawl over the synthetic web; throughput = executed URLs/sec
+    (the BASELINE.json 'sustained fetch-schedule throughput' metric)."""
+    from webcollector_spark import fixtures
+    from webcollector_spark.config import CrawlerConfig
+    from webcollector_spark.crawler import RamCrawler
+    from webcollector_spark.sources.requester import SyntheticRequester
+
+    corpus = fixtures.make_corpus(min(n_pages, 800))
+    graph = fixtures.make_site_graph(n_pages, n_hosts=12, out_degree=6)
+    # cap image payloads: reuse corpus images cyclically
+    graph["image_id"] = [f"img{i % len(corpus):08d}" for i in range(n_pages)]
+    req = SyntheticRequester(graph.to_dict("records"), corpus.to_dict("records"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cfg = CrawlerConfig(
+        per_host_top_k=300,
+        bloom_capacity=200_000,
+        fetch_partitions=cpus,
+    )
+    crawler = RamCrawler(spark, req, config=cfg)
+    crawler.add_seed(fixtures.seeds_for(graph, 8))
+    t0 = time.monotonic()
+    metrics = crawler.start(depth)
+    wall = time.monotonic() - t0
+    executed = sum(m.generated for m in metrics)
+    return {
+        "crawl_pages": n_pages,
+        "crawl_rounds": len(metrics),
+        "crawl_executed": executed,
+        "crawl_wall_sec": round(wall, 3),
+        "urls_per_sec": round(executed / wall, 2) if wall > 0 else 0.0,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from webcollector_spark.plans import queries as qmod
+    from webcollector_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=int(cpus))
+    registry = qmod.queries()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name]
+        df = fn(spark, sf_dir)
+        t0 = time.monotonic()
+        n = len(df.collect())
+        times[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    crawl = crawl_bench(spark)
+    print(f"# crawl: {crawl}", file=sys.stderr)
+
+    out = {
+        "metric": "headline_suite_plus_crawl",
+        "value": round(sum(times.values()) + crawl["crawl_wall_sec"], 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        **crawl,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Local mirror of the driver's correctness gate: run every
+__spark_entry__.queries() entry on Spark and its oracle_sql() on DuckDB
+over the same sf parquet tables; compare row count, column names, and an
+order-insensitive value multiset. Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import duckdb  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return tuple(normalize(x) for x in v)
+    if hasattr(v, "isoformat"):  # datetime/date
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, dict):
+        return tuple(sorted((k, normalize(x)) for k, x in v.items()))
+    return v
+
+
+def as_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = {}
+    for row in rows:
+        key = tuple(normalize(row[i]) for i in order)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from webcollector_spark.session import get_spark
+
+    spark = get_spark("oracle-check", cores=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        sql = oracles.get(name)
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = list(sdf.columns)
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
+            continue
+        if sql is None:
+            print(f"SKIP {name}: rows-only check -> {len(srows)} rows")
+            continue
+        try:
+            res = con.execute(sql)
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
+            continue
+        ok = True
+        if sorted(scols) != sorted(dcols):
+            ok = False
+            print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+        elif len(srows) != len(drows):
+            ok = False
+            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+        else:
+            ms, md = as_multiset(scols, srows), as_multiset(dcols, drows)
+            if ms != md:
+                ok = False
+                diff_s = [k for k in ms if ms[k] != md.get(k, 0)][:3]
+                diff_d = [k for k in md if md[k] != ms.get(k, 0)][:3]
+                print(f"FAIL {name}: value mismatch\n  spark-only={diff_s}\n  duck-only={diff_d}")
+        if ok:
+            print(f"OK   {name}: {len(srows)} rows")
+        else:
+            failures.append(name)
+    print(f"\n{len(queries) - len(failures)}/{len(queries)} matched")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
