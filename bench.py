@@ -22,7 +22,14 @@ HEADLINE = [
     "merge_lastwins",
     "inject_antijoin",
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q5ish",
     "broadcast_dim_join",
+    "rollup_revenue",
+    "asof_join",
+    "range_join",
+    "exists_semijoin",
+    "pivot_conditional_agg",
     "sessionize",
     "events_hourly",
     "token_count",
@@ -31,32 +38,42 @@ HEADLINE = [
     "minhash_band",
     "lsh_candidate_pairs",
     "simhash",
+    "jaccard_pairs",
+    "winnow_fingerprint",
     "ann_cosine_topk",
+    "cosine_blocked_neardup",
     "embedding_norm",
+    "image_decode_verify",
+    "phash_neardup_banded",
 ]
 
 
-def crawl_bench(spark, n_pages: int = 3000, depth: int = 3) -> dict:
+def crawl_bench(
+    spark, n_pages: int = 24000, depth: int = 3, n_seeds: int = 256
+) -> dict:
     """BFS crawl over the synthetic web; throughput = executed URLs/sec
-    (the BASELINE.json 'sustained fetch-schedule throughput' metric)."""
+    (the BASELINE.json 'sustained fetch-schedule throughput' metric).
+    Sized so the fetch stage dominates per-round fixed overhead — a
+    single round schedules thousands of URLs, as it would at cluster
+    scale where one round covers millions of frontier rows."""
     from webcollector_spark import fixtures
     from webcollector_spark.config import CrawlerConfig
     from webcollector_spark.crawler import RamCrawler
     from webcollector_spark.sources.requester import SyntheticRequester
 
     corpus = fixtures.make_corpus(min(n_pages, 800))
-    graph = fixtures.make_site_graph(n_pages, n_hosts=12, out_degree=6)
+    graph = fixtures.make_site_graph(n_pages, n_hosts=12, out_degree=8)
     # cap image payloads: reuse corpus images cyclically
     graph["image_id"] = [f"img{i % len(corpus):08d}" for i in range(n_pages)]
     req = SyntheticRequester(graph.to_dict("records"), corpus.to_dict("records"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     cfg = CrawlerConfig(
-        per_host_top_k=300,
+        per_host_top_k=50_000,
         bloom_capacity=200_000,
         fetch_partitions=cpus,
     )
     crawler = RamCrawler(spark, req, config=cfg)
-    crawler.add_seed(fixtures.seeds_for(graph, 8))
+    crawler.add_seed(fixtures.seeds_for(graph, n_seeds))
     t0 = time.monotonic()
     metrics = crawler.start(depth)
     wall = time.monotonic() - t0

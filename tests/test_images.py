@@ -1,0 +1,63 @@
+"""Multimodal (image) operator tests: decode invariant (PSNR/phash),
+mean-pool resize determinism, and the banded phash near-dup join
+matching the exact O(n^2) formulation."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from webcollector_spark import codecs, fixtures
+from webcollector_spark.operators import images
+
+
+def test_decode_verify_all_rows_pass(spark):
+    df = images.decode_verify(images.corpus_df(spark, 80))
+    rows = df.collect()
+    assert len(rows) == 80
+    assert all(r["psnr_ok"] for r in rows)
+    assert all(r["phash_match"] for r in rows)
+    # lossless rows are bit-exact (PSNR capped sentinel), lossy >= 40
+    for r in rows:
+        if r["fmt"] == "png":
+            assert r["psnr_db"] >= 1e8
+        else:
+            assert 40.0 <= r["psnr_db"] < 1e8
+
+
+def test_resize_meanpool_deterministic(spark):
+    df = images.resize_meanpool(images.corpus_df(spark, 20))
+    rows = {r["image_id"]: r for r in df.collect()}
+    assert len(rows) == 20
+    # recompute one checksum locally
+    pdf = fixtures.make_corpus(20)
+    r0 = pdf.iloc[0]
+    px = codecs.decode(bytes(r0["bytes"])).astype(np.float64)
+    h, w, _ = px.shape
+    th, tw = (h // 16) * 16, (w // 16) * 16
+    small = px[:th, :tw].reshape(16, th // 16, 16, tw // 16, 3).mean(axis=(1, 3))
+    assert rows[r0["image_id"]]["pixel_sum"] == int(
+        small.round().astype(np.int64).sum()
+    )
+
+
+def test_phash_banded_matches_exact(spark):
+    corpus = images.corpus_with_neardups(spark, 120, dupes=30)
+    exact = {
+        (r["img_a"], r["img_b"], r["hamming"])
+        for r in images.phash_neardup_pairs(corpus, max_hamming=16).collect()
+    }
+    banded = {
+        (r["img_a"], r["img_b"], r["hamming"])
+        for r in images.phash_neardup_banded(corpus, max_hamming=16).collect()
+    }
+    assert banded == exact
+    # every injected lossy re-encode must pair with its source image
+    dup_pairs = {
+        (a, b) for a, b, _ in exact if a.startswith("dup") or b.startswith("dup")
+    }
+    assert len(dup_pairs) >= 30
+    for i in range(30):
+        assert (f"dup{i:08d}", f"img{i:08d}") in dup_pairs or (
+            f"img{i:08d}",
+            f"dup{i:08d}",
+        ) in dup_pairs

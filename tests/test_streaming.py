@@ -1,0 +1,84 @@
+"""Structured Streaming tests: watermarked windowed aggregation and the
+applyInPandasWithState sessionizer, each checked against its batch twin
+on the same events data (streaming/batch equivalence is the correctness
+bar — same input, same answer)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from webcollector_spark.streaming import pipelines as P
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """Copy of the events table in a streaming-friendly directory."""
+    d = tempfile.mkdtemp(prefix="wc_stream_")
+    spark.read.parquet(f"{SF_DIR}/events.parquet").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_hourly_windowed_counts_match_batch(spark, events_dir):
+    stream = P.hourly_windowed_counts(P.read_events_stream(spark, events_dir))
+    P.run_to_memory(stream, "hourly_test", output_mode="complete")
+    got = {
+        (r["hour"], r["event_type"]): (r["n"], r["total"])
+        for r in spark.table("hourly_test").collect()
+    }
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd HH").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    want = {
+        (r["hour"], r["event_type"]): (r["n"], r["total"]) for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_sessionize_with_state_matches_batch(spark, events_dir):
+    from pyspark.sql import Window
+
+    stream = P.sessionize_with_state(
+        P.read_events_stream(spark, events_dir), gap_s=3600
+    )
+    P.run_to_memory(stream, "sessions_test", output_mode="update")
+    # update mode appends one row per user per micro-batch; n_sessions
+    # is monotonically increasing, so the final state is the max
+    got: dict[int, int] = {}
+    for r in spark.table("sessions_test").collect():
+        got[r["user_id"]] = max(got.get(r["user_id"], 0), r["n_sessions"])
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 3600), 1
+    ).otherwise(0)
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("new_session", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"))
+    )
+    want = {r["user_id"]: r["n_sessions"] for r in batch.collect()}
+    assert got == want
+
+
+def test_sliding_rate_runs(spark, events_dir):
+    stream = P.sliding_rate(P.read_events_stream(spark, events_dir))
+    P.run_to_memory(stream, "rate_test", output_mode="complete")
+    rows = spark.table("rate_test").collect()
+    assert len(rows) > 0
+    total_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    # sliding windows double-count by design (10m window / 5m slide ~ 2x)
+    assert sum(r["n"] for r in rows) >= total_events

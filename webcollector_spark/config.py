@@ -37,6 +37,12 @@ class CrawlerConfig:
     # (crawler/AutoParseCrawler.java).
     auto_parse: bool = True
     auto_detect_img: bool = False
+    # Keep raw page bytes in the fetched DataFrame. The reference's Page
+    # content is transient (model/Page.java:43-61 — never persisted);
+    # extraction happens inside the fetch UDF, so the engine defaults to
+    # dropping the bytes after parsing. Enabling this at 10^10 scale
+    # multiplies the round's Arrow transfer + persist by the page size.
+    keep_content: bool = False
 
     # --- graft extensions (NOT in reference; north_rule mandates) ----
     # Per-host cap within a round (reference: one host can monopolize all
@@ -50,10 +56,21 @@ class CrawlerConfig:
     # Bloom filter sizing for the distributed URL-seen pre-prune.
     bloom_capacity: int = 1_000_000
     bloom_fpp: float = 0.01
+    # Only build the bloom once the frontier exceeds this many rows —
+    # below it the exact anti-join is cheaper than the bloom-build pass
+    # (the bloom pays off when seen-keys no longer broadcast, i.e. at
+    # 10^8-10^10 scale; building it for a 10^4-row frontier just adds a
+    # Python-worker job per round).
+    bloom_min_frontier: int = 2_000_000
     # robots.txt politeness cache TTL (seconds); 0 disables robots checks.
     robots_ttl_s: int = 3600
     # Number of partitions for the fetch stage (defaults to `threads`).
     fetch_partitions: int = 0
+    # Target generated rows per fetch task: the fetch stage uses
+    # min(fetch_parallelism, ceil(n_gen / rows_per_fetch_task)) partitions
+    # so small rounds don't pay per-task Python-worker setup for empty
+    # partitions (each Python stage task costs ~100 ms to stand up).
+    rows_per_fetch_task: int = 500
 
     # RegexRule seeds: "+regex" positive / "-regex" negative
     # (util/RegexRule.java:67-81).

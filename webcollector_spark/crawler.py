@@ -116,11 +116,16 @@ class BreadthCrawler:
             return self.metrics  # nothing injected -> zero-generate, done
         start_round = self.store.last_round() + 1  # resume point
 
+        # One broadcast of the requester for the whole crawl (re-shipping
+        # it per round re-unpickles its state in every Python worker).
+        bc_req = self.spark.sparkContext.broadcast(self.requester)
+
         for r in range(start_round, max_depth):
             t0 = time.monotonic()
             frontier = self.store.load()
 
-            # O2 generate
+            # O2 generate; persisted so the fetch stage reads the ranked
+            # rows instead of re-running both window phases.
             if cfg.per_host_top_k > 0:
                 gen = generate_per_host(
                     frontier, cfg.per_host_top_k, cfg.max_execute_count,
@@ -128,29 +133,44 @@ class BreadthCrawler:
                 )
             else:
                 gen = generate(frontier, cfg.top_n, cfg.max_execute_count)
+            gen = gen.persist(StorageLevel.MEMORY_AND_DISK)
             n_gen = gen.count()
             if n_gen == 0:  # Crawler.java:142-144
+                gen.unpersist()
                 break
 
-            # O3-O5 fetch + parse (one Arrow pass); reused twice -> persist
-            fetched = fetch_op(gen, self.requester, cfg).persist(
+            # O3-O5 fetch + parse (one Arrow pass); reused twice -> persist.
+            # One agg job materializes it and folds the failed-count in.
+            fetched = fetch_op(gen, bc_req, cfg, n_rows=n_gen).persist(
                 StorageLevel.MEMORY_AND_DISK
             )
-            n_failed = fetched.filter(F.col("status") == STATUS_DB_FAILED).count()
+            n_failed = fetched.agg(
+                F.coalesce(
+                    F.sum((F.col("status") == STATUS_DB_FAILED).cast("long")),
+                    F.lit(0),
+                )
+            ).collect()[0][0]
 
-            # O5/O6: discovered links, pruned against the current frontier
+            # O5/O6: discovered links. The merge window itself enforces
+            # first-wins (seen links lose to existing frontier rows), so
+            # an explicit seen-filter is pure pre-pruning: it pays once
+            # the frontier is large enough that shuffling known-seen
+            # links into the merge dominates — then the bloom keeps the
+            # definitely-new links out of the exact anti-join entirely.
             links = discovered_links(fetched)
-            bloom = None
-            if cfg.bloom_capacity > 0:
+            if 0 < cfg.bloom_capacity and cfg.bloom_min_frontier <= self.store.count():
                 bloom = build_bloom(
                     frontier.select("key"), "key", cfg.bloom_capacity, cfg.bloom_fpp
                 )
-            fresh = seen_filter(links, frontier.select("key"), "key", bloom)
+                fresh = seen_filter(links, frontier.select("key"), "key", bloom)
+            else:
+                fresh = links
 
-            # O9 merge: one snapshot commit
-            n_links = fresh.count()
-            self.store.merge(fetched.select(*_CORE_COLS), fresh)
+            # O9 merge: one snapshot commit; inserted-links count derived
+            # from the frontier row-count delta (no extra count job).
+            n_links = self.store.merge(fetched.select(*_CORE_COLS), fresh)
             fetched.unpersist()
+            gen.unpersist()
 
             m = RoundMetrics(
                 round=r,

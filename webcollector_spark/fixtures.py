@@ -36,16 +36,20 @@ def ground_truth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
-def make_corpus(n: int, seed: int = SEED) -> pd.DataFrame:
+def make_corpus(
+    n: int, seed: int = SEED, sizes: tuple[int, ...] = (32, 64, 128)
+) -> pd.DataFrame:
     """Image+caption corpus, exactly the input_hint shape
-    (image_id, bytes, w, h, fmt, caption, phash)."""
+    (image_id, bytes, w, h, fmt, caption, phash). `sizes` picks the
+    candidate edge lengths (bench uses larger images so decode cost is
+    representative of real payloads)."""
     rng = np.random.default_rng(seed)
-    sizes = np.array([32, 64, 128])
+    sizes = np.array(sizes)
     rows = []
     for i in range(n):
         image_id = f"img{i:08d}"
-        w = int(sizes[rng.integers(0, 3)])
-        h = int(sizes[rng.integers(0, 3)])
+        w = int(sizes[rng.integers(0, len(sizes))])
+        h = int(sizes[rng.integers(0, len(sizes))])
         pixels = ground_truth_pixels(image_id, w, h)
         lossy = rng.random() < 0.10
         data = codecs.encode_lossy(pixels) if lossy else codecs.encode_png(pixels)

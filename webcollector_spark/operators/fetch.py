@@ -109,7 +109,7 @@ def _fetch_one(
         and cfg.auto_parse
     ):
         content = resp.content[: cfg.max_receive_size]
-        out["content"] = content
+        out["content"] = content if cfg.keep_content else None
         text, charset = decode_html(content)
         out["charset"] = charset
         harvested = H.extract_links(text, url, cfg.auto_detect_img)
@@ -131,7 +131,9 @@ def _fetch_one(
             cap = out["caption"] or ""
             out["image_id"] = cap.split(" ")[2] if cap.startswith("caption of ") else None
     elif resp.content:
-        out["content"] = resp.content[: cfg.max_receive_size]
+        out["content"] = (
+            resp.content[: cfg.max_receive_size] if cfg.keep_content else None
+        )
         out["content_type"] = resp.content_type
     out["links"] = links or None
     return out
@@ -139,19 +141,32 @@ def _fetch_one(
 
 def fetch(
     generated: DataFrame,
-    requester: Requester,
+    requester: "Requester | object",
     cfg: CrawlerConfig | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
-    """Fetch+parse every generated datum. Returns FETCHED_SCHEMA rows."""
+    """Fetch+parse every generated datum. Returns FETCHED_SCHEMA rows.
+
+    `requester` may be a Requester or an already-created Broadcast of one
+    (the round loop broadcasts once and reuses it every round — a fresh
+    broadcast per round re-ships and re-unpickles the requester state in
+    every Python worker)."""
     cfg = cfg or CrawlerConfig()
     spark = generated.sparkSession
-    bc = spark.sparkContext.broadcast(requester)
+    from pyspark.broadcast import Broadcast
+
+    bc = (
+        requester
+        if isinstance(requester, Broadcast)
+        else spark.sparkContext.broadcast(requester)
+    )
     rules = list(cfg.regex_rules)
     per_host_rate, interval_ms = cfg.per_host_rate, cfg.execute_interval_ms
     robots_ttl, auto = cfg.robots_ttl_s, (cfg.auto_parse, cfg.auto_detect_img)
     cfg_small = CrawlerConfig(
         auto_parse=auto[0], auto_detect_img=auto[1],
         max_receive_size=cfg.max_receive_size, regex_rules=rules,
+        keep_content=cfg.keep_content,
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -169,11 +184,26 @@ def fetch(
                 columns=cols
             )
 
-    # Politeness co-location: all URLs of one host in one partition.
+    # Partition count adapts to the round size (`n_rows` hint): tiny
+    # rounds don't pay Python-worker setup for near-empty partitions.
     parts = cfg.fetch_parallelism()
-    return generated.repartition(parts, F.col("host")).mapInPandas(
-        run, schema=FETCHED_SCHEMA
+    if n_rows is not None:
+        parts = max(1, min(parts, -(-n_rows // max(1, cfg.rows_per_fetch_task))))
+    # Politeness co-location (all URLs of one host in one partition) is
+    # required only when a per-host budget is actually enforced — the
+    # token bucket is partition-local, so the rate is only a true
+    # per-host cap if the host doesn't span partitions. Without a
+    # politeness budget, co-location would serialize a hot host (50% of
+    # a skewed frontier in one task); round-robin spreads the load
+    # evenly instead. A throttled hot host is bounded by its rate, not
+    # CPU, so the skew trade-off only bites in the unthrottled case.
+    polite = per_host_rate > 0 or interval_ms > 0
+    repartitioned = (
+        generated.repartition(parts, F.col("host"))
+        if polite
+        else generated.repartition(parts)
     )
+    return repartitioned.mapInPandas(run, schema=FETCHED_SCHEMA)
 
 
 def verify_payload(fetched: DataFrame, corpus: DataFrame) -> DataFrame:

@@ -1,0 +1,213 @@
+"""Multimodal (image) operators over the input_hint corpus table
+(image_id, bytes:binary, w, h, fmt, caption, phash).
+
+The graft's payload work: decode, verify (PSNR vs ground truth),
+feature-extract (resize / phash), and near-dup by perceptual-hash
+hamming distance. Binary payloads stay opaque BinaryType columns; all
+pixel work happens inside iterator-of-Arrow-batches UDFs (mapInPandas)
+— no per-row Python at the Spark boundary (input_hint mandate).
+
+Scale notes:
+* decode/resize/phash are embarrassingly parallel map stages — they
+  scale with partitions and never shuffle.
+* phash near-dup is a 64-bit hamming ball search: exact formulation is
+  a self-join with bit_count(a XOR b) <= r, JVM-side (whole-stage
+  codegen, no Python). The scale path partitions the hash into
+  (r+1) bands (pigeonhole: two hashes within hamming r share at least
+  one exact band) and bucket-joins per band — the same LSH shape as the
+  MinHash text path, turning O(n^2) into O(n * bucket).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from webcollector_spark import codecs, fixtures
+from webcollector_spark.schema import CORPUS_SCHEMA
+
+DECODE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("psnr_db", T.DoubleType()),
+        T.StructField("psnr_ok", T.BooleanType()),
+        T.StructField("phash_match", T.BooleanType()),
+    ]
+)
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+    ]
+)
+
+
+def corpus_df(spark: SparkSession, n: int = 200) -> DataFrame:
+    """Deterministic image+caption corpus as a DataFrame (input_hint
+    shape). In production this is the Iceberg scan; here the fixtures
+    generator, exact same schema."""
+    pdf = fixtures.make_corpus(n)
+    return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+
+
+def corpus_with_neardups(
+    spark: SparkSession, n: int = 200, dupes: int = 40
+) -> DataFrame:
+    """Corpus plus `dupes` lossy re-encodes of its first images under
+    new ids — true near-duplicates (same pixels through the lossy
+    codec, so phash hamming is 0-4) for exercising near-dup detection;
+    independent random images land ~32 bits apart and never collide."""
+    pdf = fixtures.make_corpus(n)
+    dup_rows = []
+    for i in range(min(dupes, n)):
+        src = pdf.iloc[i]
+        pixels = fixtures.ground_truth_pixels(src["image_id"], src["w"], src["h"])
+        data = codecs.encode_lossy(pixels)
+        dup_rows.append(
+            {
+                "image_id": f"dup{i:08d}",
+                "bytes": data,
+                "w": src["w"],
+                "h": src["h"],
+                "fmt": "jpeg",
+                "caption": src["caption"],
+                "phash": codecs.phash64(codecs.decode(data)),
+            }
+        )
+    both = pd.concat([pdf, pd.DataFrame(dup_rows)], ignore_index=True)
+    return spark.createDataFrame(both, schema=CORPUS_SCHEMA)
+
+
+def decode_verify(corpus: DataFrame, psnr_gate_db: float = 40.0) -> DataFrame:
+    """Decode every image and verify the per-row invariant from
+    input_hint: decoded pixels vs recomputed ground truth — exact for
+    lossless (PSNR inf), >= 40 dB for lossy — plus phash equality."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                pixels = codecs.decode(bytes(r["bytes"]))
+                truth = fixtures.ground_truth_pixels(r["image_id"], r["w"], r["h"])
+                psnr = codecs.psnr_db(pixels, truth)
+                rows.append(
+                    {
+                        "image_id": r["image_id"],
+                        "w": int(r["w"]),
+                        "h": int(r["h"]),
+                        "fmt": r["fmt"],
+                        "psnr_db": float(min(psnr, 1e9)),
+                        "psnr_ok": bool(psnr >= psnr_gate_db),
+                        "phash_match": codecs.phash64(pixels) == int(r["phash"]),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODE_META_SCHEMA])
+
+    return corpus.mapInPandas(run, schema=DECODE_META_SCHEMA)
+
+
+def resize_meanpool(corpus: DataFrame, out: int = 16) -> DataFrame:
+    """Feature-extraction shape: decode -> mean-pool resize to out x out
+    -> deterministic checksum. Stands in for any per-image embedding /
+    thumbnail stage; the Spark plumbing (schema, batching, partitioning)
+    is the real deliverable, the kernel is swappable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                px = codecs.decode(bytes(r["bytes"])).astype(np.float64)
+                h, w, _ = px.shape
+                th, tw = (h // out) * out, (w // out) * out
+                if th == 0 or tw == 0:
+                    small = np.zeros((out, out, 3))
+                else:
+                    small = (
+                        px[:th, :tw]
+                        .reshape(out, th // out, out, tw // out, 3)
+                        .mean(axis=(1, 3))
+                    )
+                rows.append(
+                    {
+                        "image_id": r["image_id"],
+                        "out_w": out,
+                        "out_h": out,
+                        "pixel_sum": int(small.round().astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA])
+
+    return corpus.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def phash_neardup_pairs(corpus: DataFrame, max_hamming: int = 12) -> DataFrame:
+    """Exact perceptual near-dup: pairs with hamming(phash) <= r.
+    All-JVM (bit_count/xor in whole-stage codegen). O(n^2) — the
+    baseline; see `phash_neardup_banded` for the scale path."""
+    a = corpus.select(
+        F.col("image_id").alias("img_a"), F.col("phash").alias("ph_a")
+    )
+    b = corpus.select(
+        F.col("image_id").alias("img_b"), F.col("phash").alias("ph_b")
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("img_a") < F.col("img_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("img_a", "img_b", "hamming")
+    )
+
+
+def phash_neardup_banded(
+    corpus: DataFrame, max_hamming: int = 12, bands: int | None = None
+) -> DataFrame:
+    """Scale path: split the 64-bit hash into (max_hamming+1) bands —
+    pigeonhole guarantees two hashes within hamming r agree exactly on
+    >= 1 band — bucket-join per band, then verify candidates exactly.
+    Same result set as `phash_neardup_pairs`, O(n * bucket) work."""
+    bands = bands or (max_hamming + 1)
+    width = 64 // bands
+
+    def banded(df: DataFrame, id_alias: str, ph_alias: str) -> DataFrame:
+        out = df.select(
+            F.col("image_id").alias(id_alias), F.col("phash").alias(ph_alias)
+        )
+        parts = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col(ph_alias), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("chunk"),
+                )
+                for i in range(bands)
+            ]
+        )
+        return out.select(id_alias, ph_alias, F.explode(parts).alias("bc")).select(
+            id_alias, ph_alias, F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk")
+        )
+
+    a = banded(corpus, "img_a", "ph_a")
+    b = banded(corpus, "img_b", "ph_b")
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("img_a") < F.col("img_b"))
+        .select("img_a", "img_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

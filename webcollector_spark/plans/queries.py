@@ -434,58 +434,81 @@ def q_ngram_overlap(spark, sf):
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH near-dup detection (shingle -> minhash -> band -> bucket join)
+# MinHash + LSH near-dup detection (shingle -> minhash -> band -> bucket join).
+# One md5 per distinct shingle; the 4 permutation hashes derive from its two
+# 60-bit halves via double hashing h_i = h1 + i*h2 (Kirsch-Mitzenmacher), so
+# the hot path is a single JVM-side md5 + integer arithmetic, not 4 string
+# hashes. Docs with <2 tokens have no shingles -> NULL signature (LEFT JOIN).
 _SHINGLE_SQL = r"""
-  SELECT doc_id,
-         CASE WHEN len(t) >= 2
-              THEN list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])
-              ELSE [] END AS sh
+  SELECT doc_id, unnest(list_distinct(
+           [t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS w
   FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents)
+  WHERE len(t) >= 2
 """
 
 _SIG_SQL = f"""
   SELECT doc_id,
-         md5(list_min(list_transform(sh, w -> md5('0:' || w))) ||
-             list_min(list_transform(sh, w -> md5('1:' || w)))) AS band0,
-         md5(list_min(list_transform(sh, w -> md5('2:' || w))) ||
-             list_min(list_transform(sh, w -> md5('3:' || w)))) AS band1
-  FROM ({_SHINGLE_SQL})
+         concat_ws('_', CAST(min(h1) AS VARCHAR),
+                        CAST(min(h1 + h2) AS VARCHAR)) AS band0,
+         concat_ws('_', CAST(min(h1 + 2 * h2) AS VARCHAR),
+                        CAST(min(h1 + 3 * h2) AS VARCHAR)) AS band1
+  FROM (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h1,
+           CAST(('0x' || substr(md5(w), 17, 15)) AS BIGINT) | 1 AS h2
+    FROM ({_SHINGLE_SQL}))
+  GROUP BY doc_id
+"""
+
+_MINHASH_BAND_SQL = f"""
+  SELECT d.doc_id, s.band0, s.band1
+  FROM documents d LEFT JOIN ({_SIG_SQL}) s ON d.doc_id = s.doc_id
 """
 
 
 def _shingles(spark, sf):
+    """Exploded distinct word-bigram shingles: (doc_id, w)."""
     docs = _t(spark, sf, "documents")
-    t = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
-    sh = F.when(
-        F.size(t) >= 2,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(t, i), F.element_at(t, i + 1)
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", sh.alias("sh"))
-
-
-def _minhash_sig(spark, sf):
-    def mh(seed: int):
-        return F.array_min(
-            F.transform(F.col("sh"), lambda w: F.md5(F.concat(F.lit(f"{seed}:"), w)))
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+    t = F.col("t")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
         )
-
-    return _shingles(spark, sf).select(
-        "doc_id",
-        F.md5(F.concat(mh(0), mh(1))).alias("band0"),
-        F.md5(F.concat(mh(2), mh(3))).alias("band1"),
+    )
+    return (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(sh).alias("w"))
     )
 
 
-@register("minhash_band", _SIG_SQL)
+def _minhash_sig(spark, sf):
+    """Per-doc 4-permutation minhash signature folded into 2 LSH bands."""
+    h = F.md5("w")
+    hashed = _shingles(spark, sf).select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h1"),
+        F.expr("CAST(conv(substring(md5(w), 17, 15), 16, 10) AS BIGINT) | 1").alias(
+            "h2"
+        ),
+    )
+    mh = [
+        F.min(F.col("h1") + i * F.col("h2")).cast("string") for i in range(4)
+    ]
+    return hashed.groupBy("doc_id").agg(
+        F.concat_ws("_", mh[0], mh[1]).alias("band0"),
+        F.concat_ws("_", mh[2], mh[3]).alias("band1"),
+    )
+
+
+@register("minhash_band", _MINHASH_BAND_SQL)
 def q_minhash_band(spark, sf):
-    return _minhash_sig(spark, sf)
+    docs = _t(spark, sf, "documents").select("doc_id")
+    return docs.join(_minhash_sig(spark, sf), "doc_id", "left").select(
+        "doc_id", "band0", "band1"
+    )
 
 
 @register(
@@ -661,6 +684,433 @@ def q_embedding_norm(spark, sf):
     return _t(spark, sf, "embeddings").select(
         "vec_id", "label", F.round(F.sqrt(dot), 4).alias("l2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wider relational coverage (SURVEY §2.5: joins/aggs/sorts Spark gives free,
+# exercised so the engine's registry covers every standard operator class)
+
+
+@register(
+    "tpch_q3",
+    """
+    SELECT l.l_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS revenue,
+           o.o_orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey LIMIT 10
+    """,
+)
+def q_tpch_q3(spark, sf):
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@register(
+    "tpch_q5ish",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+                     AND s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY nation
+    """,
+)
+def q_tpch_q5ish(spark, sf):
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n),
+            (c.c_nationkey == n.n_nationkey) & (s.s_nationkey == n.n_nationkey),
+        )
+        .join(F.broadcast(r), n.n_regionkey == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           grouping(r.r_name) + grouping(n.n_name) AS lvl,
+           round(sum(c.c_acctbal), 2) AS balance
+    FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def q_rollup_revenue(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = F.broadcast(_t(spark, sf, "nation"))
+    r = F.broadcast(_t(spark, sf, "region"))
+    joined = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "c_acctbal",
+        )
+    )
+    return (
+        joined.rollup("region", "nation")
+        .agg(
+            (F.grouping("region") + F.grouping("nation")).alias("lvl"),
+            F.round(F.sum("c_acctbal"), 2).alias("balance"),
+        )
+        .select("region", "nation", "lvl", "balance")
+    )
+
+
+@register(
+    "asof_join",
+    """
+    SELECT event_id AS purchase_id, user_id, last_view_id FROM (
+      SELECT event_id, user_id, event_type,
+             last_value(CASE WHEN event_type = 'view' THEN event_id END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_view_id
+      FROM events) t
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_asof_join(spark, sf):
+    # as-of join (most recent prior view per purchase) as a running
+    # IGNORE NULLS last_value — no O(n^2) self-join, one shuffle by user.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lv = F.last(
+        F.when(F.col("event_type") == "view", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        _t(spark, sf, "events")
+        .withColumn("last_view_id", lv)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"), "user_id", "last_view_id"
+        )
+    )
+
+
+@register(
+    "range_join",
+    """
+    SELECT a.user_id, count(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(epoch(b.ts) - epoch(a.ts)) <= 300
+    GROUP BY a.user_id
+    """,
+)
+def q_range_join(spark, sf):
+    ev = _t(spark, sf, "events").select("user_id", "event_id", "ts")
+    a, b = ev.alias("a"), ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (
+                F.abs(
+                    F.unix_timestamp(F.col("b.ts"))
+                    - F.unix_timestamp(F.col("a.ts"))
+                )
+                <= 300
+            ),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@register(
+    "set_ops",
+    """
+    SELECT DISTINCT CAST(floor(value) AS BIGINT) AS v
+    FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT DISTINCT CAST(floor(value) AS BIGINT) FROM events
+    WHERE event_type = 'view'
+    EXCEPT
+    SELECT DISTINCT CAST(floor(value) AS BIGINT) FROM events
+    WHERE event_type = 'error'
+    """,
+)
+def q_set_ops(spark, sf):
+    ev = _t(spark, sf, "events")
+
+    def vals(t):
+        return (
+            ev.filter(F.col("event_type") == t)
+            .select(F.floor("value").cast("long").alias("v"))
+            .distinct()
+        )
+
+    return vals("click").intersect(vals("view")).exceptAll(vals("error")).distinct()
+
+
+@register(
+    "exists_semijoin",
+    """
+    SELECT o.o_orderkey, o.o_totalprice FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+    """,
+)
+def q_exists_semijoin(spark, sf):
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") >= 49)
+    return o.join(
+        li.select("l_orderkey"), o.o_orderkey == F.col("l_orderkey"), "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "pivot_conditional_agg",
+    """
+    SELECT user_id,
+           round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 2)
+             AS click_value,
+           round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 2)
+             AS view_value,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+             AS purchase_value,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_conditional_agg(spark, sf):
+    ev = _t(spark, sf, "events")
+
+    def bucket(t):
+        return F.round(
+            F.sum(F.when(F.col("event_type") == t, F.col("value")).otherwise(0.0)), 2
+        )
+
+    return ev.groupBy("user_id").agg(
+        bucket("click").alias("click_value"),
+        bucket("view").alias("view_value"),
+        bucket("purchase").alias("purchase_value"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# More dedup/similarity: full n-gram Jaccard, winnowing fingerprint,
+# label-blocked cosine near-dup (the IVF-style scale path for ANN)
+
+
+@register(
+    "jaccard_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '\S+'))) AS w
+      FROM documents WHERE doc_id < 60),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b)
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(c.c AS DOUBLE) / (sa.n + sb.n - c.c), 4) AS jaccard
+    FROM common c JOIN sizes sa ON c.doc_a = sa.doc_id
+                  JOIN sizes sb ON c.doc_b = sb.doc_id
+    WHERE CAST(c.c AS DOUBLE) / (sa.n + sb.n - c.c) >= 0.2
+    """,
+)
+def q_jaccard_pairs(spark, sf):
+    toks = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+                )
+            ).alias("w"),
+        )
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    common = (
+        a.join(
+            b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "winnow_fingerprint",
+    r"""
+    SELECT doc_id,
+           CASE WHEN length(text) >= 8 THEN
+             list_min([md5(substr(text, i, 8))
+                       for i in range(1, length(text) - 6, 4)])
+           END AS fp
+    FROM documents
+    """,
+)
+def q_winnow_fingerprint(spark, sf):
+    # winnowing-style robust fingerprint: min-hash over strided char
+    # 8-grams (document fingerprinting a la MOSS, stride 4)
+    docs = _t(spark, sf, "documents")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 7, F.lit(4)),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(8))),
+    )
+    fp = F.when(F.length("text") >= 8, F.array_min(grams))
+    return docs.select("doc_id", fp.alias("fp"))
+
+
+@register(
+    "cosine_blocked_neardup",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, round(sim, 4) AS sim4
+    FROM pairs WHERE sim >= 0.25
+    """,
+)
+def q_cosine_blocked_neardup(spark, sf):
+    # label-blocked near-dup: the IVF pattern — candidate pairs only
+    # inside a coarse bucket (here the label column; at scale a k-means
+    # centroid id), exact cosine within the bucket.
+    emb = _t(spark, sf, "embeddings").select("vec_id", "label", "embedding")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    a = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.25)
+        .select("vec_a", "vec_b", F.round("sim", 4).alias("sim4"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (image) operators — rows-only checks (no oracle SQL: the
+# image corpus is engine-generated per input_hint, not one of the
+# driver's DuckDB views; pixel math is asserted exactly in tests/).
+
+
+@register("image_decode_verify", None)
+def q_image_decode_verify(spark, sf):
+    """Decode every corpus image in Arrow batches; verify PSNR>=40dB
+    (exact for png) + phash equality per row (input_hint invariant)."""
+    from webcollector_spark.operators import images
+
+    return images.decode_verify(images.corpus_df(spark))
+
+
+@register("image_resize_meanpool", None)
+def q_image_resize(spark, sf):
+    from webcollector_spark.operators import images
+
+    return images.resize_meanpool(images.corpus_df(spark))
+
+
+@register("phash_neardup_exact", None)
+def q_phash_neardup_exact(spark, sf):
+    from webcollector_spark.operators import images
+
+    return images.phash_neardup_pairs(images.corpus_with_neardups(spark))
+
+
+@register("phash_neardup_banded", None)
+def q_phash_neardup_banded(spark, sf):
+    from webcollector_spark.operators import images
+
+    return images.phash_neardup_banded(images.corpus_with_neardups(spark))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

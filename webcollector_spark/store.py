@@ -75,20 +75,47 @@ class RamFrontierStore:
             self._set(self._df.unionByName(fresh))
 
     # -- O9: merge -----------------------------------------------------
-    def merge(self, fetched: DataFrame | None, links: DataFrame | None) -> None:
-        """Fold a round's segments: fetch last-wins, link first-wins."""
+    def merge(self, fetched: DataFrame | None, links: DataFrame | None) -> int:
+        """Fold a round's segments: fetch last-wins, link first-wins.
+
+        Single-pass formulation: union the three sources tagged by
+        precedence (fetch=2 > frontier=1 > links=0) and keep the
+        highest-precedence row per key — ONE shuffle by key, each input
+        scanned exactly once. This is the row-level operation an Iceberg
+        `MERGE INTO frontier` performs (fetch ≙ WHEN MATCHED UPDATE,
+        links ≙ WHEN NOT MATCHED INSERT); the anti-join formulation it
+        replaces executed the frontier twice per round. Within-segment
+        ties: fetch side last-wins by (execute_time, execute_count)
+        (RocksDBManager.java:167-171), link side any-single-row
+        (":176-183") — broken deterministically by (depth, url).
+
+        Returns the number of newly inserted link rows (frontier
+        row-count delta: the fetch side only updates in place)."""
         cur = self._df
         assert cur is not None, "inject before merge"
+        before = self.count()
+        src = []
         if fetched is not None:
-            fetched = _core(_dedup_last_wins(fetched))
-            cur = _core(cur.join(fetched.select("key"), "key", "left_anti")).unionByName(
-                fetched
-            )
+            src.append(_core(fetched).withColumn("__src", F.lit(2)))
+        src.append(_core(cur).withColumn("__src", F.lit(1)))
         if links is not None:
-            links = _core(links.dropDuplicates(["key"]))
-            fresh = links.join(cur.select("key"), "key", "left_anti")
-            cur = cur.unionByName(fresh)
-        self._set(cur)
+            src.append(_core(links).withColumn("__src", F.lit(0)))
+        merged = src[0]
+        for s in src[1:]:
+            merged = merged.unionByName(s)
+        w = Window.partitionBy("key").orderBy(
+            F.col("__src").desc(),
+            F.col("execute_time").desc_nulls_last(),
+            F.col("execute_count").desc(),
+            F.col("depth").asc(),
+            F.col("url").asc(),
+        )
+        self._set(
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .drop("__rn", "__src")
+        )
+        return self.count() - before
 
     def load(self) -> DataFrame:
         assert self._df is not None, "store is empty"
@@ -102,6 +129,14 @@ class RamFrontierStore:
         # each round's plan is materialized once (the reference's
         # per-round segment fold is likewise eager, Fetcher.java:310).
         self._df = df.localCheckpoint(eager=True)
+        self._count: int | None = None
+
+    def count(self) -> int:
+        """Frontier row count; memoized per snapshot (counting a
+        checkpointed/persisted DataFrame is cheap but still a job)."""
+        if getattr(self, "_count", None) is None:
+            self._count = 0 if self._df is None else self._df.count()
+        return self._count
 
     # -- lineage -------------------------------------------------------
     def log_round(self, **metrics) -> None:
@@ -112,6 +147,7 @@ class RamFrontierStore:
 
     def destroy(self) -> None:
         self._df = None
+        self._count = None
         self.rounds = []
 
 
@@ -151,6 +187,7 @@ class ParquetFrontierStore(RamFrontierStore):
         _core(df).write.mode("overwrite").parquet(self._vdir(v))
         self._version = v
         self._df = self.spark.read.parquet(self._vdir(v))
+        self._count = None
         # retain last 2 snapshots (resume needs only the latest)
         old = self._vdir(v - 2)
         if v >= 2 and os.path.exists(old):
