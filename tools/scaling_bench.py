@@ -69,7 +69,7 @@ def run_single(cores: int) -> None:
         per_host_top_k=N_URLS,
         bloom_capacity=0,
         fetch_partitions=cores * 4,
-        rows_per_fetch_task=2000,
+        rows_per_fetch_task=1000,
     )
     crawler = RamCrawler(spark, req, config=cfg)
     # flat frontier: every URL unexecuted -> one steady-state round

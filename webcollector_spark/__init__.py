@@ -17,7 +17,19 @@ Catalyst rules (SURVEY.md section 4 shows none are needed).
 
 from webcollector_spark.config import CrawlerConfig
 from webcollector_spark.crawler import BreadthCrawler, RamCrawler
+from webcollector_spark.datum import CrawlDatum, CrawlDatums
+from webcollector_spark.functions.page import Page
+from webcollector_spark.operators.dispatch import Visitor
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-__all__ = ["CrawlerConfig", "BreadthCrawler", "RamCrawler", "__version__"]
+__all__ = [
+    "CrawlerConfig",
+    "BreadthCrawler",
+    "RamCrawler",
+    "CrawlDatum",
+    "CrawlDatums",
+    "Page",
+    "Visitor",
+    "__version__",
+]

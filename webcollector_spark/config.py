@@ -76,5 +76,11 @@ class CrawlerConfig:
     # (util/RegexRule.java:67-81).
     regex_rules: list[str] = field(default_factory=list)
 
+    # Pluggable NextFilter (fetcher/NextFilter.java:26-39, applied
+    # Fetcher.java:246-255): callable (link_url, referer_url) ->
+    # rewritten url | None-to-drop. Must be picklable (ships to
+    # executors inside the fetch UDF closure).
+    next_filter: object | None = None
+
     def fetch_parallelism(self) -> int:
         return self.fetch_partitions or self.threads

@@ -52,9 +52,13 @@ class CrawlDatum:
         return self
 
     # -- meta: stringly-typed store, typed reads (":193-290") ----------
-    def meta(self, key: str | None = None, value=None):
+    def meta(self, key=None, value=None):
         if key is None:
             return dict(self.meta_data)
+        if isinstance(key, dict):
+            # meta(JsonObject) bulk setter (CrawlDatum.java:236-238)
+            self.meta_data.update({k: _meta_str(v) for k, v in key.items()})
+            return self
         if value is None:
             return self.meta_data.get(key)
         self.meta_data[key] = _meta_str(value)

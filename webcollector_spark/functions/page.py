@@ -28,10 +28,12 @@ class Page:
         code: int = -1,
         key: str | None = None,
         meta: dict[str, str] | None = None,
+        location: str | None = None,
     ):
         self.url = url
         self.key = key if key is not None else url  # CrawlDatum.java:239-245
         self.code = code
+        self.location = location  # redirect target (CrawlDatum.location)
         self.content_type = content_type
         self.content = content
         self.meta = meta or {}

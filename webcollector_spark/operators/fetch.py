@@ -115,6 +115,12 @@ def _fetch_one(
         harvested = H.extract_links(text, url, cfg.auto_detect_img)
         if not rule.is_empty():
             harvested = [u for u in harvested if rule.satisfy(u)]
+        if cfg.next_filter is not None:
+            # NextFilter contract: rewrite or drop per (link, referer)
+            harvested = [
+                v for v in (cfg.next_filter(u, url) for u in harvested)
+                if v is not None
+            ]
         links.extend(harvested)
         out["caption"] = H.extract_caption(text)
         img_bytes = H.extract_data_uri_image(text)
@@ -166,7 +172,7 @@ def fetch(
     cfg_small = CrawlerConfig(
         auto_parse=auto[0], auto_detect_img=auto[1],
         max_receive_size=cfg.max_receive_size, regex_rules=rules,
-        keep_content=cfg.keep_content,
+        keep_content=cfg.keep_content, next_filter=cfg.next_filter,
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
