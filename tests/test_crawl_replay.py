@@ -153,6 +153,84 @@ def test_payload_invariants(spark, small_web):
             assert codecs.psnr_db(gt, px) >= 40.0
 
 
+def test_per_host_mode_equivalence(spark, small_web):
+    """Graft scheduler (salted per-host top-k) vs the oracle's
+    per-host model: identical per-round generated SETS and final state.
+    Pins that salting is a pure execution detail (two-phase rank picks
+    the same rows as a single global per-host sort)."""
+    cfg = CrawlerConfig(per_host_top_k=3, bloom_capacity=10_000)
+    graph, _ = small_web
+    seeds = fixtures.seeds_for(graph, 3)
+
+    oracle = OracleCrawler(_requester(small_web), per_host_top_k=3)
+    oracle.inject(seeds)
+    oracle.start(4)
+
+    from webcollector_spark.crawler import seed_rows
+    from webcollector_spark.operators.generate import generate_per_host
+    from webcollector_spark.operators.parse import discovered_links
+    from webcollector_spark.schema import FRONTIER_SCHEMA
+
+    core_cols = [f.name for f in FRONTIER_SCHEMA.fields]
+    crawler = RamCrawler(spark, _requester(small_web), config=cfg)
+    crawler.store.inject(seed_rows(spark, seeds))
+
+    got_rounds = []
+    for _ in range(4):
+        gen = generate_per_host(
+            crawler.store.load(), 3, cfg.max_execute_count, 0, salt_buckets=4
+        )
+        keys = sorted(r.key for r in gen.collect())
+        if not keys:
+            break
+        got_rounds.append(keys)
+        fetched = fetch_op(gen, crawler.requester, cfg)
+        fetched.persist()
+        crawler.store.merge(
+            fetched.select(*core_cols), discovered_links(fetched)
+        )
+        fetched.unpersist()
+
+    want_rounds = [sorted(ks) for ks in oracle.generated_per_round]
+    assert got_rounds == want_rounds
+    assert _engine_state(crawler) == oracle.state()
+
+
+def test_generator_filter(spark, small_web):
+    """Pluggable GeneratorFilter (SQL predicate): depth-bounded
+    generation leaves deeper discoveries unexecuted in the frontier."""
+    cfg = CrawlerConfig(bloom_capacity=10_000, generator_filter="depth <= 1")
+    graph, _ = small_web
+    crawler = RamCrawler(spark, _requester(small_web), config=cfg)
+    crawler.add_seed(fixtures.seeds_for(graph, 3))
+    crawler.start(5)
+    rows = crawler.frontier().collect()
+    executed = [r for r in rows if r.status != STATUS_DB_UNEXECUTED]
+    assert executed and all(r.depth <= 1 for r in executed)
+    # depth-2 links were discovered but never generated
+    assert any(r.depth >= 2 and r.status == STATUS_DB_UNEXECUTED for r in rows)
+
+
+def test_host_bucket_rate():
+    """Per-host politeness token bucket: N waits at rate r take >=
+    (N-1)/r seconds per host, independent hosts don't block each other."""
+    import time
+
+    from webcollector_spark.operators.fetch import _HostBucket
+
+    b = _HostBucket(rate_per_s=50.0, fixed_interval_ms=0)
+    t0 = time.monotonic()
+    for _ in range(5):
+        b.wait("h1")
+    elapsed = time.monotonic() - t0
+    assert elapsed >= 4 / 50.0  # 4 gaps at 20ms
+    t0 = time.monotonic()
+    b2 = _HostBucket(rate_per_s=1.0, fixed_interval_ms=0)
+    for h in ("a", "b", "c", "d"):
+        b2.wait(h)  # distinct hosts: no politeness coupling
+    assert time.monotonic() - t0 < 0.5
+
+
 def test_robots_blocking(spark, small_web):
     """Graft extension: robots.txt disallow marks urls FAILED with the
     robots sentinel code; oracle (robots=True) agrees."""

@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis) — SURVEY §5 notes the reference
+has none; these pin the invariants that matter at scale:
+
+* MERGE semantics vs a dict model on arbitrary segment contents
+  (fetch overwrite / link insert-if-absent / untouched rows unchanged)
+* CrawlDatum positional-JSON codec round-trip
+* url_to_path total function (never raises, host-prefixed)
+* bloom filter: no false negatives, fpp within budget
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from webcollector_spark.datum import CrawlDatum
+from webcollector_spark.operators.seen import Bloom
+from webcollector_spark.sinks import url_to_path
+
+# -- codec round-trip ---------------------------------------------------
+
+meta_scalars = st.one_of(
+    st.integers(-(10**12), 10**12),
+    st.booleans(),
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters='"\\'),
+        max_size=20,
+    ),
+)
+
+
+@given(
+    url=st.text(min_size=1, max_size=50).map(lambda s: "http://h.test/" + s),
+    status=st.sampled_from([0, 1, 5]),
+    etime=st.integers(0, 2**41),
+    count=st.integers(0, 100),
+    meta=st.dictionaries(st.text(min_size=1, max_size=10), meta_scalars, max_size=5),
+)
+@settings(max_examples=200, deadline=None)
+def test_datum_json_roundtrip(url, status, etime, count, meta):
+    d = CrawlDatum(url)
+    d.status, d.execute_time, d.execute_count = status, etime, count
+    for k, v in meta.items():
+        d.meta(k, v)
+    back = CrawlDatum.from_json_array(url, d.as_json_array())
+    assert back.url() == url
+    assert back.status == status
+    assert back.execute_time == etime
+    assert back.execute_count == count
+    assert back.meta_data == d.meta_data
+
+
+# -- url_to_path total --------------------------------------------------
+
+
+@given(
+    path=st.text(
+        alphabet=st.sampled_from(list("abc/._-")), max_size=20
+    ),
+    query=st.one_of(st.none(), st.text(alphabet=st.sampled_from(list("xy=&")), max_size=8)),
+)
+@settings(max_examples=200, deadline=None)
+def test_url_to_path_total(path, query):
+    url = "http://host.test/" + path + (f"?{query}" if query else "")
+    out = url_to_path(url)
+    assert out.startswith("host.test/")
+    assert "?" not in out
+
+
+# -- bloom invariants ---------------------------------------------------
+
+
+@given(
+    present=st.lists(st.text(min_size=1, max_size=30), min_size=1, max_size=500, unique=True),
+)
+@settings(max_examples=25, deadline=None)
+def test_bloom_no_false_negatives(present):
+    b = Bloom(capacity=max(64, len(present) * 2), fpp=0.01)
+    b.add_series(pd.Series(present))
+    assert b.maybe_contains(pd.Series(present)).all()
+
+
+# -- merge semantics vs dict model (Spark; few examples, they each run
+#    a job) ------------------------------------------------------------
+
+key_st = st.text(alphabet=st.sampled_from(list("abcdef")), min_size=1, max_size=3)
+
+
+@st.composite
+def merge_case(draw):
+    frontier = draw(st.dictionaries(key_st, st.sampled_from([0, 1, 5]), min_size=1, max_size=8))
+    fetch_keys = draw(st.lists(st.sampled_from(sorted(frontier)), max_size=6, unique=True))
+    links = draw(st.lists(key_st, max_size=6, unique=True))
+    return frontier, fetch_keys, links
+
+
+@given(case=merge_case())
+@settings(max_examples=8, deadline=None)
+def test_merge_matches_dict_model(spark, case):
+    from webcollector_spark.schema import FRONTIER_SCHEMA
+    from webcollector_spark.store import RamFrontierStore
+
+    frontier, fetch_keys, links = case
+
+    def row(key, status, count=0, etime=None):
+        return (key, f"http://h.test/{key}", status, etime, count, -1, None,
+                None, "h.test", 0, 0.0)
+
+    store = RamFrontierStore(spark)
+    store.inject(
+        spark.createDataFrame(
+            [row(k, s) for k, s in frontier.items()], FRONTIER_SCHEMA
+        )
+    )
+    fetched_df = spark.createDataFrame(
+        [row(k, 5, count=1, etime=1000) for k in fetch_keys], FRONTIER_SCHEMA
+    ) if fetch_keys else None
+    links_df = spark.createDataFrame(
+        [row(k, 0) for k in links], FRONTIER_SCHEMA
+    ) if links else None
+    store.merge(fetched_df, links_df)
+    got = {r.key: (r.status, r.execute_count) for r in store.load().collect()}
+
+    # dict model: fetch overwrites, links insert-if-absent
+    model = {k: (s, 0) for k, s in frontier.items()}
+    for k in fetch_keys:
+        model[k] = (5, 1)
+    for k in links:
+        if k not in model:
+            model[k] = (0, 0)
+    assert got == model

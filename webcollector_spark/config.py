@@ -82,5 +82,10 @@ class CrawlerConfig:
     # executors inside the fetch UDF closure).
     next_filter: object | None = None
 
+    # Pluggable GeneratorFilter (crawldb/GeneratorFilter.java:6-14):
+    # SQL boolean expression over frontier columns, ANDed into the
+    # generate predicate (Catalyst-visible, so it pushes down).
+    generator_filter: str | None = None
+
     def fetch_parallelism(self) -> int:
         return self.fetch_partitions or self.threads

@@ -129,10 +129,13 @@ class BreadthCrawler:
             if cfg.per_host_top_k > 0:
                 gen = generate_per_host(
                     frontier, cfg.per_host_top_k, cfg.max_execute_count,
-                    cfg.top_n, cfg.host_salt_buckets,
+                    cfg.top_n, cfg.host_salt_buckets, cfg.generator_filter,
                 )
             else:
-                gen = generate(frontier, cfg.top_n, cfg.max_execute_count)
+                gen = generate(
+                    frontier, cfg.top_n, cfg.max_execute_count,
+                    cfg.generator_filter,
+                )
             gen = gen.persist(StorageLevel.MEMORY_AND_DISK)
             n_gen = gen.count()
             if n_gen == 0:  # Crawler.java:142-144

@@ -25,23 +25,39 @@ from pyspark.sql import functions as F
 from webcollector_spark.schema import STATUS_DB_SUCCESS
 
 
-def generatable(frontier: DataFrame, max_execute_count: int = 10) -> DataFrame:
+def generatable(
+    frontier: DataFrame,
+    max_execute_count: int = 10,
+    generator_filter: str | None = None,
+) -> DataFrame:
     """The generate predicate: not-yet-successful and retry budget left.
 
     Both conditions push down to the scan (check .explain for
     PushedFilters on status/execute_count).
+
+    `generator_filter` is the pluggable GeneratorFilter slot (reference
+    crawldb/GeneratorFilter.java:6-14, applied Generator.java:58-70) —
+    a SQL boolean expression over the frontier columns, e.g.
+    "depth <= 4 AND host LIKE '%.example.com'". Expressed as SQL so it
+    stays Catalyst-visible (pushdown/pruning), unlike an opaque UDF.
     """
-    return frontier.filter(
+    out = frontier.filter(
         (F.col("status") != STATUS_DB_SUCCESS)
         & (F.col("execute_count") <= max_execute_count)
     )
+    if generator_filter:
+        out = out.filter(generator_filter)
+    return out
 
 
 def generate(
-    frontier: DataFrame, top_n: int = 0, max_execute_count: int = 10
+    frontier: DataFrame,
+    top_n: int = 0,
+    max_execute_count: int = 10,
+    generator_filter: str | None = None,
 ) -> DataFrame:
     """Reference-exact generate: sorted-key order, global topN."""
-    out = generatable(frontier, max_execute_count).orderBy("key")
+    out = generatable(frontier, max_execute_count, generator_filter).orderBy("key")
     if top_n and top_n > 0:
         out = out.limit(top_n)
     return out
@@ -53,6 +69,7 @@ def generate_per_host(
     max_execute_count: int = 10,
     top_n: int = 0,
     salt_buckets: int = 8,
+    generator_filter: str | None = None,
 ) -> DataFrame:
     """Graft scheduler: per-host top-k (priority asc, depth asc, key asc),
     salted two-phase to defuse host skew, optional global topN on top.
@@ -61,7 +78,7 @@ def generate_per_host(
     so reference-equivalent runs set priority=0 and this degrades to
     per-host key order.
     """
-    cand = generatable(frontier, max_execute_count)
+    cand = generatable(frontier, max_execute_count, generator_filter)
     order = [F.col("priority").asc(), F.col("depth").asc(), F.col("key").asc()]
 
     if salt_buckets > 1:

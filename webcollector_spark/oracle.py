@@ -50,6 +50,10 @@ class OracleCrawler:
     regex_rules: list[str] = field(default_factory=list)
     auto_parse: bool = True
     robots: bool = False
+    # graft scheduler mode: per-host top-k by (priority, depth, key) —
+    # the single-process model of operators/generate.generate_per_host
+    # (0 = reference-exact global sorted-key mode)
+    per_host_top_k: int = 0
 
     def __post_init__(self):
         self.db: dict[str, OracleDatum] = {}
@@ -81,6 +85,8 @@ class OracleCrawler:
                     self.db[k] = v
 
     def _generate(self) -> list[OracleDatum]:
+        if self.per_host_top_k:
+            return self._generate_per_host()
         out = []
         for k in sorted(self.db):  # key-lexicographic cursor
             d = self.db[k]
@@ -91,6 +97,27 @@ class OracleCrawler:
             out.append(d)
             if self.top_n and len(out) >= self.top_n:
                 break
+        return out
+
+    def _generate_per_host(self) -> list[OracleDatum]:
+        """Per-host top-k by (depth, key) (priority is 0 throughout the
+        BFS path), then optional global top_n by the same order —
+        mirrors generate_per_host exactly."""
+        by_host: dict[str, list[OracleDatum]] = {}
+        for k in sorted(self.db):
+            d = self.db[k]
+            if d.status == STATUS_DB_SUCCESS:
+                continue
+            if d.execute_count > self.max_execute_count:
+                continue
+            by_host.setdefault(host_of(d.url), []).append(d)
+        out: list[OracleDatum] = []
+        for host in by_host:
+            ranked = sorted(by_host[host], key=lambda d: (d.depth, d.key))
+            out.extend(ranked[: self.per_host_top_k])
+        out.sort(key=lambda d: (d.depth, d.key))
+        if self.top_n:
+            out = out[: self.top_n]
         return out
 
     def _execute(
