@@ -76,6 +76,33 @@ def test_merge_intra_round_dedup(spark, store):
     assert row.status == 1 and row.execute_time == 2000
 
 
+def test_parquet_store_ignores_uncommitted_snapshot(spark, tmp_path):
+    """Crash-resume: a partially written snapshot (no _SUCCESS marker)
+    must be invisible to resume — the store loads the last COMMITTED
+    version (Iceberg snapshot-commit semantics on the parquet backend)."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "db")
+    s1 = ParquetFrontierStore(spark, path)
+    s1.inject(seed_rows(spark, URLS[:4]))  # commits frontier_v0
+    s1.merge(None, seed_rows(spark, URLS[4:6]))  # commits frontier_v1
+    s1.log_round(round=0, generated=4, fetched=4, failed=0, new_links=2, wall_ms=1)
+
+    # simulate a crash mid-write of v2: copy v1, drop the marker, add junk
+    v1, v2 = os.path.join(path, "frontier_v1"), os.path.join(path, "frontier_v2")
+    shutil.copytree(v1, v2)
+    os.remove(os.path.join(v2, "_SUCCESS"))
+
+    s2 = ParquetFrontierStore(spark, path, resumable=True)
+    assert s2._version == 1  # uncommitted v2 ignored
+    assert s2.load().count() == 6
+    assert s2.last_round() == 0
+    # next commit overwrites the junk cleanly
+    s2.merge(None, seed_rows(spark, URLS[6:7]))
+    assert s2.load().count() == 7
+
+
 def test_parquet_store_resume(spark, tmp_path):
     path = str(tmp_path / "db")
     s1 = ParquetFrontierStore(spark, path)
