@@ -72,6 +72,13 @@ def crawl_bench(
         bloom_capacity=200_000,
         fetch_partitions=cpus,
     )
+    # warm-up (untimed): spin up Python workers + JIT the round's
+    # codegen so the timed figure is sustained throughput, not
+    # cold-start (the BASELINE metric says "sustained")
+    warm = RamCrawler(spark, req, config=cfg)
+    warm.add_seed(fixtures.seeds_for(graph, 64))
+    warm.start(1)
+
     crawler = RamCrawler(spark, req, config=cfg)
     crawler.add_seed(fixtures.seeds_for(graph, n_seeds))
     t0 = time.monotonic()

@@ -1,0 +1,69 @@
+"""URL-seen filter tests: the distributed bloom build + bloom-assisted
+anti-join must return EXACTLY the same rows as the plain left-anti join
+(the bloom only pre-prunes; false positives fall through to the exact
+join), and the crawl loop with the bloom path forced on must match the
+replay oracle."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from webcollector_spark import fixtures
+from webcollector_spark.config import CrawlerConfig
+from webcollector_spark.crawler import RamCrawler
+from webcollector_spark.operators.seen import Bloom, build_bloom, seen_filter
+from webcollector_spark.oracle import OracleCrawler
+from webcollector_spark.sources.requester import SyntheticRequester
+
+
+def test_bloom_filter_matches_exact_antijoin(spark):
+    seen = spark.createDataFrame(
+        [(f"http://h.test/{i}",) for i in range(0, 1000, 2)], "key string"
+    )
+    cand = spark.createDataFrame(
+        [(f"http://h.test/{i}",) for i in range(500, 1500)], "key string"
+    )
+    bloom = build_bloom(seen, "key", capacity=2000, fpp=0.01)
+    with_bloom = {r.key for r in seen_filter(cand, seen, "key", bloom).collect()}
+    exact = {r.key for r in seen_filter(cand, seen, "key", None).collect()}
+    assert with_bloom == exact
+    # sanity: evens < 1000 seen, so candidates 500-999 keep only odds
+    assert f"http://h.test/501" in exact and f"http://h.test/502" not in exact
+
+
+def test_distributed_bloom_build_deterministic(spark):
+    """Partition-built + OR-merged bloom answers like a single-process
+    build (hashing must be identical across processes)."""
+    keys = [f"k{i}" for i in range(5000)]
+    df = spark.createDataFrame([(k,) for k in keys], "key string").repartition(8)
+    dist = build_bloom(df, "key", capacity=10_000, fpp=0.01)
+    local = Bloom(capacity=10_000, fpp=0.01)
+    local.add_series(pd.Series(keys))
+    assert (dist.bits == local.bits).all()
+    assert dist.maybe_contains(pd.Series(keys)).all()
+    fpp = dist.maybe_contains(pd.Series([f"absent{i}" for i in range(20000)])).mean()
+    assert fpp < 0.03
+
+
+def test_crawl_with_bloom_path_matches_oracle(spark, small_web):
+    """Force the bloom pre-prune on (bloom_min_frontier=0): final state
+    must equal the oracle — the bloom is invisible to semantics."""
+    graph, corpus = small_web
+    seeds = fixtures.seeds_for(graph, 3)
+    req = SyntheticRequester(graph.to_dict("records"), corpus.to_dict("records"))
+
+    oracle = OracleCrawler(
+        SyntheticRequester(graph.to_dict("records"), corpus.to_dict("records"))
+    )
+    oracle.inject(seeds)
+    oracle.start(4)
+
+    cfg = CrawlerConfig(bloom_capacity=10_000, bloom_min_frontier=0)
+    crawler = RamCrawler(spark, req, config=cfg)
+    crawler.add_seed(list(seeds))
+    crawler.start(4)
+    got = {
+        r.key: (r.status, r.execute_count, r.code)
+        for r in crawler.frontier().collect()
+    }
+    assert got == oracle.state()
