@@ -1,0 +1,80 @@
+"""Smaller contracts: robots.txt parsing + TTL cache, priority-ordered
+generation, rounds lineage DataFrame."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from webcollector_spark.crawler import seed_rows
+from webcollector_spark.operators.generate import generate_per_host
+from webcollector_spark.sources.requester import Requester, RobotsCache
+from webcollector_spark.store import RamFrontierStore
+
+
+class _RobotsOnly(Requester):
+    def __init__(self, bodies):
+        self.bodies = bodies
+        self.calls = 0
+
+    def robots_txt(self, host):
+        self.calls += 1
+        return self.bodies.get(host)
+
+
+class TestRobots:
+    BODY = """
+# comment
+User-agent: other
+Disallow: /everything
+User-agent: *
+Disallow: /private
+Disallow: /tmp/   # trailing comment
+User-agent: another
+Disallow: /
+"""
+
+    def test_parse_disallows_star_section_only(self):
+        assert RobotsCache.parse_disallows(self.BODY) == ["/private", "/tmp/"]
+
+    def test_allowed_paths(self):
+        req = _RobotsOnly({"h.test": self.BODY})
+        rc = RobotsCache(req, ttl_s=3600)
+        assert rc.allowed("h.test", "http://h.test/public/x")
+        assert not rc.allowed("h.test", "http://h.test/private/doc")
+        assert not rc.allowed("h.test", "http://h.test/tmp/f")
+        assert rc.allowed("other.test", "http://other.test/private")  # no robots
+
+    def test_ttl_expiry_refetches(self):
+        req = _RobotsOnly({"h.test": self.BODY})
+        rc = RobotsCache(req, ttl_s=100)
+        rc.allowed("h.test", "http://h.test/a", now=0.0)
+        rc.allowed("h.test", "http://h.test/b", now=50.0)
+        assert req.calls == 1  # cached
+        rc.allowed("h.test", "http://h.test/c", now=200.0)
+        assert req.calls == 2  # expired -> refetched
+
+
+def test_priority_orders_generation(spark):
+    """Lower priority value generates first within a host — the
+    partitioned-priority-queue semantics of the graft scheduler."""
+    urls = [f"http://h.test/p/{i}" for i in range(6)]
+    rows = seed_rows(spark, urls).withColumn(
+        "priority", (5 - F.col("url").substr(-1, 1).cast("int")).cast("double")
+    )
+    # priorities: url 5 -> 0.0 (soonest) ... url 0 -> 5.0
+    store = RamFrontierStore(spark)
+    store.inject(rows)
+    gen = generate_per_host(store.load(), k_per_host=2)
+    got = sorted(r.url for r in gen.collect())
+    assert got == [urls[4], urls[5]]  # the two lowest priority values
+
+
+def test_rounds_df_lineage(spark):
+    store = RamFrontierStore(spark)
+    store.log_round(round=0, generated=5, fetched=4, failed=1, new_links=7, wall_ms=100)
+    store.log_round(round=1, generated=7, fetched=7, failed=0, new_links=2, wall_ms=90)
+    df = store.rounds_df()
+    assert df.count() == 2
+    row = df.filter("round = 1").collect()[0]
+    assert row.generated == 7 and row.new_links == 2
+    assert "snapshot_id" in df.columns

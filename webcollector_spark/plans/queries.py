@@ -1078,6 +1078,49 @@ def q_cosine_blocked_neardup(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Random-hyperplane LSH ANN (Charikar SimHash for vectors): bucket ->
+# candidate pairs -> exact cosine rerank. The hyperplanes are
+# deterministic literals shared between the Spark plan and the oracle
+# SQL, so even the APPROXIMATE pipeline is column-level cross-checked.
+
+
+def _rh_lsh_sql() -> str:
+    from webcollector_spark.operators.ann import hyperplanes, rh_bucket_sql
+
+    sig_selects = []
+    for t in range(2):
+        bucket = rh_bucket_sql("v", hyperplanes(64, 8, 42 + t))
+        sig_selects.append(
+            f"SELECT vec_id, v, {t} AS tab, {bucket} AS bucket FROM e"
+        )
+    sig = " UNION ALL ".join(sig_selects)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sig AS ({sig}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sig a JOIN sig b
+        ON a.tab = b.tab AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT c.vec_a, c.vec_b,
+           round(list_dot_product(ea.v, eb.v)
+                 / (sqrt(list_dot_product(ea.v, ea.v))
+                    * sqrt(list_dot_product(eb.v, eb.v))), 4) AS sim4
+    FROM cand c JOIN e ea ON c.vec_a = ea.vec_id
+                JOIN e eb ON c.vec_b = eb.vec_id
+    """
+
+
+@register("rh_lsh_ann_pairs", _rh_lsh_sql())
+def q_rh_lsh_ann_pairs(spark, sf):
+    from webcollector_spark.operators.ann import rh_lsh_pairs
+
+    emb = _t(spark, sf, "embeddings")
+    return rh_lsh_pairs(emb, n_bits=8, n_tables=2, seed=42).select(
+        "vec_a", "vec_b", F.round("sim", 4).alias("sim4")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal (image) operators — rows-only checks (no oracle SQL: the
 # image corpus is engine-generated per input_hint, not one of the
 # driver's DuckDB views; pixel math is asserted exactly in tests/).

@@ -145,6 +145,17 @@ class RamFrontierStore:
     def last_round(self) -> int:
         return max((r["round"] for r in self.rounds), default=-1)
 
+    def rounds_df(self) -> DataFrame:
+        """The rounds manifest as a typed DataFrame (per-round lineage +
+        metrics; ROUNDS_SCHEMA columns, snapshot_id -1 for RAM mode)."""
+        from webcollector_spark.schema import ROUNDS_SCHEMA
+
+        cols = [f.name for f in ROUNDS_SCHEMA.fields]
+        rows = [
+            tuple(int(r.get(c, -1)) for c in cols) for r in self.rounds
+        ]
+        return self.spark.createDataFrame(rows, schema=ROUNDS_SCHEMA)
+
     def destroy(self) -> None:
         self._df = None
         self._count = None
