@@ -69,6 +69,30 @@ def test_priority_orders_generation(spark):
     assert got == [urls[4], urls[5]]  # the two lowest priority values
 
 
+def test_politeness_rate_bounds_fetch(spark, small_web):
+    """Engine-side politeness: with per_host_rate enforced, fetching n
+    URLs of ONE host cannot finish faster than (n-1)/rate seconds
+    (host co-location makes the partition-local bucket a true cap)."""
+    import time
+
+    from webcollector_spark import fixtures
+    from webcollector_spark.config import CrawlerConfig
+    from webcollector_spark.operators.fetch import fetch as fetch_op
+    from webcollector_spark.sources.requester import SyntheticRequester
+
+    graph, corpus = small_web
+    req = SyntheticRequester(graph.to_dict("records"), corpus.to_dict("records"))
+    one_host = [u for u in graph["url"] if u.startswith("http://h000")][:8]
+    assert len(one_host) >= 5
+    cfg = CrawlerConfig(per_host_rate=20.0, fetch_partitions=8)
+    gen = seed_rows(spark, one_host)
+    t0 = time.monotonic()
+    n = fetch_op(gen, req, cfg).count()
+    wall = time.monotonic() - t0
+    assert n == len(one_host)
+    assert wall >= (n - 1) / 20.0
+
+
 def test_rounds_df_lineage(spark):
     store = RamFrontierStore(spark)
     store.log_round(round=0, generated=5, fetched=4, failed=1, new_links=7, wall_ms=100)

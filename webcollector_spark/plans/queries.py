@@ -1077,6 +1077,29 @@ def q_cosine_blocked_neardup(spark, sf):
     )
 
 
+# JSON expression surface (Page.jsonObject/regexJSONObject engine-side
+# twin: parse a JSON column, extract, aggregate — Page.java:105-127)
+@register(
+    "json_extract_agg",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY k_bucket
+    """,
+)
+def q_json_extract_agg(spark, sf):
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        _t(spark, sf, "events")
+        .filter(k.isNotNull())
+        .groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH ANN (Charikar SimHash for vectors): bucket ->
 # candidate pairs -> exact cosine rerank. The hyperplanes are
