@@ -42,6 +42,8 @@ HEADLINE = [
     "winnow_fingerprint",
     "ann_cosine_topk",
     "cosine_blocked_neardup",
+    "rh_lsh_ann_pairs",
+    "json_extract_agg",
     "embedding_norm",
     "image_decode_verify",
     "phash_neardup_banded",

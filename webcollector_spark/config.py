@@ -53,6 +53,10 @@ class CrawlerConfig:
     per_host_rate: float = 0.0  # 0 = unlimited
     # Salting factor for hot-host defense in the per-host window.
     host_salt_buckets: int = 8
+    # Only salt once the frontier is big enough for one host's window
+    # partition to matter (measured crossover ~10^6 rows — below it the
+    # extra shuffle costs more than the skew, tools/skew_bench.py).
+    salt_min_frontier: int = 1_000_000
     # Bloom filter sizing for the distributed URL-seen pre-prune.
     bloom_capacity: int = 1_000_000
     bloom_fpp: float = 0.01

@@ -127,9 +127,14 @@ class BreadthCrawler:
             # O2 generate; persisted so the fetch stage reads the ranked
             # rows instead of re-running both window phases.
             if cfg.per_host_top_k > 0:
+                salt = (
+                    cfg.host_salt_buckets
+                    if self.store.count() >= cfg.salt_min_frontier
+                    else 1
+                )
                 gen = generate_per_host(
                     frontier, cfg.per_host_top_k, cfg.max_execute_count,
-                    cfg.top_n, cfg.host_salt_buckets, cfg.generator_filter,
+                    cfg.top_n, salt, cfg.generator_filter,
                 )
             else:
                 gen = generate(
@@ -160,7 +165,7 @@ class BreadthCrawler:
             # the frontier is large enough that shuffling known-seen
             # links into the merge dominates — then the bloom keeps the
             # definitely-new links out of the exact anti-join entirely.
-            links = discovered_links(fetched)
+            links = discovered_links(fetched, dedup=False)  # merge dedups
             if 0 < cfg.bloom_capacity and cfg.bloom_min_frontier <= self.store.count():
                 bloom = build_bloom(
                     frontier.select("key"), "key", cfg.bloom_capacity, cfg.bloom_fpp

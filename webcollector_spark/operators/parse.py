@@ -17,32 +17,37 @@ from pyspark.sql import functions as F
 from webcollector_spark.schema import CODE_NOT_SET, STATUS_DB_UNEXECUTED
 
 
-def discovered_links(fetched: DataFrame) -> DataFrame:
-    """Explode fetched.links into new UNEXECUTED CrawlDatum rows."""
+def discovered_links(fetched: DataFrame, dedup: bool = True) -> DataFrame:
+    """Explode fetched.links into new UNEXECUTED CrawlDatum rows.
+
+    `dedup=False` skips the intra-round first-wins window: callers that
+    feed the rows straight into `store.merge` can skip it because the
+    merge's own per-key window breaks link ties by exactly the same
+    (depth asc, url asc) order — one less shuffle per round."""
     exploded = fetched.filter(F.col("links").isNotNull()).select(
         F.explode("links").alias("url"),
         (F.col("depth") + 1).alias("depth"),
         F.col("priority"),
     )
+    out = exploded.select(
+        F.col("url").alias("key"),  # default key identity (O13)
+        "url",
+        F.lit(STATUS_DB_UNEXECUTED).alias("status"),
+        F.lit(None).cast("long").alias("execute_time"),
+        F.lit(0).alias("execute_count"),
+        F.lit(CODE_NOT_SET).alias("code"),
+        F.lit(None).cast("string").alias("location"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+        F.lower(
+            F.regexp_extract(F.col("url"), r"^[a-z]+://([^/:]+)", 1)
+        ).alias("host"),
+        "depth",
+        "priority",
+    )
+    if not dedup:
+        return out
+    # first-wins inside the round: keep the shallowest depth per key
     w = Window.partitionBy("key").orderBy(F.col("depth").asc(), F.col("url").asc())
     return (
-        exploded.select(
-            F.col("url").alias("key"),  # default key identity (O13)
-            "url",
-            F.lit(STATUS_DB_UNEXECUTED).alias("status"),
-            F.lit(None).cast("long").alias("execute_time"),
-            F.lit(0).alias("execute_count"),
-            F.lit(CODE_NOT_SET).alias("code"),
-            F.lit(None).cast("string").alias("location"),
-            F.lit(None).cast("map<string,string>").alias("meta"),
-            F.lower(
-                F.regexp_extract(F.col("url"), r"^[a-z]+://([^/:]+)", 1)
-            ).alias("host"),
-            "depth",
-            "priority",
-        )
-        # first-wins inside the round: keep the shallowest depth per key
-        .withColumn("__rn", F.row_number().over(w))
-        .filter("__rn = 1")
-        .drop("__rn")
+        out.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
     )
