@@ -228,3 +228,31 @@ class TestContentExtractor:
     def test_raises_on_empty(self):
         with pytest.raises(ValueError):
             get_news_by_html("<html><body></body></html>")
+
+
+class TestHtmlHelpers:
+    def test_extract_links_auto_detect_img(self):
+        from webcollector_spark.functions import html as H
+
+        doc = (
+            '<a href="/x">a</a>'
+            '<img src="/img/pic.png"/>'
+            '<img src="data:image/png;base64,AAAA"/>'
+            '<script src="http://cdn.test/s.js"></script>'
+        )
+        base = "http://h.test/p/1"
+        plain = H.extract_links(doc, base, detect_img=False)
+        assert plain == ["http://h.test/x"]
+        with_img = H.extract_links(doc, base, detect_img=True)
+        assert "http://h.test/img/pic.png" in with_img
+        assert "http://cdn.test/s.js" in with_img  # *[src] harvest
+        assert all(not u.startswith("data:") for u in with_img)
+
+    def test_extract_links_dedup_preserves_order(self):
+        from webcollector_spark.functions import html as H
+
+        doc = '<a href="/b">1</a><a href="/a">2</a><a href="/b">3</a>'
+        assert H.extract_links(doc, "http://h.test/") == [
+            "http://h.test/b",
+            "http://h.test/a",
+        ]

@@ -77,15 +77,20 @@ class RoundMetrics:
 class BreadthCrawler:
     """PySpark-native BreadthCrawler (reference plugin/rocks/BreadthCrawler).
 
-    crawl_path=None -> in-memory frontier (reference RamCrawler)."""
+    crawl_path=None -> in-memory frontier (reference RamCrawler).
+    `store` overrides the backend entirely (e.g. IcebergFrontierStore —
+    the DBManager plugin seam, crawldb/DBManager.java contract)."""
 
     spark: SparkSession
     requester: Requester
     crawl_path: str | None = None
     config: CrawlerConfig = field(default_factory=CrawlerConfig)
+    store: object | None = None
 
     def __post_init__(self):
-        if self.crawl_path:
+        if self.store is not None:
+            pass  # injected backend (Iceberg / custom DBManager)
+        elif self.crawl_path:
             self.store = ParquetFrontierStore(
                 self.spark, self.crawl_path, resumable=self.config.resumable
             )
