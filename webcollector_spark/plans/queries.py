@@ -332,6 +332,28 @@ def q_quality_score(spark, sf):
 
 
 @register(
+    "token_count_bpe",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+|\s+')) AS n_pieces,
+           len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words
+    FROM documents
+    """,
+)
+def q_token_count_bpe(spark, sf):
+    # GPT-style pre-tokenizer shape: letter runs, short digit groups,
+    # punctuation runs, whitespace runs — the regex piece count tracks
+    # BPE token counts closely enough for budget estimation
+    pat = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+|\s+"
+    pieces = F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+    words = F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+"), F.lit(0)))
+    return _t(spark, sf, "documents").select(
+        "doc_id", pieces.alias("n_pieces"), words.alias("n_words")
+    )
+
+
+@register(
     "doc_fingerprint",
     r"""
     SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
@@ -1177,6 +1199,30 @@ def q_phash_neardup_banded(spark, sf):
     from webcollector_spark.operators import images
 
     return images.phash_neardup_banded(images.corpus_with_neardups(spark))
+
+
+@register("video_frame_sample", None)
+def q_video_frame_sample(spark, sf):
+    """Frame-sample fan-out over the opaque-payload video table (stub
+    decode kernel, real Spark plumbing — operators/media.py)."""
+    from webcollector_spark.operators import media
+
+    return media.sample_frames(media.make_video_corpus(spark, 24), every_n=4)
+
+
+@register("audio_features", None)
+def q_audio_features(spark, sf):
+    from webcollector_spark.operators import media
+
+    return media.audio_features(media.make_audio_corpus(spark, 24))
+
+
+@register("video_scene_cuts", None)
+def q_video_scene_cuts(spark, sf):
+    from webcollector_spark.operators import media
+
+    vids = media.make_video_corpus(spark, 24)
+    return media.scene_cuts(media.sample_frames(vids, every_n=2), threshold=1.0)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
