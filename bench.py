@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_exact",
     "minhash_band",
     "lsh_candidate_pairs",
+    "dedup_cluster_keepers",
     "simhash",
     "jaccard_pairs",
     "winnow_fingerprint",

@@ -332,6 +332,38 @@ def q_quality_score(spark, sf):
 
 
 @register(
+    "source_quality",
+    r"""
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars,
+           round(avg(len(regexp_extract_all(text, '\S+'))), 2) AS avg_tokens,
+           round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS en_share
+    FROM documents GROUP BY source
+    """,
+)
+def q_source_quality(spark, sf):
+    # per-source curation dashboard: the groupBy that drives corpus
+    # inclusion decisions at training-data scale
+    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0)))
+    return (
+        _t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.avg(toks), 2).alias("avg_tokens"),
+            F.round(
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                / F.count("*").cast("double"),
+                4,
+            ).alias("en_share"),
+        )
+    )
+
+
+@register(
     "token_count_bpe",
     r"""
     SELECT doc_id,
@@ -564,6 +596,63 @@ def q_lsh_pairs(spark, sf):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+# Dedup ENDPOINT: LSH candidate pairs -> connected components ->
+# canonical keeper per near-dup cluster. Spark side iterates min-label
+# propagation (operators/components.py); the oracle expresses the same
+# fixpoint as a recursive CTE — the full shingle->minhash->band->pair->
+# cluster->keeper pipeline is column-level cross-checked end-to-end.
+@register(
+    "dedup_cluster_keepers",
+    f"""
+    WITH RECURSIVE sig AS ({_SIG_SQL}),
+    bands AS (
+      SELECT doc_id, 0 AS bi, band0 AS b FROM sig
+      UNION ALL SELECT doc_id, 1 AS bi, band1 AS b FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.bi = b.bi AND a.b = b.b AND a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+    comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+    labelled AS (
+      SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+    sizes AS (SELECT cluster, count(*) AS cluster_size
+              FROM labelled GROUP BY cluster)
+    SELECT l.doc_id, l.cluster, s.cluster_size,
+           l.doc_id = l.cluster AS is_keeper
+    FROM labelled l JOIN sizes s ON l.cluster = s.cluster
+    """,
+)
+def q_dedup_cluster_keepers(spark, sf):
+    from webcollector_spark.operators.components import dedup_clusters
+
+    sig = _minhash_sig(spark, sf)
+    bands = sig.select(
+        "doc_id", F.lit(0).alias("bi"), F.col("band0").alias("b")
+    ).unionByName(
+        sig.select("doc_id", F.lit(1).alias("bi"), F.col("band1").alias("b"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    docs = _t(spark, sf, "documents").select("doc_id")
+    return dedup_clusters(pairs, docs)
 
 
 # SimHash (16-bit here; 64-bit in production) — bit votes over word hashes.
