@@ -729,7 +729,7 @@ def q_simhash(spark, sf):
                 * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                         CAST(e.embedding AS DOUBLE[])))) AS sim
       FROM q, embeddings e WHERE e.vec_id <> q.query_id)
-    SELECT query_id, neighbor_id, rk, round(sim, 4) AS sim4 FROM (
+    SELECT query_id, neighbor_id, rk, round(sim, 4) + 0 AS sim4 FROM (
       SELECT query_id, neighbor_id, sim,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY sim DESC, neighbor_id ASC) AS rk
@@ -772,7 +772,12 @@ def q_ann_cosine_topk(spark, sf):
     return (
         pairs.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("query_id", "neighbor_id", "rk", F.round("sim", 4).alias("sim4"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rk",
+            (F.round("sim", 4) + F.lit(0.0)).alias("sim4"),
+        )
     )
 
 
@@ -890,7 +895,7 @@ def q_tpch_q5ish(spark, sf):
     """
     SELECT r.r_name AS region, n.n_name AS nation,
            grouping(r.r_name) + grouping(n.n_name) AS lvl,
-           round(sum(c.c_acctbal), 2) AS balance
+           round(sum(c.c_acctbal), 2) + 0 AS balance
     FROM customer c
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -914,7 +919,7 @@ def q_rollup_revenue(spark, sf):
         joined.rollup("region", "nation")
         .agg(
             (F.grouping("region") + F.grouping("nation")).alias("lvl"),
-            F.round(F.sum("c_acctbal"), 2).alias("balance"),
+            (F.round(F.sum("c_acctbal"), 2) + F.lit(0.0)).alias("balance"),
         )
         .select("region", "nation", "lvl", "balance")
     )
@@ -1238,7 +1243,7 @@ def _rh_lsh_sql() -> str:
     SELECT c.vec_a, c.vec_b,
            round(list_dot_product(ea.v, eb.v)
                  / (sqrt(list_dot_product(ea.v, ea.v))
-                    * sqrt(list_dot_product(eb.v, eb.v))), 4) AS sim4
+                    * sqrt(list_dot_product(eb.v, eb.v))), 4) + 0 AS sim4
     FROM cand c JOIN e ea ON c.vec_a = ea.vec_id
                 JOIN e eb ON c.vec_b = eb.vec_id
     """
@@ -1250,7 +1255,11 @@ def q_rh_lsh_ann_pairs(spark, sf):
 
     emb = _t(spark, sf, "embeddings")
     return rh_lsh_pairs(emb, n_bits=8, n_tables=2, seed=42).select(
-        "vec_a", "vec_b", F.round("sim", 4).alias("sim4")
+        "vec_a",
+        "vec_b",
+        # + 0 canonicalizes IEEE negative zero (round can yield -0.0,
+        # and the driver's value-hash distinguishes "-0" from "0")
+        (F.round("sim", 4) + F.lit(0.0)).alias("sim4"),
     )
 
 
