@@ -74,6 +74,70 @@ def test_sessionize_with_state_matches_batch(spark, events_dir):
     assert got == want
 
 
+def test_streaming_neardup_matches_batch_lsh(spark):
+    """Drain the documents table through the stateful near-dup stream
+    in one availableNow batch: emitted (doc_a, doc_b) pairs must equal
+    the batch lsh_candidate_pairs result on the same data."""
+    import shutil
+    import tempfile
+
+    from webcollector_spark.plans import queries as q
+
+    d = tempfile.mkdtemp(prefix="wc_docs_")
+    try:
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(2).write.mode(
+            "overwrite"
+        ).parquet(d)
+        stream = P.neardup_stream(P.read_docs_stream(spark, d), max_bucket=10_000)
+        P.run_to_memory(stream, "neardup_test", output_mode="append")
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in spark.table("neardup_test").collect()
+        }
+        want = {
+            (r["doc_a"], r["doc_b"])
+            for r in q.queries()["lsh_candidate_pairs"](spark, SF_DIR).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_neardup_cross_batch_state(spark):
+    """Two micro-batches: a doc arriving in batch 2 must pair with its
+    band-mate from batch 1 via state."""
+    import shutil
+    import tempfile
+
+    docs = [
+        (1, "alpha beta gamma delta", "en", "s", 20),
+        (2, "alpha beta gamma delta", "en", "s", 20),  # exact dup of 1
+    ]
+    d = tempfile.mkdtemp(prefix="wc_docs2_")
+    try:
+        for i, row in enumerate(docs):
+            spark.createDataFrame([row], P.DOCS_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+        stream = P.read_docs_stream(spark, d, max_files_per_trigger=1)
+        q2 = (
+            P.neardup_stream(stream)
+            .writeStream.format("memory")
+            .queryName("neardup_xbatch")
+            .outputMode("append")
+            .trigger(availableNow=True)  # one file per micro-batch
+            .start()
+        )
+        q2.awaitTermination()
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in spark.table("neardup_xbatch").collect()
+        }
+        assert (1, 2) in pairs
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_sliding_rate_runs(spark, events_dir):
     stream = P.sliding_rate(P.read_events_stream(spark, events_dir))
     P.run_to_memory(stream, "rate_test", output_mode="complete")

@@ -119,6 +119,122 @@ def sessionize_with_state(events: DataFrame, gap_s: int = 3600) -> DataFrame:
     )
 
 
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_docs_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def _minhash_bands(docs: DataFrame) -> DataFrame:
+    """Same MinHash band signature as the batch registry (plans/queries
+    _minhash_sig: one md5 per shingle, h1+i*h2 permutations), computed
+    ROW-LOCALLY with array expressions — no aggregation, so it chains
+    into the stateful operator without tripping the
+    no-unwatermarked-aggregation streaming rule."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+    t = F.col("t")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        )
+    )
+    hs = F.transform(F.col("sh"), lambda w: F.md5(w))
+    h1 = F.transform(F.col("hs"), lambda h: F.conv(h.substr(1, 15), 16, 10).cast("long"))
+    h2 = F.transform(
+        F.col("hs"),
+        lambda h: F.expr("0L") + F.conv(h.substr(17, 15), 16, 10).cast("long"),
+    )
+    h2 = F.transform(h2, lambda v: v.bitwiseOR(F.lit(1)))
+
+    def mh(i: int):
+        return F.array_min(
+            F.zip_with(F.col("h1"), F.col("h2"), lambda a, b: a + F.lit(i) * b)
+        ).cast("string")
+
+    sig = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select("doc_id", sh.alias("sh"))
+        .select("doc_id", F.col("sh"), hs.alias("hs"))
+        .select("doc_id", h1.alias("h1"), h2.alias("h2"))
+        .select(
+            "doc_id",
+            F.concat_ws("_", mh(0), mh(1)).alias("band0"),
+            F.concat_ws("_", mh(2), mh(3)).alias("band1"),
+        )
+    )
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("0:"), "band0"), F.concat(F.lit("1:"), "band1")
+            )
+        ).alias("band_key"),
+    )
+
+
+NEARDUP_STATE_SCHEMA = "doc_ids array<long>"
+NEARDUP_OUT_SCHEMA = "doc_a long, doc_b long, band_key string"
+
+
+def neardup_stream(docs: DataFrame, max_bucket: int = 64) -> DataFrame:
+    """Streaming near-dup detection: LSH band bucket as the state key,
+    per-bucket doc-id list as state (capped at `max_bucket`); every
+    incoming doc pairs with all prior docs in its bucket. Within a
+    micro-batch, docs pair among themselves too, so draining a static
+    directory in one availableNow batch reproduces the batch
+    `lsh_candidate_pairs` result exactly (modulo the cap) — the
+    streaming/batch equivalence test pins this.
+
+    Requires complete-mode-free sinks: output is append-style pairs.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    bands = _minhash_bands(docs)
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        seen: list[int] = list(state.get[0]) if state.exists else []
+        new_ids: list[int] = []
+        for pdf in pdfs:
+            new_ids.extend(int(x) for x in pdf["doc_id"].tolist())
+        new_ids.sort()
+        rows = []
+        for d in new_ids:
+            for s in seen:
+                if s != d:
+                    a, b = (s, d) if s < d else (d, s)
+                    rows.append({"doc_a": a, "doc_b": b, "band_key": key[0]})
+            if len(seen) < max_bucket:
+                seen.append(d)
+        state.update((seen,))
+        yield pd.DataFrame(rows, columns=["doc_a", "doc_b", "band_key"])
+
+    return bands.groupBy("band_key").applyInPandasWithState(
+        fn,
+        outputStructType=NEARDUP_OUT_SCHEMA,
+        stateStructType=NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     stream: DataFrame, name: str, output_mode: str = "complete"
 ) -> None:
