@@ -110,6 +110,34 @@ class BreadthCrawler:
         self.config.regex_rules.append(rule)
         return self
 
+    # -- reference-style knob setters (crawler/Crawler.java:337-457:
+    # setResumable :355, setThreads :373, setMaxExecuteCount :387) -----
+    # thin sugar over CrawlerConfig, so reference users can port demos
+    # line-for-line; each returns self for chaining.
+    def set_top_n(self, n: int) -> "BreadthCrawler":
+        self.config.top_n = n
+        return self
+
+    def set_threads(self, n: int) -> "BreadthCrawler":
+        self.config.threads = n
+        return self
+
+    def set_max_execute_count(self, n: int) -> "BreadthCrawler":
+        self.config.max_execute_count = n
+        return self
+
+    def set_execute_interval(self, ms: int) -> "BreadthCrawler":
+        self.config.execute_interval_ms = ms
+        return self
+
+    def set_resumable(self, resumable: bool = True) -> "BreadthCrawler":
+        self.config.resumable = resumable
+        return self
+
+    def set_auto_parse(self, auto: bool = True) -> "BreadthCrawler":
+        self.config.auto_parse = auto
+        return self
+
     # -- the crawl loop -------------------------------------------------
     def start(self, max_depth: int) -> list[RoundMetrics]:
         cfg = self.config
