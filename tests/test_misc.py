@@ -93,6 +93,25 @@ def test_politeness_rate_bounds_fetch(spark, small_web):
     assert wall >= (n - 1) / 20.0
 
 
+def test_host_stats(spark, small_web):
+    from webcollector_spark import fixtures
+    from webcollector_spark.config import CrawlerConfig
+    from webcollector_spark.crawler import RamCrawler
+    from webcollector_spark.sources.requester import SyntheticRequester
+
+    graph, corpus = small_web
+    req = SyntheticRequester(graph.to_dict("records"), corpus.to_dict("records"))
+    c = RamCrawler(spark, req, config=CrawlerConfig())
+    c.add_seed(fixtures.seeds_for(graph, 3))
+    c.start(3)
+    stats = {r["host"]: r for r in c.host_stats().collect()}
+    assert stats
+    front_total = c.frontier().count()
+    assert sum(r["n_rows"] for r in stats.values()) == front_total
+    for r in stats.values():
+        assert r["n_rows"] == r["pending"] + r["succeeded"] + r["failed"]
+
+
 def test_rounds_df_lineage(spark):
     store = RamFrontierStore(spark)
     store.log_round(round=0, generated=5, fetched=4, failed=1, new_links=7, wall_ms=100)

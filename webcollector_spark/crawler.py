@@ -37,6 +37,7 @@ from webcollector_spark.schema import (
     CODE_NOT_SET,
     FRONTIER_SCHEMA,
     STATUS_DB_FAILED,
+    STATUS_DB_SUCCESS,
     STATUS_DB_UNEXECUTED,
     host_of,
 )
@@ -231,6 +232,29 @@ class BreadthCrawler:
 
     def visited(self) -> DataFrame:
         return self.store.load().filter(F.col("status") != STATUS_DB_UNEXECUTED)
+
+    def host_stats(self) -> DataFrame:
+        """Per-host crawl health (the metrics surface next to
+        store.rounds_df lineage): pending/success/failed counts, mean
+        depth, retry pressure."""
+        return (
+            self.store.load()
+            .groupBy("host")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum((F.col("status") == STATUS_DB_UNEXECUTED).cast("long")).alias(
+                    "pending"
+                ),
+                F.sum((F.col("status") == STATUS_DB_SUCCESS).cast("long")).alias(
+                    "succeeded"
+                ),
+                F.sum((F.col("status") == STATUS_DB_FAILED).cast("long")).alias(
+                    "failed"
+                ),
+                F.round(F.avg("depth"), 3).alias("avg_depth"),
+                F.max("execute_count").alias("max_execute_count"),
+            )
+        )
 
 
 class RamCrawler(BreadthCrawler):
