@@ -216,6 +216,54 @@ def q_tpch_q1(spark, sf):
 
 
 @register(
+    "tpch_q6",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "distinct_counts",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT CAST(floor(value) AS BIGINT)) AS n_values
+    FROM events GROUP BY event_type
+    """,
+)
+def q_distinct_counts(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct(F.floor("value").cast("long")).alias("n_values"),
+        )
+    )
+
+
+@register(
     "broadcast_dim_join",
     """
     SELECT c.c_mktsegment AS segment,
