@@ -26,6 +26,11 @@ SQL: dict[str, str] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver supplies its own SparkSession; timestamp semantics
+    # (date_format buckets, TIMESTAMP literal comparisons) must match
+    # DuckDB's naive-UTC reading of the parquet regardless of that
+    # session's default zone. Runtime-settable + idempotent.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
