@@ -93,6 +93,31 @@ def test_politeness_rate_bounds_fetch(spark, small_web):
     assert wall >= (n - 1) / 20.0
 
 
+def test_typed_datum_seeding(spark, small_web):
+    """Seed with CrawlDatum objects: custom key (key != url), type tag,
+    and meta must land in the frontier and survive the fetch round
+    (DemoBingCrawler pattern: CrawlDatum.java:54-59, meta plumbing)."""
+    from webcollector_spark import CrawlDatum, CrawlDatums, fixtures
+    from webcollector_spark.config import CrawlerConfig
+    from webcollector_spark.crawler import RamCrawler
+    from webcollector_spark.sources.requester import SyntheticRequester
+
+    graph, corpus = small_web
+    req = SyntheticRequester(graph.to_dict("records"), corpus.to_dict("records"))
+    url = fixtures.seeds_for(graph, 1)[0]
+    seeds = CrawlDatums()
+    seeds.add_and_return(CrawlDatum(url).key("task:page1")).type("list").meta(
+        "rank", 7
+    )
+    c = RamCrawler(spark, req, config=CrawlerConfig())
+    c.add_seed(list(seeds))
+    c.start(1)
+    row = c.frontier().filter("key = 'task:page1'").collect()[0]
+    assert row.url == url
+    assert row.status == 5  # fetched via its custom key
+    assert row.meta["s_t"] == "list" and row.meta["rank"] == "7"
+
+
 def test_host_stats(spark, small_web):
     from webcollector_spark import fixtures
     from webcollector_spark.config import CrawlerConfig

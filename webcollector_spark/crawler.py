@@ -49,13 +49,20 @@ _CORE_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
 
 def seed_rows(
     spark: SparkSession,
-    seeds: list[str | tuple[str, str]],
+    seeds: list,
     depth: int = 0,
     priority: float = 0.0,
 ) -> DataFrame:
-    """Build CrawlDatum rows for seed URLs (or (key, url) pairs)."""
+    """Build frontier rows for seeds: URL strings, (key, url) pairs, or
+    CrawlDatum objects (key != url tasks with type/meta — the
+    DemoBingCrawler pattern, CrawlDatum.java:54-59 + meta plumbing)."""
+    from webcollector_spark.datum import CrawlDatum
+
     rows = []
     for s in seeds:
+        if isinstance(s, CrawlDatum):
+            rows.append(s.as_row(host=host_of(s.url()), depth=depth, priority=priority))
+            continue
         key, url = (s, s) if isinstance(s, str) else s
         rows.append(
             (key, url, STATUS_DB_UNEXECUTED, None, 0, CODE_NOT_SET, None, None,
@@ -101,10 +108,11 @@ class BreadthCrawler:
         self._forced_seeds: list[str | tuple[str, str]] = []
         self.metrics: list[RoundMetrics] = []
 
-    # -- seeding (Crawler.java:284-286 / forced :72-78) ----------------
-    def add_seed(self, url: str | list[str], force: bool = False) -> "BreadthCrawler":
-        urls = url if isinstance(url, list) else [url]
-        (self._forced_seeds if force else self._seeds).extend(urls)
+    # -- seeding (Crawler.java:169-284: strings, iterables, typed
+    # CrawlDatum/CrawlDatums with meta; forced :72-78) ------------------
+    def add_seed(self, url, force: bool = False) -> "BreadthCrawler":
+        items = url if isinstance(url, list) else [url]
+        (self._forced_seeds if force else self._seeds).extend(items)
         return self
 
     def add_regex(self, rule: str) -> "BreadthCrawler":
