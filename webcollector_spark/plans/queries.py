@@ -439,6 +439,75 @@ def q_token_count_bpe(spark, sf):
 
 
 @register(
+    "quality_filter_c4",
+    r"""
+    SELECT doc_id,
+           (len(regexp_extract_all(text, '\S+')) >= 20) AS len_ok,
+           (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+              / greatest(n_chars, 1) <= 0.1) AS symbol_ok,
+           (len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) >= 2)
+             AS stopword_ok,
+           ((len(regexp_extract_all(text, '\S+')) >= 20)
+            AND (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                   / greatest(n_chars, 1) <= 0.1)
+            AND (len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) >= 2))
+             AS keep
+    FROM documents
+    """,
+)
+def q_quality_filter_c4(spark, sf):
+    # composite curation rule set (C4-style): length gate, symbol-ratio
+    # gate, stopword-presence gate -> keep flag; all JVM-side regex
+    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0)))
+    syms = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+    )
+    stops = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"\b(the|a|of|and|to|in)\b"), F.lit(0)
+        )
+    )
+    len_ok = toks >= 20
+    symbol_ok = syms.cast("double") / F.greatest(F.col("n_chars"), F.lit(1)) <= 0.1
+    stopword_ok = stops >= 2
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        len_ok.alias("len_ok"),
+        symbol_ok.alias("symbol_ok"),
+        stopword_ok.alias("stopword_ok"),
+        (len_ok & symbol_ok & stopword_ok).alias("keep"),
+    )
+
+
+@register(
+    "top_terms",
+    r"""
+    SELECT w, count(*) AS n FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents)
+    WHERE len(w) >= 3
+    GROUP BY w
+    ORDER BY n DESC, w ASC LIMIT 50
+    """,
+)
+def q_top_terms(spark, sf):
+    # corpus term frequency (the Zipf head): explode -> count -> top-k
+    # with full deterministic tiebreak for the cross-engine hash
+    words = _t(spark, sf, "documents").select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("w")
+    )
+    return (
+        words.filter(F.length("w") >= 3)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(50)
+    )
+
+
+@register(
     "doc_fingerprint",
     r"""
     SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
