@@ -35,6 +35,44 @@ def normalize(v):
     return v
 
 
+def arrow_canon(t):
+    """Canonical token for an Arrow type, distinguishing the families the
+    driver's value-hash distinguishes. DuckDB sum(INTEGER) -> decimal128(38,0)
+    hashes differently from Spark's int64 even when values are equal, so
+    decimal is NOT folded into int here (that exact mismatch slipped through
+    the old Python-value compare in round 1)."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_canon(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{arrow_canon(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{arrow_canon(t.key_type)},{arrow_canon(t.item_type)}>"
+    return str(t)
+
+
+def arrow_types(tbl):
+    return {f.name: arrow_canon(f.type) for f in tbl.schema}
+
+
 def as_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = {}
@@ -67,6 +105,7 @@ def main() -> int:
         sql = oracles.get(name)
         try:
             sdf = fn(spark, sf_dir)
+            satbl = sdf.toArrow()
             srows = [tuple(r) for r in sdf.collect()]
             scols = list(sdf.columns)
         except Exception as e:
@@ -77,6 +116,7 @@ def main() -> int:
             print(f"SKIP {name}: rows-only check -> {len(srows)} rows")
             continue
         try:
+            datbl = con.execute(sql).arrow()
             res = con.execute(sql)
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
@@ -85,9 +125,18 @@ def main() -> int:
             print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
             continue
         ok = True
+        stypes, dtypes = arrow_types(satbl), arrow_types(datbl)
         if sorted(scols) != sorted(dcols):
             ok = False
             print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+        elif stypes != dtypes:
+            ok = False
+            diff = {
+                c: (stypes.get(c), dtypes.get(c))
+                for c in set(stypes) | set(dtypes)
+                if stypes.get(c) != dtypes.get(c)
+            }
+            print(f"FAIL {name}: arrow type mismatch (spark, duck) = {diff}")
         elif len(srows) != len(drows):
             ok = False
             print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")

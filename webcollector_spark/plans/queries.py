@@ -295,7 +295,7 @@ def q_broadcast_dim_join(spark, sf):
 @register(
     "sessionize",
     """
-    SELECT user_id, sum(new_session) AS n_sessions FROM (
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions FROM (
       SELECT user_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR epoch(ts) - epoch(lag(ts) OVER w) > 3600
@@ -794,7 +794,8 @@ def q_dedup_cluster_keepers(spark, sf):
                       THEN 1 ELSE -1 END) AS s
       FROM h, range(16) t(j) GROUP BY doc_id, j)
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     """,
 )
