@@ -61,3 +61,37 @@ def test_phash_banded_matches_exact(spark):
             f"img{i:08d}",
             f"dup{i:08d}",
         ) in dup_pairs
+
+
+def test_multimodal_oracle_parquet_fresh():
+    """The committed oracles/*.parquet must equal a fresh numpy rebuild —
+    guards against kernel drift silently staling the driver's oracle."""
+    import importlib.util
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "build_multimodal_oracles", root / "tools" / "build_multimodal_oracles.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    built = mod.build_all()
+    assert set(built) == {
+        "image_decode_verify",
+        "image_resize_meanpool",
+        "phash_neardup",
+        "video_frame_sample",
+        "audio_features",
+        "video_scene_cuts",
+    }
+    for name, pdf in built.items():
+        fresh = pa.Table.from_pandas(
+            pdf, schema=mod.SCHEMAS[name], preserve_index=False
+        )
+        committed = pq.read_table(root / "oracles" / f"{name}.parquet")
+        assert committed.schema.equals(fresh.schema), name
+        assert committed.equals(fresh), name

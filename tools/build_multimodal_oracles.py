@@ -1,0 +1,313 @@
+"""Build DuckDB-scannable oracle parquet for the multimodal registry queries.
+
+The image/video/audio corpora are engine-generated (deterministic from
+fixed seeds, per input_hint) rather than driver tables, so their oracle
+is not expressible as SQL over the driver's views. Instead this script
+recomputes each query's expected output with PLAIN numpy/pandas — no
+Spark anywhere — and writes it to oracles/<name>.parquet. The registry's
+oracle_sql() for those queries is then a simple SELECT over the
+committed parquet, which the driver's DuckDB runs side-by-side with the
+Spark pipeline. That turns the round-1 `no_oracle` rows into full
+row/schema/hash checks: the Spark-side mapInPandas plumbing (schemas,
+Arrow batching, partition fan-out, the window for scene cuts) is
+verified against a straight-line single-process recomputation.
+
+Determinism: fixtures.make_corpus / media.make_*_corpus are seeded;
+codecs.decode / phash64 / the stub media decoders are pure functions.
+Reusing those kernels here is intentional — they define the ground
+truth; what the oracle checks is the distributed dataflow around them.
+
+Run from the repo root:  python tools/build_multimodal_oracles.py
+tests/test_images.py asserts the committed parquet matches a fresh
+rebuild, so kernel drift cannot silently stale the oracle.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from webcollector_spark import codecs, fixtures  # noqa: E402
+from webcollector_spark.operators.media import (  # noqa: E402
+    _decode_audio_stub,
+    _decode_video_stub,
+)
+
+OUT_DIR = Path(__file__).resolve().parents[1] / "oracles"
+
+# Arrow schemas mirror the Spark output schemas (IntegerType -> int32,
+# LongType -> int64) so the driver compares like against like.
+SCHEMAS = {
+    "image_decode_verify": pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("fmt", pa.string()),
+            ("psnr_db", pa.float64()),
+            ("psnr_ok", pa.bool_()),
+            ("phash_match", pa.bool_()),
+        ]
+    ),
+    "image_resize_meanpool": pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("out_w", pa.int32()),
+            ("out_h", pa.int32()),
+            ("pixel_sum", pa.int64()),
+        ]
+    ),
+    "phash_neardup": pa.schema(
+        [
+            ("img_a", pa.string()),
+            ("img_b", pa.string()),
+            ("hamming", pa.int32()),
+        ]
+    ),
+    "video_frame_sample": pa.schema(
+        [
+            ("video_id", pa.string()),
+            ("frame_idx", pa.int32()),
+            ("ts_sec", pa.float64()),
+            ("frame_mean", pa.float64()),
+            ("frame_hash", pa.int64()),
+        ]
+    ),
+    "audio_features": pa.schema(
+        [
+            ("audio_id", pa.string()),
+            ("duration_sec", pa.float64()),
+            ("rms", pa.float64()),
+            ("zero_crossings", pa.int64()),
+        ]
+    ),
+    "video_scene_cuts": pa.schema(
+        [
+            ("video_id", pa.string()),
+            ("frame_idx", pa.int32()),
+            ("delta", pa.float64()),
+        ]
+    ),
+}
+
+
+def corpus_frames(n: int = 200) -> pd.DataFrame:
+    return fixtures.make_corpus(n)
+
+
+def corpus_with_neardups(n: int = 200, dupes: int = 40) -> pd.DataFrame:
+    """Mirror of operators.images.corpus_with_neardups, Spark-free."""
+    pdf = fixtures.make_corpus(n)
+    dup_rows = []
+    for i in range(min(dupes, n)):
+        src = pdf.iloc[i]
+        pixels = fixtures.ground_truth_pixels(src["image_id"], src["w"], src["h"])
+        data = codecs.encode_lossy(pixels)
+        dup_rows.append(
+            {
+                "image_id": f"dup{i:08d}",
+                "bytes": data,
+                "w": src["w"],
+                "h": src["h"],
+                "fmt": "jpeg",
+                "caption": src["caption"],
+                "phash": codecs.phash64(codecs.decode(data)),
+            }
+        )
+    return pd.concat([pdf, pd.DataFrame(dup_rows)], ignore_index=True)
+
+
+def build_image_decode_verify(pdf: pd.DataFrame, psnr_gate_db: float = 40.0):
+    rows = []
+    for r in pdf.to_dict("records"):
+        pixels = codecs.decode(bytes(r["bytes"]))
+        truth = fixtures.ground_truth_pixels(r["image_id"], r["w"], r["h"])
+        psnr = codecs.psnr_db(pixels, truth)
+        rows.append(
+            {
+                "image_id": r["image_id"],
+                "w": int(r["w"]),
+                "h": int(r["h"]),
+                "fmt": r["fmt"],
+                "psnr_db": float(min(psnr, 1e9)),
+                "psnr_ok": bool(psnr >= psnr_gate_db),
+                "phash_match": codecs.phash64(pixels) == int(r["phash"]),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def build_image_resize_meanpool(pdf: pd.DataFrame, out: int = 16):
+    rows = []
+    for r in pdf.to_dict("records"):
+        px = codecs.decode(bytes(r["bytes"])).astype(np.float64)
+        h, w, _ = px.shape
+        th, tw = (h // out) * out, (w // out) * out
+        if th == 0 or tw == 0:
+            small = np.zeros((out, out, 3))
+        else:
+            small = (
+                px[:th, :tw].reshape(out, th // out, out, tw // out, 3).mean(axis=(1, 3))
+            )
+        rows.append(
+            {
+                "image_id": r["image_id"],
+                "out_w": out,
+                "out_h": out,
+                "pixel_sum": int(small.round().astype(np.int64).sum()),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def build_phash_neardup(pdf: pd.DataFrame, max_hamming: int = 12):
+    """Brute-force hamming-ball pairs — the numpy restatement of both
+    the exact self-join and its banded LSH twin (identical result sets
+    by the pigeonhole argument, asserted in test_images.py)."""
+    ids = pdf["image_id"].to_numpy()
+    ph = pdf["phash"].to_numpy(dtype=np.uint64)
+    rows = []
+    for i in range(len(ids)):
+        ham = np.array(
+            [bin(int(ph[i] ^ ph[j])).count("1") for j in range(len(ids))]
+        )
+        for j in np.nonzero(ham <= max_hamming)[0]:
+            a, b = ids[i], ids[j]
+            if a < b:
+                rows.append({"img_a": a, "img_b": b, "hamming": int(ham[j])})
+    return pd.DataFrame(rows)
+
+
+def build_video_frame_sample(vids: list[dict], every_n: int = 4):
+    rows = []
+    for r in vids:
+        for idx, frame in _decode_video_stub(
+            r["video_id"], bytes(r["bytes"]), r["n_frames"], r["w"], r["h"]
+        ):
+            if idx % every_n:
+                continue
+            rows.append(
+                {
+                    "video_id": r["video_id"],
+                    "frame_idx": idx,
+                    "ts_sec": idx / r["fps"],
+                    "frame_mean": round(float(frame.mean()), 4),
+                    "frame_hash": int(
+                        np.int64(
+                            int.from_bytes(frame.tobytes()[:8], "big", signed=False)
+                            >> 1
+                        )
+                    ),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def build_audio_features(clips: list[dict]):
+    rows = []
+    for r in clips:
+        wave = _decode_audio_stub(r["audio_id"], bytes(r["bytes"]), r["n_samples"])
+        rows.append(
+            {
+                "audio_id": r["audio_id"],
+                "duration_sec": round(r["n_samples"] / r["sample_rate"], 4),
+                "rms": round(float(np.sqrt(np.mean(wave**2))), 6),
+                "zero_crossings": int(np.sum(np.diff(np.sign(wave)) != 0)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def build_video_scene_cuts(frames: pd.DataFrame, threshold: float = 1.0):
+    rows = []
+    for _, grp in frames.groupby("video_id", sort=False):
+        grp = grp.sort_values("frame_idx")
+        prev = None
+        for r in grp.to_dict("records"):
+            if prev is not None:
+                delta = abs(r["frame_mean"] - prev)
+                if delta >= threshold:
+                    rows.append(
+                        {
+                            "video_id": r["video_id"],
+                            "frame_idx": r["frame_idx"],
+                            "delta": round(delta, 4),
+                        }
+                    )
+            prev = r["frame_mean"]
+    return pd.DataFrame(rows)
+
+
+def video_corpus_rows(n: int = 24, seed: int = 42) -> list[dict]:
+    """Same generation recipe as media.make_video_corpus, Spark-free."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        nf = int(rng.integers(8, 33))
+        rows.append(
+            {
+                "video_id": f"vid{i:06d}",
+                "bytes": rng.integers(0, 256, size=64, dtype=np.uint8).tobytes(),
+                "n_frames": nf,
+                "fps": float(rng.choice([12.0, 24.0, 30.0])),
+                "w": 32,
+                "h": 24,
+                "fmt": "fakevid",
+            }
+        )
+    return rows
+
+
+def audio_corpus_rows(n: int = 24, seed: int = 43) -> list[dict]:
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        sr = int(rng.choice([8000, 16000]))
+        rows.append(
+            {
+                "audio_id": f"aud{i:06d}",
+                "bytes": rng.integers(0, 256, size=64, dtype=np.uint8).tobytes(),
+                "sample_rate": sr,
+                "n_samples": int(rng.integers(sr // 2, sr * 2)),
+            }
+        )
+    return rows
+
+
+def build_all() -> dict[str, pd.DataFrame]:
+    corpus = corpus_frames(200)
+    neardups = corpus_with_neardups(200, 40)
+    vids = video_corpus_rows(24)
+    auds = audio_corpus_rows(24)
+    frames2 = build_video_frame_sample(vids, every_n=2)
+    return {
+        "image_decode_verify": build_image_decode_verify(corpus),
+        "image_resize_meanpool": build_image_resize_meanpool(corpus),
+        "phash_neardup": build_phash_neardup(neardups),
+        "video_frame_sample": build_video_frame_sample(vids, every_n=4),
+        "audio_features": build_audio_features(auds),
+        "video_scene_cuts": build_video_scene_cuts(frames2, threshold=1.0),
+    }
+
+
+def main() -> int:
+    OUT_DIR.mkdir(exist_ok=True)
+    for name, pdf in build_all().items():
+        tbl = pa.Table.from_pandas(
+            pdf, schema=SCHEMAS[name], preserve_index=False
+        )
+        path = OUT_DIR / f"{name}.parquet"
+        pq.write_table(tbl, path, compression="zstd")
+        print(f"wrote {path} ({tbl.num_rows} rows)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -15,6 +15,7 @@ value-hashing). Float aggregates are rounded in BOTH engines.
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1387,12 +1388,28 @@ def q_rh_lsh_ann_pairs(spark, sf):
 
 
 # ---------------------------------------------------------------------------
-# Multimodal (image) operators — rows-only checks (no oracle SQL: the
-# image corpus is engine-generated per input_hint, not one of the
-# driver's DuckDB views; pixel math is asserted exactly in tests/).
+# Multimodal (image/video/audio) operators. The corpora are
+# engine-generated (deterministic, seeded — input_hint shape), not
+# driver tables, so the oracle is a committed parquet of expected
+# outputs recomputed with plain numpy (no Spark) by
+# tools/build_multimodal_oracles.py; oracle_sql() SELECTs it. This
+# checks the distributed mapInPandas dataflow (schemas, Arrow batching,
+# fan-out, the scene-cut window) against a single-process straight-line
+# recomputation of the same deterministic kernels.
+
+_ORACLE_DIR = Path(__file__).resolve().parents[2] / "oracles"
 
 
-@register("image_decode_verify", None)
+def _oracle_parquet(name: str, cols: str) -> str:
+    return f"SELECT {cols} FROM read_parquet('{_ORACLE_DIR / name}.parquet')"
+
+
+@register(
+    "image_decode_verify",
+    _oracle_parquet(
+        "image_decode_verify", "image_id, w, h, fmt, psnr_db, psnr_ok, phash_match"
+    ),
+)
 def q_image_decode_verify(spark, sf):
     """Decode every corpus image in Arrow batches; verify PSNR>=40dB
     (exact for png) + phash equality per row (input_hint invariant)."""
@@ -1401,28 +1418,44 @@ def q_image_decode_verify(spark, sf):
     return images.decode_verify(images.corpus_df(spark))
 
 
-@register("image_resize_meanpool", None)
+@register(
+    "image_resize_meanpool",
+    _oracle_parquet("image_resize_meanpool", "image_id, out_w, out_h, pixel_sum"),
+)
 def q_image_resize(spark, sf):
     from webcollector_spark.operators import images
 
     return images.resize_meanpool(images.corpus_df(spark))
 
 
-@register("phash_neardup_exact", None)
+@register(
+    "phash_neardup_exact",
+    _oracle_parquet("phash_neardup", "img_a, img_b, hamming"),
+)
 def q_phash_neardup_exact(spark, sf):
     from webcollector_spark.operators import images
 
     return images.phash_neardup_pairs(images.corpus_with_neardups(spark))
 
 
-@register("phash_neardup_banded", None)
+@register(
+    "phash_neardup_banded",
+    # same oracle as the exact variant: banded LSH is pigeonhole-complete
+    # at r+1 bands, so the result sets are identical by construction
+    _oracle_parquet("phash_neardup", "img_a, img_b, hamming"),
+)
 def q_phash_neardup_banded(spark, sf):
     from webcollector_spark.operators import images
 
     return images.phash_neardup_banded(images.corpus_with_neardups(spark))
 
 
-@register("video_frame_sample", None)
+@register(
+    "video_frame_sample",
+    _oracle_parquet(
+        "video_frame_sample", "video_id, frame_idx, ts_sec, frame_mean, frame_hash"
+    ),
+)
 def q_video_frame_sample(spark, sf):
     """Frame-sample fan-out over the opaque-payload video table (stub
     decode kernel, real Spark plumbing — operators/media.py)."""
@@ -1431,14 +1464,22 @@ def q_video_frame_sample(spark, sf):
     return media.sample_frames(media.make_video_corpus(spark, 24), every_n=4)
 
 
-@register("audio_features", None)
+@register(
+    "audio_features",
+    _oracle_parquet(
+        "audio_features", "audio_id, duration_sec, rms, zero_crossings"
+    ),
+)
 def q_audio_features(spark, sf):
     from webcollector_spark.operators import media
 
     return media.audio_features(media.make_audio_corpus(spark, 24))
 
 
-@register("video_scene_cuts", None)
+@register(
+    "video_scene_cuts",
+    _oracle_parquet("video_scene_cuts", "video_id, frame_idx, delta"),
+)
 def q_video_scene_cuts(spark, sf):
     from webcollector_spark.operators import media
 
