@@ -11,11 +11,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from webcollector_spark import CrawlDatums, Page, Visitor, fixtures
-from webcollector_spark.operators.dispatch import (
-    VisitorDispatcher,
-    match_code,
-    match_type,
-)
+from webcollector_spark.operators.dispatch import match_code, match_type
 from webcollector_spark.sources.requester import SyntheticRequester
 
 
@@ -49,31 +45,39 @@ class ListThenItem(Visitor):
 
 
 def main() -> None:
+    from pyspark.sql import functions as F
+
+    from webcollector_spark import CrawlerConfig, RamCrawler
+    from webcollector_spark.datum import CrawlDatum
+    from webcollector_spark.session import get_spark
+
     corpus = fixtures.make_corpus(40)
     graph = fixtures.make_site_graph(40, n_hosts=4, out_degree=3)
     req = SyntheticRequester(graph.to_dict("records"), corpus.to_dict("records"))
 
-    visitor = ListThenItem()
-    dispatcher = VisitorDispatcher(visitor)
+    # The visitor now runs INSIDE the crawl loop: handlers execute in the
+    # fetch stage's Arrow batches, their emitted datums (typed, meta-
+    # carrying) merge as the round's link segment.
+    spark = get_spark("demo-visitor", cores=4, shuffle_partitions=4)
+    crawler = RamCrawler(
+        spark, req, config=CrawlerConfig(bloom_capacity=10_000),
+        visitor=ListThenItem(),
+    )
+    crawler.add_seed(
+        [CrawlDatum(u).type("list") for u in fixtures.seeds_for(graph, 2)]
+    )
+    for m in crawler.start(2):
+        print(m)
 
-    # drive two levels by hand (driver-side; at scale this runs inside
-    # the fetch stage via operators.dispatch.visit_fetched)
-    level = CrawlDatums().add(fixtures.seeds_for(graph, 2)).type("list")
-    for _ in range(2):
-        nxt = CrawlDatums()
-        for datum in level:
-            resp = req.fetch(datum.url())
-            page = Page(
-                url=datum.url(), code=resp.code, content=resp.content,
-                content_type=resp.content_type, meta=datum.meta(),
-                location=resp.location,
-            )
-            dispatcher.dispatch(page, nxt)
-        level = nxt
-
-    print(f"collected {len(visitor.items)} items:")
-    for line in visitor.items[:5]:
-        print(" ", line)
+    items = (
+        crawler.frontier()
+        .filter(F.col("meta")["s_t"] == "item")
+        .select("url", F.col("meta")["rank"].alias("rank"), "status")
+        .orderBy("rank", "url")
+    )
+    print(f"collected {items.count()} item tasks:")
+    for r in items.limit(5).collect():
+        print(f"  {r.url} rank={r.rank} status={r.status}")
 
 
 if __name__ == "__main__":

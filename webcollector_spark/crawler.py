@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from webcollector_spark.config import CrawlerConfig
 from webcollector_spark.operators.fetch import fetch as fetch_op
 from webcollector_spark.operators.generate import generate, generate_per_host
-from webcollector_spark.operators.parse import discovered_links
+from webcollector_spark.operators.parse import discovered_datums, discovered_links
 from webcollector_spark.operators.seen import build_bloom, seen_filter
 from webcollector_spark.schema import (
     CODE_NOT_SET,
@@ -94,6 +94,10 @@ class BreadthCrawler:
     crawl_path: str | None = None
     config: CrawlerConfig = field(default_factory=CrawlerConfig)
     store: object | None = None
+    # Visitor extension point (fetcher/Visitor.java; wired through the
+    # round loop as in AutoParseCrawler.java:52-57): handlers run inside
+    # the fetch pass, their emitted datums merge as the link segment.
+    visitor: object | None = None
 
     def __post_init__(self):
         if self.store is not None:
@@ -147,6 +151,13 @@ class BreadthCrawler:
         self.config.auto_parse = auto
         return self
 
+    def set_visitor(self, visitor) -> "BreadthCrawler":
+        """Attach a Visitor whose annotated handlers drive the crawl
+        (the reference's flagship usage: a BreadthCrawler subclass
+        overriding visit, crawler/AutoParseCrawler.java:52-57)."""
+        self.visitor = visitor
+        return self
+
     # -- the crawl loop -------------------------------------------------
     def start(self, max_depth: int) -> list[RoundMetrics]:
         cfg = self.config
@@ -161,6 +172,24 @@ class BreadthCrawler:
         # One broadcast of the requester for the whole crawl (re-shipping
         # it per round re-unpickles its state in every Python worker).
         bc_req = self.spark.sparkContext.broadcast(self.requester)
+
+        # Visitor mode: build the method-map dispatcher once
+        # (VisitorMethodDispatcher.java:56-158) and broadcast its
+        # cloudpickled bytes once for the whole crawl; handlers then run
+        # inside every round's fetch pass.
+        bc_disp = None
+        if self.visitor is not None:
+            from pyspark import cloudpickle
+
+            from webcollector_spark.functions.regex_rule import RegexRule
+            from webcollector_spark.operators.dispatch import VisitorDispatcher
+
+            disp = VisitorDispatcher(
+                self.visitor,
+                auto_parse=cfg.auto_parse,
+                regex_rule=RegexRule(cfg.regex_rules),
+            )
+            bc_disp = self.spark.sparkContext.broadcast(cloudpickle.dumps(disp))
 
         for r in range(start_round, max_depth):
             t0 = time.monotonic()
@@ -191,9 +220,9 @@ class BreadthCrawler:
 
             # O3-O5 fetch + parse (one Arrow pass); reused twice -> persist.
             # One agg job materializes it and folds the failed-count in.
-            fetched = fetch_op(gen, bc_req, cfg, n_rows=n_gen).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+            fetched = fetch_op(
+                gen, bc_req, cfg, n_rows=n_gen, dispatcher=bc_disp
+            ).persist(StorageLevel.MEMORY_AND_DISK)
             n_failed = fetched.agg(
                 F.coalesce(
                     F.sum((F.col("status") == STATUS_DB_FAILED).cast("long")),
@@ -207,10 +236,22 @@ class BreadthCrawler:
             # the frontier is large enough that shuffling known-seen
             # links into the merge dominates — then the bloom keeps the
             # definitely-new links out of the exact anti-join entirely.
-            links = discovered_links(fetched, dedup=False)  # merge dedups
+            if self.visitor is not None:
+                # visitor-emitted datums (key != url + meta) are the
+                # link segment (Fetcher.java:246-270)
+                links = discovered_datums(fetched)
+            else:
+                links = discovered_links(fetched, dedup=False)  # merge dedups
             if 0 < cfg.bloom_capacity and cfg.bloom_min_frontier <= self.store.count():
+                # size from the LIVE frontier count (memoized — no extra
+                # job): a fixed capacity below the activation threshold
+                # would load the filter at >1x capacity and blow the
+                # configured fpp exactly when the pre-prune first matters
                 bloom = build_bloom(
-                    frontier.select("key"), "key", cfg.bloom_capacity, cfg.bloom_fpp
+                    frontier.select("key"),
+                    "key",
+                    max(cfg.bloom_capacity, self.store.count()),
+                    cfg.bloom_fpp,
                 )
                 fresh = seen_filter(links, frontier.select("key"), "key", bloom)
             else:

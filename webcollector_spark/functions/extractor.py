@@ -132,7 +132,7 @@ class ContentExtractor:
         if not data:
             return 0.0
         if len(data) == 1:
-            return data[0] / 2
+            return data[0] // 2  # Java int division (ContentExtractor computeVar)
         ave = sum(data) / len(data)
         return sum((x - ave) ** 2 for x in data) / len(data)
 

@@ -41,6 +41,11 @@ class Page:
         self._charset: str | None = None
         self._doc: Element | None = None
 
+    def copy_meta(self) -> dict[str, str]:
+        """Page.copyMeta — a copy of the datum's metaData for handing to
+        emitted next-datums (the DemoBingCrawler redirect pattern)."""
+        return dict(self.meta)
+
     # -- match helpers (Page.java:69-103, CrawlDatum.java:80-106) ------
     def match_url(self, regex: str) -> bool:
         return re.fullmatch(regex, self.url) is not None

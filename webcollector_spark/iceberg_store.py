@@ -32,7 +32,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from webcollector_spark.store import RamFrontierStore, _core, _dedup_last_wins
+from webcollector_spark.store import (
+    RamFrontierStore,
+    _core,
+    _dedup_last_wins,
+    _dedup_links_first_wins,
+)
 
 DDL_COLUMNS = """
   key string, url string, status int, execute_time long,
@@ -92,6 +97,10 @@ class IcebergFrontierStore(RamFrontierStore):
             f"MERGE INTO {self.table} t USING __seeds s ON t.key = s.key "
             f"{matched}WHEN NOT MATCHED THEN INSERT *"
         )
+        # the MERGE may have inserted/updated rows — a memoized count
+        # taken before inject would feed stale salt/bloom gates and skew
+        # merge()'s new-links delta
+        self._count = None
 
     # -- O9 -------------------------------------------------------------
     def merge(self, fetched: DataFrame | None, links: DataFrame | None) -> int:
@@ -109,7 +118,10 @@ class IcebergFrontierStore(RamFrontierStore):
                 )
             )
         if links is not None:
-            links = _core(links.dropDuplicates(["key"]))
+            # deterministic first-wins per key (depth asc, url asc) —
+            # identical tiebreak to RamFrontierStore.merge, so generate
+            # order and depth-based filters agree across backends
+            links = _core(_dedup_links_first_wins(links))
             if fetched is not None:
                 links = links.join(
                     src[0].select("key"), "key", "left_anti"

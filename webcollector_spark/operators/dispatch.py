@@ -163,8 +163,15 @@ class VisitorDispatcher:
         if self.before_method is not None:
             self.before_method(page, next)
         self._route(page)(page, next)
-        if self.auto_parse and not self.regex_rule.is_empty():
-            # parseLink (":240-250"): harvest rule-matching anchors
+        if (
+            self.auto_parse
+            and not self.regex_rule.is_empty()
+            and page.content_type is not None
+            and "text/html" in page.content_type
+        ):
+            # parseLink (":240-250"): harvest rule-matching anchors —
+            # only for HTML payloads (the ":241-242" contentType gate;
+            # JSON/binary pages must not be link-harvested)
             for u in page.links("a"):
                 if self.regex_rule.satisfy(u):
                     next.add(u)

@@ -75,6 +75,7 @@ def _fetch_one(
     robots: RobotsCache | None,
     rule: RegexRule,
     cfg: CrawlerConfig,
+    dispatcher=None,
 ) -> dict:
     url, host = row["url"], row["host"]
     out = dict(row)
@@ -82,7 +83,7 @@ def _fetch_one(
     out["execute_time"] = int(time.time() * 1000)
     out.update(
         content_type=None, content=None, charset=None, links=None,
-        caption=None, image_id=None, phash=None,
+        caption=None, image_id=None, phash=None, next_datums=None,
     )
 
     if robots is not None and not robots.allowed(host, url):
@@ -98,30 +99,16 @@ def _fetch_one(
 
     out["status"] = STATUS_DB_SUCCESS
     out["content_type"] = resp.content_type
-    links: list[str] = []
-    if resp.code in (301, 302) and resp.location:
-        # emit the resolved redirect target as a discovered link (O12)
-        links.append(resp.location)
-    if (
-        resp.content
-        and resp.content_type
-        and "text/html" in resp.content_type
-        and cfg.auto_parse
-    ):
-        content = resp.content[: cfg.max_receive_size]
-        out["content"] = content if cfg.keep_content else None
+    content = resp.content[: cfg.max_receive_size] if resp.content else None
+    if cfg.keep_content:
+        out["content"] = content
+    is_html = bool(
+        content and resp.content_type and "text/html" in resp.content_type
+    )
+    text = None
+    if is_html and (cfg.auto_parse or dispatcher is not None):
         text, charset = decode_html(content)
         out["charset"] = charset
-        harvested = H.extract_links(text, url, cfg.auto_detect_img)
-        if not rule.is_empty():
-            harvested = [u for u in harvested if rule.satisfy(u)]
-        if cfg.next_filter is not None:
-            # NextFilter contract: rewrite or drop per (link, referer)
-            harvested = [
-                v for v in (cfg.next_filter(u, url) for u in harvested)
-                if v is not None
-            ]
-        links.extend(harvested)
         out["caption"] = H.extract_caption(text)
         img_bytes = H.extract_data_uri_image(text)
         if img_bytes is not None:
@@ -136,11 +123,58 @@ def _fetch_one(
             # image identity in meta — fall back to caption convention
             cap = out["caption"] or ""
             out["image_id"] = cap.split(" ")[2] if cap.startswith("caption of ") else None
-    elif resp.content:
-        out["content"] = (
-            resp.content[: cfg.max_receive_size] if cfg.keep_content else None
+
+    if dispatcher is not None:
+        # Visitor mode (AutoParseCrawler.java:86-91): the dispatcher runs
+        # INSIDE the fetch pass — beforeVisit -> routed handler ->
+        # parseLink (when auto-parse + rule + text/html) -> afterParse.
+        # Handler-emitted datums (key != url, typed meta) become
+        # next_datums rows; link emission is exactly what the handlers +
+        # parseLink produce — redirects are re-added by user handlers,
+        # not automatically (DemoBingCrawler.java:74-85 pattern).
+        from webcollector_spark.datum import CrawlDatums
+        from webcollector_spark.functions.page import Page
+
+        page = Page(
+            url=url,
+            key=row.get("key"),
+            code=resp.code,
+            content=content,
+            html=text,
+            content_type=resp.content_type,
+            meta=row.get("meta") or {},
+            location=resp.location,
         )
-        out["content_type"] = resp.content_type
+        nxt = CrawlDatums()
+        dispatcher.dispatch(page, nxt)
+        nd = []
+        for d in nxt:
+            u = d.url()
+            if cfg.next_filter is not None:
+                # NextFilter contract per (next, referer), Fetcher.java:246-255
+                u = cfg.next_filter(u, url)
+                if u is None:
+                    continue
+            key = d.key() if d._key is not None else u
+            nd.append({"key": key, "url": u, "meta": (d.meta_data or None)})
+        out["next_datums"] = nd or None
+        return out
+
+    links: list[str] = []
+    if resp.code in (301, 302) and resp.location:
+        # emit the resolved redirect target as a discovered link (O12)
+        links.append(resp.location)
+    if is_html and cfg.auto_parse:
+        harvested = H.extract_links(text, url, cfg.auto_detect_img)
+        if not rule.is_empty():
+            harvested = [u for u in harvested if rule.satisfy(u)]
+        if cfg.next_filter is not None:
+            # NextFilter contract: rewrite or drop per (link, referer)
+            harvested = [
+                v for v in (cfg.next_filter(u, url) for u in harvested)
+                if v is not None
+            ]
+        links.extend(harvested)
     out["links"] = links or None
     return out
 
@@ -150,13 +184,21 @@ def fetch(
     requester: "Requester | object",
     cfg: CrawlerConfig | None = None,
     n_rows: int | None = None,
+    dispatcher=None,
 ) -> DataFrame:
     """Fetch+parse every generated datum. Returns FETCHED_SCHEMA rows.
 
     `requester` may be a Requester or an already-created Broadcast of one
     (the round loop broadcasts once and reuses it every round — a fresh
     broadcast per round re-ships and re-unpickles the requester state in
-    every Python worker)."""
+    every Python worker).
+
+    `dispatcher` (a VisitorDispatcher, or a Broadcast of its cloudpickled
+    bytes) switches the pass into visitor mode: handlers run per page
+    inside the Arrow batches and their emitted datums land in the
+    `next_datums` column. cloudpickle (by value) lets visitor classes be
+    defined anywhere — test modules, __main__ — without being importable
+    on the Python workers."""
     cfg = cfg or CrawlerConfig()
     spark = generated.sparkSession
     from pyspark.broadcast import Broadcast
@@ -166,6 +208,14 @@ def fetch(
         if isinstance(requester, Broadcast)
         else spark.sparkContext.broadcast(requester)
     )
+    bc_disp = None
+    if dispatcher is not None:
+        if isinstance(dispatcher, Broadcast):
+            bc_disp = dispatcher
+        else:
+            from pyspark import cloudpickle
+
+            bc_disp = spark.sparkContext.broadcast(cloudpickle.dumps(dispatcher))
     rules = list(cfg.regex_rules)
     per_host_rate, interval_ms = cfg.per_host_rate, cfg.execute_interval_ms
     robots_ttl, auto = cfg.robots_ttl_s, (cfg.auto_parse, cfg.auto_detect_img)
@@ -176,7 +226,13 @@ def fetch(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pickle
+
         req: Requester = bc.value
+        disp = None
+        if bc_disp is not None:
+            v = bc_disp.value
+            disp = pickle.loads(v) if isinstance(v, bytes) else v
         robots = RobotsCache(req, robots_ttl) if robots_ttl > 0 else None
         bucket = _HostBucket(per_host_rate, interval_ms)
         rule = RegexRule(rules)
@@ -185,7 +241,9 @@ def fetch(
             out_rows = []
             for row in pdf.to_dict("records"):
                 bucket.wait(row["host"])
-                out_rows.append(_fetch_one(row, req, robots, rule, cfg_small))
+                out_rows.append(
+                    _fetch_one(row, req, robots, rule, cfg_small, disp)
+                )
             yield pd.DataFrame(out_rows, columns=cols) if out_rows else pd.DataFrame(
                 columns=cols
             )

@@ -51,3 +51,34 @@ def discovered_links(fetched: DataFrame, dedup: bool = True) -> DataFrame:
     return (
         out.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
     )
+
+
+def discovered_datums(fetched: DataFrame) -> DataFrame:
+    """Explode visitor-emitted `next_datums` into frontier rows.
+
+    The visitor-mode twin of `discovered_links`: handler-emitted datums
+    carry their own key (key != url tasks, CrawlDatum.java:54-59) and
+    meta (typed via "s_t" + user keys — the DemoBingCrawler plumbing);
+    depth/priority derive from the parent row exactly as in the link
+    path. Intra-round/cross-round dedup is left to the merge window
+    (first-wins per key, deterministic depth-asc/url-asc tiebreak)."""
+    exploded = fetched.filter(F.col("next_datums").isNotNull()).select(
+        F.explode("next_datums").alias("d"),
+        (F.col("depth") + 1).alias("depth"),
+        F.col("priority"),
+    )
+    return exploded.select(
+        F.coalesce(F.col("d.key"), F.col("d.url")).alias("key"),
+        F.col("d.url").alias("url"),
+        F.lit(STATUS_DB_UNEXECUTED).alias("status"),
+        F.lit(None).cast("long").alias("execute_time"),
+        F.lit(0).alias("execute_count"),
+        F.lit(CODE_NOT_SET).alias("code"),
+        F.lit(None).cast("string").alias("location"),
+        F.col("d.meta").alias("meta"),
+        F.lower(
+            F.regexp_extract(F.col("d.url"), r"^[a-z]+://([^/:]+)", 1)
+        ).alias("host"),
+        "depth",
+        "priority",
+    )

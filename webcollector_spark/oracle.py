@@ -40,6 +40,7 @@ class OracleDatum:
     code: int = CODE_NOT_SET
     location: str | None = None
     depth: int = 0
+    meta: dict | None = None
 
 
 @dataclass
@@ -54,17 +55,39 @@ class OracleCrawler:
     # the single-process model of operators/generate.generate_per_host
     # (0 = reference-exact global sorted-key mode)
     per_host_top_k: int = 0
+    # Visitor mode (AutoParseCrawler.java:52-57): handlers drive link
+    # emission through the same VisitorDispatcher class the engine ships
+    # to executors — what the equivalence test pins is the round-loop
+    # plumbing of emitted datums, not the dispatcher itself.
+    visitor: object | None = None
 
     def __post_init__(self):
         self.db: dict[str, OracleDatum] = {}
         self.generated_per_round: list[list[str]] = []
         self._rule = RegexRule(self.regex_rules)
         self._robots = RobotsCache(self.requester) if self.robots else None
+        self._dispatcher = None
+        if self.visitor is not None:
+            from webcollector_spark.operators.dispatch import VisitorDispatcher
 
-    def inject(self, urls: list[str], force: bool = False) -> None:
-        for u in urls:
-            if force or u not in self.db:
-                self.db[u] = OracleDatum(key=u, url=u)
+            self._dispatcher = VisitorDispatcher(
+                self.visitor, auto_parse=self.auto_parse, regex_rule=self._rule
+            )
+
+    def inject(self, seeds: list, force: bool = False) -> None:
+        """Seeds: URL strings or CrawlDatum objects (typed/meta seeds —
+        the DemoBingCrawler pattern)."""
+        from webcollector_spark.datum import CrawlDatum
+
+        for s in seeds:
+            if isinstance(s, CrawlDatum):
+                k = s.key()
+                if force or k not in self.db:
+                    self.db[k] = OracleDatum(
+                        key=k, url=s.url(), meta=(dict(s.meta_data) or None)
+                    )
+            elif force or s not in self.db:
+                self.db[s] = OracleDatum(key=s, url=s)
 
     def start(self, depth: int) -> None:
         for _ in range(depth):
@@ -127,9 +150,11 @@ class OracleCrawler:
         link_seg: dict[str, OracleDatum],
     ) -> None:
         nd = OracleDatum(
-            key=d.key, url=d.url, execute_count=d.execute_count + 1, depth=d.depth
+            key=d.key, url=d.url, execute_count=d.execute_count + 1,
+            depth=d.depth, meta=d.meta,
         )
         links: list[str] = []
+        next_datums: list = []
         if self._robots is not None and not self._robots.allowed(host_of(d.url), d.url):
             nd.status, nd.code = STATUS_DB_FAILED, -2
         else:
@@ -137,25 +162,47 @@ class OracleCrawler:
             nd.code, nd.location = resp.code, resp.location
             if resp.code in SUCCESS_CODES:
                 nd.status = STATUS_DB_SUCCESS
-                if resp.code in (301, 302) and resp.location:
-                    links.append(resp.location)
-                if (
-                    resp.content
-                    and resp.content_type
-                    and "text/html" in resp.content_type
-                    and self.auto_parse
-                ):
-                    text, _ = decode_html(resp.content)
-                    harvested = H.extract_links(text, d.url)
-                    if not self._rule.is_empty():
-                        harvested = [u for u in harvested if self._rule.satisfy(u)]
-                    links.extend(harvested)
+                if self._dispatcher is not None:
+                    # visitor mode: handlers + parseLink produce the
+                    # emitted datums; redirects only if a handler re-adds
+                    from webcollector_spark.datum import CrawlDatums
+                    from webcollector_spark.functions.page import Page
+
+                    page = Page(
+                        url=d.url, key=d.key, code=resp.code,
+                        content=resp.content, content_type=resp.content_type,
+                        meta=d.meta or {}, location=resp.location,
+                    )
+                    nxt = CrawlDatums()
+                    self._dispatcher.dispatch(page, nxt)
+                    next_datums = list(nxt)
+                else:
+                    if resp.code in (301, 302) and resp.location:
+                        links.append(resp.location)
+                    if (
+                        resp.content
+                        and resp.content_type
+                        and "text/html" in resp.content_type
+                        and self.auto_parse
+                    ):
+                        text, _ = decode_html(resp.content)
+                        harvested = H.extract_links(text, d.url)
+                        if not self._rule.is_empty():
+                            harvested = [u for u in harvested if self._rule.satisfy(u)]
+                        links.extend(harvested)
             else:
                 nd.status = STATUS_DB_FAILED
         fetch_seg[nd.key] = nd  # last-wins within segment
         for u in links:
             if u not in link_seg:
                 link_seg[u] = OracleDatum(key=u, url=u, depth=d.depth + 1)
+        for vd in next_datums:
+            k = vd.key() if vd._key is not None else vd.url()
+            if k not in link_seg:
+                link_seg[k] = OracleDatum(
+                    key=k, url=vd.url(), depth=d.depth + 1,
+                    meta=(dict(vd.meta_data) or None),
+                )
 
     # -- inspection helpers for tests -----------------------------------
     def visited_keys(self) -> set[str]:
@@ -163,3 +210,6 @@ class OracleCrawler:
 
     def state(self) -> dict[str, tuple[int, int, int]]:
         return {k: (d.status, d.execute_count, d.code) for k, d in self.db.items()}
+
+    def metas(self) -> dict[str, dict | None]:
+        return {k: d.meta for k, d in self.db.items()}

@@ -91,6 +91,22 @@ FETCHED_SCHEMA = T.StructType(
         T.StructField("caption", T.StringType(), True),
         T.StructField("image_id", T.StringType(), True),
         T.StructField("phash", T.LongType(), True),
+        # Visitor-emitted next datums (key != url tasks with meta —
+        # the Fetcher.java:246-255 flow); None in auto-parse mode where
+        # plain link URLs ride the cheaper `links` array instead.
+        T.StructField(
+            "next_datums",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType()),
+                        T.StructField("url", T.StringType()),
+                        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+                    ]
+                )
+            ),
+            True,
+        ),
     ]
 )
 

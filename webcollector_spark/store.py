@@ -50,6 +50,22 @@ def _dedup_last_wins(df: DataFrame, order_col: str = "execute_time") -> DataFram
     return df.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
 
 
+def _dedup_links_first_wins(df: DataFrame) -> DataFrame:
+    """Deterministic single row per key for a links segment: same
+    tiebreak as RamFrontierStore.merge applies to link rows
+    (execute_time desc nulls last, execute_count desc, depth asc,
+    url asc), so a URL discovered at several depths keeps its minimal
+    depth on every backend — an arbitrary dropDuplicates pick would
+    change generate order across runs."""
+    w = Window.partitionBy("key").orderBy(
+        F.col("execute_time").desc_nulls_last(),
+        F.col("execute_count").desc(),
+        F.col("depth").asc(),
+        F.col("url").asc(),
+    )
+    return df.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+
+
 class RamFrontierStore:
     """In-memory frontier (reference RamDBManager). Not persistent."""
 
@@ -193,8 +209,13 @@ class ParquetFrontierStore(RamFrontierStore):
 
     def _set(self, df: DataFrame) -> None:
         v = self._version + 1
-        # Write partitioned by key so the next round's generate scan is
-        # already clustered; _SUCCESS marker = commit (snapshot semantics).
+        # Plain-parquet snapshot; _SUCCESS marker = commit. No clustered
+        # write here on purpose: a parquet scan gives Catalyst no sort
+        # order to exploit, so pre-sorting by key would add a range
+        # shuffle per round that generate's TakeOrderedAndProject never
+        # repays. The production path clusters by bucket(host) via the
+        # Iceberg DDL (iceberg_store.py) where the layout IS visible to
+        # the per-host generate window and the politeness co-location.
         _core(df).write.mode("overwrite").parquet(self._vdir(v))
         self._version = v
         self._df = self.spark.read.parquet(self._vdir(v))
