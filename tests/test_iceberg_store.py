@@ -26,3 +26,64 @@ def test_contract_surface_matches_parquet_backend():
     ):
         assert hasattr(IcebergFrontierStore, name), name
         assert hasattr(ParquetFrontierStore, name), name
+
+
+def _frontier_rows(spark, rows):
+    from webcollector_spark.schema import FRONTIER_SCHEMA
+
+    return spark.createDataFrame(rows, schema=FRONTIER_SCHEMA)
+
+
+def test_merge_source_semantics(spark):
+    """The MERGE source is fully constructible without Iceberg jars:
+    links dedup must be the deterministic (depth asc, url asc) first-wins
+    window (ADVICE r01: dropDuplicates picked an arbitrary row — a URL
+    discovered at several depths could keep a non-minimal depth), and a
+    fetch row must beat a link row on the same key."""
+    from webcollector_spark.iceberg_store import build_merge_source
+
+    fetched = _frontier_rows(
+        spark,
+        [("k1", "http://a.test/1", 5, 1000, 1, 200, None, None, "a.test", 0, 0.0)],
+    )
+    links = _frontier_rows(
+        spark,
+        [
+            # same key discovered at depth 3 and depth 1 -> depth 1 wins
+            ("k2", "http://a.test/2", 0, None, 0, -1, None, None, "a.test", 3, 0.0),
+            ("k2", "http://a.test/2", 0, None, 0, -1, None, None, "a.test", 1, 0.0),
+            # link sharing the fetch row's key -> dropped (fetch beats link)
+            ("k1", "http://a.test/1", 0, None, 0, -1, None, None, "a.test", 2, 0.0),
+        ],
+    )
+    rows = {
+        (r.key, r.is_fetch): r for r in build_merge_source(fetched, links).collect()
+    }
+    assert set(rows) == {("k1", True), ("k2", False)}
+    assert rows[("k2", False)].depth == 1  # minimal depth, deterministically
+    assert build_merge_source(None, None) is None
+    only_links = build_merge_source(None, links)
+    assert {r.key for r in only_links.collect()} == {"k1", "k2"}
+
+
+def test_sql_generation():
+    """MERGE/INSERT SQL text: branch structure and the is_fetch gate
+    (link rows must never update a matched key)."""
+    from webcollector_spark.iceberg_store import inject_sql, merge_sql
+
+    ins = inject_sql("wc.db.frontier", force=False)
+    assert "WHEN NOT MATCHED THEN INSERT *" in ins
+    assert "WHEN MATCHED" not in ins
+    forced = inject_sql("wc.db.frontier", force=True)
+    assert "WHEN MATCHED THEN UPDATE SET *" in forced
+
+    m = merge_sql("wc.db.frontier")
+    assert "MERGE INTO wc.db.frontier t USING __segments s ON t.key = s.key" in m
+    assert "WHEN MATCHED AND s.is_fetch THEN UPDATE SET" in m
+    assert "WHEN NOT MATCHED THEN INSERT" in m
+    # update branch touches exactly the fetch-mutable columns
+    update_set = m.split("UPDATE SET", 1)[1].split("WHEN NOT MATCHED", 1)[0]
+    for col in ("status", "execute_time", "execute_count", "code", "location", "meta"):
+        assert f"t.{col} = s.{col}" in update_set
+    for col in ("key", "url", "host", "depth", "priority"):
+        assert f"t.{col} = s.{col}" not in update_set

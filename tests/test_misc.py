@@ -146,3 +146,101 @@ def test_rounds_df_lineage(spark):
     row = df.filter("round = 1").collect()[0]
     assert row.generated == 7 and row.new_links == 2
     assert "snapshot_id" in df.columns
+
+
+class TestProxies:
+    def test_seeded_selection_and_empty(self):
+        from webcollector_spark.sources.requester import Proxies
+
+        assert Proxies().next_random() is None
+        p = Proxies(["http://p1:80", "http://p2:80", None], seed=7)
+        picks = [p.next_random() for _ in range(20)]
+        # deterministic under the injected seed
+        q = Proxies(["http://p1:80", "http://p2:80", None], seed=7)
+        assert picks == [q.next_random() for _ in range(20)]
+        # uniform-ish: every slot (incl. the direct None slot) appears
+        assert set(picks) == {"http://p1:80", "http://p2:80", None}
+
+    def test_pickle_roundtrip(self):
+        import pickle
+
+        from webcollector_spark.sources.requester import Proxies
+
+        p = Proxies(["http://p1:80"], seed=1)
+        p2 = pickle.loads(pickle.dumps(p))
+        assert list(p2) == ["http://p1:80"]
+        assert p2.next_random() == "http://p1:80"
+
+    def test_http_requester_opener_gets_proxy(self):
+        import urllib.request
+
+        from webcollector_spark.sources.requester import HttpRequester
+
+        r = HttpRequester(proxies=["http://proxy.example:3128"])
+        opener = r._build_opener()
+        assert any(
+            isinstance(h, urllib.request.ProxyHandler)
+            and h.proxies.get("http") == "http://proxy.example:3128"
+            for h in opener.handlers
+        )
+        # no proxies -> no ProxyHandler in the chain
+        direct = HttpRequester()._build_opener()
+        assert not any(
+            isinstance(h, urllib.request.ProxyHandler) for h in direct.handlers
+        )
+
+
+class TestWriteJdbc:
+    def test_passthrough_args(self):
+        from webcollector_spark.sinks import write_jdbc
+
+        calls = {}
+
+        class _W:
+            def jdbc(self, url, table, mode, properties):
+                calls.update(url=url, table=table, mode=mode, properties=properties)
+
+        class _DF:
+            write = _W()
+
+        write_jdbc(
+            _DF(), "jdbc:mysql://db/crawl", "fetched",
+            properties={"user": "u"}, batch_size=500,
+        )
+        assert calls["url"] == "jdbc:mysql://db/crawl"
+        assert calls["table"] == "fetched"
+        assert calls["mode"] == "append"
+        assert calls["properties"] == {"batchsize": "500", "user": "u"}
+
+
+def test_python_generator_filter(spark, small_web):
+    """Arbitrary-Python GeneratorFilter (crawldb/GeneratorFilter.java:6-14):
+    a crc32-parity predicate no SQL expression can state; applied inside
+    the generate scan before topN (filter-then-count order)."""
+    import zlib
+
+    from webcollector_spark import fixtures
+    from webcollector_spark.config import CrawlerConfig
+    from webcollector_spark.crawler import RamCrawler
+    from webcollector_spark.schema import STATUS_DB_UNEXECUTED
+    from webcollector_spark.sources.requester import SyntheticRequester
+
+    graph, corpus = small_web
+
+    def keep(row):
+        return zlib.crc32(row["url"].encode()) % 2 == 0
+
+    cfg = CrawlerConfig(bloom_capacity=10_000, generator_filter=keep)
+    crawler = RamCrawler(
+        spark,
+        SyntheticRequester(graph.to_dict("records"), corpus.to_dict("records")),
+        config=cfg,
+    )
+    crawler.add_seed(fixtures.seeds_for(graph, 4))
+    crawler.start(4)
+    rows = crawler.frontier().collect()
+    executed = [r for r in rows if r.status != STATUS_DB_UNEXECUTED]
+    skipped = [r for r in rows if r.status == STATUS_DB_UNEXECUTED]
+    assert executed and all(keep({"url": r.url}) for r in executed)
+    # odd-parity discoveries were left unexecuted in the frontier
+    assert any(not keep({"url": r.url}) for r in skipped)

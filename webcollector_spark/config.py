@@ -87,9 +87,11 @@ class CrawlerConfig:
     next_filter: object | None = None
 
     # Pluggable GeneratorFilter (crawldb/GeneratorFilter.java:6-14):
-    # SQL boolean expression over frontier columns, ANDed into the
-    # generate predicate (Catalyst-visible, so it pushes down).
-    generator_filter: str | None = None
+    # either a SQL boolean expression over frontier columns (fast path,
+    # Catalyst-visible so it pushes down) or an arbitrary Python callable
+    # row-dict -> bool (Arrow-batched inside the generate scan, before
+    # topN — the reference's filter-then-count order; must be picklable).
+    generator_filter: object | None = None
 
     def fetch_parallelism(self) -> int:
         return self.fetch_partitions or self.threads

@@ -55,6 +55,67 @@ def iceberg_available(spark: SparkSession, catalog: str) -> bool:
         return False
 
 
+# -- SQL generation + merge-source construction, as module functions so
+#    the semantics are unit-testable in Iceberg-less environments (the
+#    class methods below are thin wrappers around them) ------------------
+
+def inject_sql(table: str, force: bool) -> str:
+    matched = (
+        "WHEN MATCHED THEN UPDATE SET * " if force else ""
+    )  # forced seeds overwrite (Crawler.java:72-78)
+    return (
+        f"MERGE INTO {table} t USING __seeds s ON t.key = s.key "
+        f"{matched}WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def merge_sql(table: str) -> str:
+    """One MERGE (O9): fetch rows update matched keys (last-wins), link
+    rows insert only when absent (first-wins across rounds); a link row
+    never updates — is_fetch gates the WHEN MATCHED branch."""
+    return (
+        f"MERGE INTO {table} t USING __segments s ON t.key = s.key "
+        "WHEN MATCHED AND s.is_fetch THEN UPDATE SET "
+        "t.status = s.status, t.execute_time = s.execute_time, "
+        "t.execute_count = s.execute_count, t.code = s.code, "
+        "t.location = s.location, t.meta = s.meta "
+        "WHEN NOT MATCHED THEN INSERT "
+        "(key, url, status, execute_time, execute_count, code, location,"
+        " meta, host, depth, priority) VALUES "
+        "(s.key, s.url, s.status, s.execute_time, s.execute_count, s.code,"
+        " s.location, s.meta, s.host, s.depth, s.priority)"
+    )
+
+
+def build_merge_source(
+    fetched: DataFrame | None, links: DataFrame | None
+) -> DataFrame | None:
+    """The MERGE source: fetch segment deduped last-wins, links segment
+    deduped first-wins with the SAME deterministic (depth asc, url asc)
+    tiebreak as RamFrontierStore.merge, fetch beating link on a shared
+    key within the round."""
+    from pyspark.sql import functions as F
+
+    src = []
+    if fetched is not None:
+        src.append(
+            _core(_dedup_last_wins(fetched)).withColumn("is_fetch", F.lit(True))
+        )
+    if links is not None:
+        links = _core(_dedup_links_first_wins(links))
+        if fetched is not None:
+            links = links.join(
+                src[0].select("key"), "key", "left_anti"
+            )  # fetch beats link on the same key within a round
+        src.append(links.withColumn("is_fetch", F.lit(False)))
+    if not src:
+        return None
+    merged = src[0]
+    for s in src[1:]:
+        merged = merged.unionByName(s)
+    return merged
+
+
 class IcebergFrontierStore(RamFrontierStore):
     """FrontierStore over an Iceberg table `catalog.db.frontier`."""
 
@@ -90,13 +151,7 @@ class IcebergFrontierStore(RamFrontierStore):
     # -- O1 -------------------------------------------------------------
     def inject(self, seeds: DataFrame, force: bool = False) -> None:
         _core(_dedup_last_wins(seeds)).createOrReplaceTempView("__seeds")
-        matched = (
-            "WHEN MATCHED THEN UPDATE SET * " if force else ""
-        )  # forced seeds overwrite (Crawler.java:72-78)
-        self.spark.sql(
-            f"MERGE INTO {self.table} t USING __seeds s ON t.key = s.key "
-            f"{matched}WHEN NOT MATCHED THEN INSERT *"
-        )
+        self.spark.sql(inject_sql(self.table, force))
         # the MERGE may have inserted/updated rows — a memoized count
         # taken before inject would feed stale salt/bloom gates and skew
         # merge()'s new-links delta
@@ -104,47 +159,12 @@ class IcebergFrontierStore(RamFrontierStore):
 
     # -- O9 -------------------------------------------------------------
     def merge(self, fetched: DataFrame | None, links: DataFrame | None) -> int:
-        """One MERGE: fetch side updates matched (last-wins after the
-        intra-segment dedup), link side inserts when absent. A link row
-        never updates: is_fetch gates the WHEN MATCHED branch."""
-        from pyspark.sql import functions as F
-
         before = self.count()
-        src = []
-        if fetched is not None:
-            src.append(
-                _core(_dedup_last_wins(fetched)).withColumn(
-                    "is_fetch", F.lit(True)
-                )
-            )
-        if links is not None:
-            # deterministic first-wins per key (depth asc, url asc) —
-            # identical tiebreak to RamFrontierStore.merge, so generate
-            # order and depth-based filters agree across backends
-            links = _core(_dedup_links_first_wins(links))
-            if fetched is not None:
-                links = links.join(
-                    src[0].select("key"), "key", "left_anti"
-                )  # fetch beats link on the same key within a round
-            src.append(links.withColumn("is_fetch", F.lit(False)))
-        if not src:
+        merged = build_merge_source(fetched, links)
+        if merged is None:
             return 0
-        merged = src[0]
-        for s in src[1:]:
-            merged = merged.unionByName(s)
         merged.createOrReplaceTempView("__segments")
-        self.spark.sql(
-            f"MERGE INTO {self.table} t USING __segments s ON t.key = s.key "
-            "WHEN MATCHED AND s.is_fetch THEN UPDATE SET "
-            "t.status = s.status, t.execute_time = s.execute_time, "
-            "t.execute_count = s.execute_count, t.code = s.code, "
-            "t.location = s.location, t.meta = s.meta "
-            "WHEN NOT MATCHED THEN INSERT "
-            "(key, url, status, execute_time, execute_count, code, location,"
-            " meta, host, depth, priority) VALUES "
-            "(s.key, s.url, s.status, s.execute_time, s.execute_count, s.code,"
-            " s.location, s.meta, s.host, s.depth, s.priority)"
-        )
+        self.spark.sql(merge_sql(self.table))
         self._count = None
         return self.count() - before
 

@@ -19,6 +19,8 @@ Two modes:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -28,7 +30,7 @@ from webcollector_spark.schema import STATUS_DB_SUCCESS
 def generatable(
     frontier: DataFrame,
     max_execute_count: int = 10,
-    generator_filter: str | None = None,
+    generator_filter=None,
 ) -> DataFrame:
     """The generate predicate: not-yet-successful and retry budget left.
 
@@ -36,25 +38,44 @@ def generatable(
     PushedFilters on status/execute_count).
 
     `generator_filter` is the pluggable GeneratorFilter slot (reference
-    crawldb/GeneratorFilter.java:6-14, applied Generator.java:58-70) —
-    a SQL boolean expression over the frontier columns, e.g.
-    "depth <= 4 AND host LIKE '%.example.com'". Expressed as SQL so it
-    stays Catalyst-visible (pushdown/pruning), unlike an opaque UDF.
+    crawldb/GeneratorFilter.java:6-14, applied Generator.java:58-70),
+    in two forms:
+
+    * a SQL boolean expression over the frontier columns, e.g.
+      "depth <= 4 AND host LIKE '%.example.com'" — the FAST PATH: stays
+      Catalyst-visible (pushdown/pruning/codegen). Prefer it whenever
+      the predicate is expressible.
+    * an arbitrary Python callable row-dict -> bool (the reference
+      accepts any GeneratorFilter implementation) — applied as an
+      Arrow-batched pandas UDF inside the generate scan, BEFORE
+      orderBy/topN, preserving the reference's filter-then-count
+      semantics (Generator.java:53-68). Vectorized batching keeps it
+      off the driver and off per-row Python at the Spark boundary;
+      it still blocks predicate pushdown, hence the SQL fast path.
     """
     out = frontier.filter(
         (F.col("status") != STATUS_DB_SUCCESS)
         & (F.col("execute_count") <= max_execute_count)
     )
-    if generator_filter:
-        out = out.filter(generator_filter)
-    return out
+    if generator_filter is None:
+        return out
+    if callable(generator_filter):
+        fn = generator_filter
+        cols = out.columns
+
+        @F.pandas_udf("boolean")
+        def __keep(batch: pd.DataFrame) -> pd.Series:
+            return pd.Series([bool(fn(r)) for r in batch.to_dict("records")])
+
+        return out.filter(__keep(F.struct(*[F.col(c) for c in cols])))
+    return out.filter(generator_filter)
 
 
 def generate(
     frontier: DataFrame,
     top_n: int = 0,
     max_execute_count: int = 10,
-    generator_filter: str | None = None,
+    generator_filter=None,
 ) -> DataFrame:
     """Reference-exact generate: sorted-key order, global topN."""
     out = generatable(frontier, max_execute_count, generator_filter).orderBy("key")
@@ -69,7 +90,7 @@ def generate_per_host(
     max_execute_count: int = 10,
     top_n: int = 0,
     salt_buckets: int = 8,
-    generator_filter: str | None = None,
+    generator_filter=None,
 ) -> DataFrame:
     """Graft scheduler: per-host top-k (priority asc, depth asc, key asc),
     salted two-phase to defuse host skew, optional global topN on top.

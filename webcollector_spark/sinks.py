@@ -128,3 +128,29 @@ def datum_to_string(row) -> str:
 def describe_frontier(frontier: DataFrame, n: int = 20) -> str:
     """Offline CrawlDB scan pretty-printer (RocksDBReader analogue)."""
     return "".join(datum_to_string(r) for r in frontier.orderBy("key").limit(n).collect())
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict | None = None,
+    batch_size: int = 1000,
+) -> None:
+    """JDBC sink (reference util/MysqlHelper.java:36-67 — a c3p0 pool +
+    JdbcTemplate batch insert). Spark-native form: df.write.jdbc handles
+    pooling/batching per partition; `batch_size` maps to the JDBC
+    batchsize option (MysqlHelper's template batches likewise).
+
+    Example:
+        write_jdbc(fetched, "jdbc:mysql://db:3306/crawl", "fetched",
+                   properties={"user": "u", "password": "p",
+                               "driver": "com.mysql.cj.jdbc.Driver"})
+
+    Requires the JDBC driver jar on the Spark classpath
+    (spark.jars / --packages); not runnable in this sandbox.
+    """
+    props = {"batchsize": str(batch_size)}
+    props.update(properties or {})
+    df.write.jdbc(url=url, table=table, mode=mode, properties=props)
