@@ -20,6 +20,11 @@ from webcollector_spark.crawler import BreadthCrawler, RamCrawler
 from webcollector_spark.datum import CrawlDatum, CrawlDatums
 from webcollector_spark.functions.page import Page
 from webcollector_spark.operators.dispatch import Visitor
+from webcollector_spark.store import (
+    LsmParquetFrontierStore,
+    ParquetFrontierStore,
+    RamFrontierStore,
+)
 
 __version__ = "0.2.0"
 
@@ -31,5 +36,8 @@ __all__ = [
     "CrawlDatums",
     "Page",
     "Visitor",
+    "RamFrontierStore",
+    "ParquetFrontierStore",
+    "LsmParquetFrontierStore",
     "__version__",
 ]

@@ -236,3 +236,204 @@ class ParquetFrontierStore(RamFrontierStore):
         super().destroy()
         if os.path.exists(self.path):
             shutil.rmtree(self.path)
+
+
+class LsmParquetFrontierStore(RamFrontierStore):
+    """Merge-on-read (LSM) frontier: per-round segment deltas instead of
+    full-frontier rewrites.
+
+    The CoW `ParquetFrontierStore` rewrites the whole frontier every
+    round — O(frontier) write amplification that cannot survive a 10^10
+    -row frontier (r01 verdict, perf note 3). This backend writes each
+    round's segments as a small delta file — O(round) — and resolves
+    state at READ time with one per-key precedence window over
+    base + deltas, exactly the reference's LSM deferral (segments folded
+    later, Fetcher.java:268-270 + RocksDB itself being an LSM tree).
+    Iceberg merge-on-read with periodic compaction is the managed form
+    of the same layout (iceberg_store.py is that deployment path).
+
+    Precedence per key (one window, single shuffle per read):
+      1. fetch rows (src 2), latest round first        — last-wins
+      2. the compacted base row (src 1)
+      3. link rows (src 0), EARLIEST round first       — insert-if-absent
+         across rounds, (depth asc, url asc) tiebreak within one
+    Read amplification is bounded by compacting every `compact_every`
+    deltas (fold -> new base, drop deltas). Commit protocol: delta dirs
+    are invisible until manifest.json is atomically replaced, so a crash
+    mid-round resumes from the last committed round with no partial
+    state.
+
+    Trade-off vs CoW, stated honestly: writes drop from O(frontier) to
+    O(round), while every read folds base+deltas (the window shuffle the
+    CoW backend paid once at write). Net win whenever frontier >> round
+    x compact_every — the 10^10 regime this engine targets.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        resumable: bool = False,
+        compact_every: int = 8,
+    ):
+        super().__init__(spark)
+        self.path = path
+        self.compact_every = compact_every
+        self._base = -1  # base version, -1 = empty
+        self._deltas: list[int] = []
+        self._next_gen = 1
+        if not resumable and os.path.exists(path):
+            shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
+        m = self._read_manifest()
+        if m is not None:
+            self._base = m["base"]
+            self._deltas = list(m["deltas"])
+            self._next_gen = m["next_gen"]
+        manifest = os.path.join(path, "rounds.jsonl")
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                self.rounds = [json.loads(line) for line in fh]
+
+    # -- layout ----------------------------------------------------------
+    def _base_dir(self, v: int) -> str:
+        return os.path.join(self.path, f"base_v{v}")
+
+    def _delta_dir(self, gen: int) -> str:
+        return os.path.join(self.path, f"delta_{gen:06d}")
+
+    def _read_manifest(self) -> dict | None:
+        p = os.path.join(self.path, "manifest.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _commit_manifest(self) -> None:
+        p = os.path.join(self.path, "manifest.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "base": self._base,
+                    "deltas": self._deltas,
+                    "next_gen": self._next_gen,
+                },
+                fh,
+            )
+        os.replace(tmp, p)  # atomic commit: uncommitted deltas stay invisible
+
+    # -- state resolution (the merge-on-read fold) -----------------------
+    def _tagged_sources(self) -> DataFrame | None:
+        srcs = []
+        if self._base >= 0:
+            srcs.append(
+                self.spark.read.parquet(self._base_dir(self._base))
+                .withColumn("__src", F.lit(1))
+                .withColumn("__gen", F.lit(0))
+            )
+        for gen in self._deltas:
+            d = self.spark.read.parquet(self._delta_dir(gen))
+            srcs.append(d.withColumn("__gen", F.lit(gen)))
+        if not srcs:
+            return None
+        out = srcs[0]
+        for s in srcs[1:]:
+            out = out.unionByName(s)
+        return out
+
+    def _resolve(self, tagged: DataFrame) -> DataFrame:
+        w = Window.partitionBy("key").orderBy(
+            F.col("__src").desc(),
+            # fetch rows: latest gen wins; link rows: earliest gen wins
+            F.when(F.col("__src") == 2, -F.col("__gen"))
+            .otherwise(F.col("__gen"))
+            .asc(),
+            F.col("depth").asc(),
+            F.col("url").asc(),
+        )
+        return (
+            tagged.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .drop("__rn", "__src", "__gen")
+        )
+
+    def load(self) -> DataFrame:
+        tagged = self._tagged_sources()
+        assert tagged is not None, "store is empty"
+        return self._resolve(tagged)
+
+    def is_empty(self) -> bool:
+        return self._base < 0 and not self._deltas
+
+    def count(self) -> int:
+        if getattr(self, "_count", None) is None:
+            self._count = 0 if self.is_empty() else self.load().count()
+        return self._count
+
+    # -- writes ----------------------------------------------------------
+    def _write_delta(self, df: DataFrame) -> None:
+        gen = self._next_gen
+        df.write.mode("overwrite").parquet(self._delta_dir(gen))
+        self._next_gen = gen + 1
+        self._deltas.append(gen)
+        self._commit_manifest()
+        self._count = None
+        if len(self._deltas) >= self.compact_every:
+            self._compact()
+
+    def _compact(self) -> None:
+        """Fold base+deltas into a new base (one O(state) write per
+        `compact_every` rounds — the amortized cost the CoW backend paid
+        every round); old dirs dropped after the manifest commit."""
+        resolved = self.load()
+        v = self._base + 1
+        resolved.write.mode("overwrite").parquet(self._base_dir(v))
+        old_base, old_deltas = self._base, list(self._deltas)
+        self._base, self._deltas = v, []
+        self._commit_manifest()
+        if old_base >= 0:
+            shutil.rmtree(self._base_dir(old_base), ignore_errors=True)
+        for gen in old_deltas:
+            shutil.rmtree(self._delta_dir(gen), ignore_errors=True)
+
+    def inject(self, seeds: DataFrame, force: bool = False) -> None:
+        """Seeds as a delta: forced seeds ride the fetch slot (src 2,
+        overwrite-matched), plain seeds the link slot (src 0,
+        insert-if-absent) — O1 without touching existing state."""
+        seeds = _core(_dedup_last_wins(seeds))
+        self._write_delta(seeds.withColumn("__src", F.lit(2 if force else 0)))
+
+    def merge(self, fetched: DataFrame | None, links: DataFrame | None) -> int:
+        before = self.count()
+        parts = []
+        if fetched is not None:
+            parts.append(
+                _core(_dedup_last_wins(fetched)).withColumn("__src", F.lit(2))
+            )
+        if links is not None:
+            parts.append(
+                _core(_dedup_links_first_wins(links)).withColumn(
+                    "__src", F.lit(0)
+                )
+            )
+        if not parts:
+            return 0
+        seg = parts[0]
+        for p in parts[1:]:
+            seg = seg.unionByName(p)
+        self._write_delta(seg)
+        return self.count() - before
+
+    # -- lineage ---------------------------------------------------------
+    def log_round(self, **metrics) -> None:
+        metrics.setdefault("snapshot_id", self._next_gen - 1)
+        metrics.setdefault("wall_ts", int(time.time() * 1000))
+        super().log_round(**metrics)
+        with open(os.path.join(self.path, "rounds.jsonl"), "a") as fh:
+            fh.write(json.dumps(metrics) + "\n")
+
+    def destroy(self) -> None:
+        super().destroy()
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
