@@ -1529,6 +1529,105 @@ def q_video_scene_cuts(spark, sf):
     return media.scene_cuts(media.sample_frames(vids, every_n=2), threshold=1.0)
 
 
+# ---------------------------------------------------------------------------
+# Training-data curation: deterministic hash-based sampling and split
+# assignment. Both are shuffle-free at any scale (a pure map over the
+# scan — the ONLY sane way to sample 100 TB: no orderBy-rand, no
+# per-partition state, reproducible across runs/engines/cluster sizes).
+# Portable hash: first 60 bits of md5 as BIGINT, identical in Spark
+# (conv/substring) and DuckDB ('0x' || substr) — the same trick the
+# MinHash path uses.
+
+_HASH_BUCKET_SPARK = (
+    lambda col: F.pmod(
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long"),
+        F.lit(1000),
+    )
+)
+_HASH_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT) % 1000"
+)
+
+
+@register(
+    "sample_hash_stratified",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_HASH_BUCKET_SQL.format(col="doc_id")} <
+          CASE WHEN source IN ('src0', 'src1', 'src2') THEN 900
+               WHEN source IN ('src3', 'src4') THEN 400
+               ELSE 650 END
+    """,
+)
+def q_sample_hash_stratified(spark, sf):
+    """Per-source quality-mixture sampling (keep 90% of the high-value
+    sources, 40% of the noisy ones, 65% elsewhere) by hashing the
+    STABLE doc identity — membership never changes when the corpus
+    grows, so incremental re-runs keep prior decisions."""
+    docs = _t(spark, sf, "documents")
+    bucket = _HASH_BUCKET_SPARK(F.col("doc_id"))
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), 900)
+        .when(F.col("source").isin("src3", "src4"), 400)
+        .otherwise(650)
+    )
+    return docs.filter(bucket < rate).select("doc_id", "source")
+
+
+@register(
+    "train_val_split",
+    f"""
+    SELECT split, count(*) AS n_docs, round(avg(n_chars), 3) AS avg_chars
+    FROM (
+      SELECT CASE WHEN b < 800 THEN 'train'
+                  WHEN b < 900 THEN 'val'
+                  ELSE 'test' END AS split, n_chars
+      FROM (SELECT {_HASH_BUCKET_SQL.format(col="doc_id")} AS b, n_chars
+            FROM documents))
+    GROUP BY split
+    """,
+)
+def q_train_val_split(spark, sf):
+    """Deterministic 80/10/10 split assignment from the doc-identity
+    hash: leakage-free (a doc can never migrate between splits across
+    runs or corpus versions) and shuffle-free."""
+    docs = _t(spark, sf, "documents")
+    b = _HASH_BUCKET_SPARK(F.col("doc_id"))
+    split = (
+        F.when(b < 800, "train").when(b < 900, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 3).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "text_normalize",
+    r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_md5,
+           length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_len
+    FROM documents
+    """,
+)
+def q_text_normalize(spark, sf):
+    """Canonical text normalization (lowercase, whitespace collapse,
+    trim) fingerprinted with md5 — the pre-pass exact dedup and
+    fingerprinting run on; a pure map stage (whole-stage codegen)."""
+    docs = _t(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q)
 
