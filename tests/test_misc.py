@@ -244,3 +244,68 @@ def test_python_generator_filter(spark, small_web):
     assert executed and all(keep({"url": r.url}) for r in executed)
     # odd-parity discoveries were left unexecuted in the frontier
     assert any(not keep({"url": r.url}) for r in skipped)
+
+
+class TestCrawlDelay:
+    BODY = """
+User-agent: other
+Crawl-delay: 99
+User-agent: *
+Disallow: /private
+Crawl-delay: 0.05
+"""
+
+    def test_parse_rules(self):
+        dis, delay = RobotsCache.parse_rules(self.BODY)
+        assert dis == ["/private"]
+        assert delay == 0.05  # star section only, not 'other'
+
+    def test_cached_per_host(self):
+        req = _RobotsOnly({"slow.test": self.BODY})
+        rc = RobotsCache(req, ttl_s=3600)
+        assert rc.crawl_delay("slow.test") == 0.05
+        assert rc.crawl_delay("fast.test") is None
+        rc.crawl_delay("slow.test")
+        assert req.calls == 2  # one fetch per host, then cached
+
+    def test_bucket_enforces_robots_delay(self):
+        import time as _t
+
+        from webcollector_spark.operators.fetch import _HostBucket
+
+        b = _HostBucket(rate_per_s=0.0, fixed_interval_ms=0)  # no budget
+        t0 = _t.monotonic()
+        for _ in range(3):
+            b.wait("slow.test", extra_gap=0.05)
+        assert _t.monotonic() - t0 >= 0.1  # 2 gaps at 50ms
+        t0 = _t.monotonic()
+        for _ in range(3):
+            b.wait("free.test", extra_gap=None)
+        assert _t.monotonic() - t0 < 0.05  # no delay -> no wait
+
+    def test_delay_in_fetch_pass(self, spark, small_web):
+        """End-to-end: a host with Crawl-delay is throttled inside the
+        fetch UDF (wall time reflects the per-host gap)."""
+        from webcollector_spark import fixtures
+        from webcollector_spark.config import CrawlerConfig
+        from webcollector_spark.crawler import seed_rows
+        from webcollector_spark.operators.fetch import fetch as fetch_op
+        from webcollector_spark.sources.requester import SyntheticRequester
+
+        graph, corpus = small_web
+        host = graph["url"].iloc[0].split("://")[1].split("/")[0]
+        urls = [u for u in graph["url"] if host in u][:5]
+        robots = {host: "User-agent: *\nCrawl-delay: 0.2"}
+        req = SyntheticRequester(
+            graph.to_dict("records"), corpus.to_dict("records"), robots=robots
+        )
+        cfg = CrawlerConfig(fetch_partitions=1, per_host_rate=1e9)  # co-locate
+        gen = seed_rows(spark, urls)
+        import time as _t
+
+        t0 = _t.monotonic()
+        rows = fetch_op(gen, req, cfg, n_rows=len(urls)).collect()
+        wall = _t.monotonic() - t0
+        assert len(rows) == len(urls)
+        assert all(r.status == 5 for r in rows)
+        assert wall >= 0.2 * (len(urls) - 1)  # 4 gaps at 200ms

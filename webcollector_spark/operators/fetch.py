@@ -48,7 +48,8 @@ CODE_ROBOTS_DENIED = -2
 
 class _HostBucket:
     """Per-host politeness token bucket (graft; the reference's politeness
-    is a fixed per-thread sleep, Fetcher.java:275-281)."""
+    is a fixed per-thread sleep, Fetcher.java:275-281). A per-host
+    `extra_gap` (robots Crawl-delay) tightens the configured budget."""
 
     def __init__(self, rate_per_s: float, fixed_interval_ms: int):
         self.min_gap = 0.0
@@ -58,11 +59,12 @@ class _HostBucket:
             self.min_gap = max(self.min_gap, fixed_interval_ms / 1000.0)
         self.last: dict[str, float] = {}
 
-    def wait(self, host: str) -> None:
-        if self.min_gap <= 0:
+    def wait(self, host: str, extra_gap: float | None = None) -> None:
+        gap = max(self.min_gap, extra_gap or 0.0)
+        if gap <= 0:
             return
         now = time.monotonic()
-        nxt = self.last.get(host, 0.0) + self.min_gap
+        nxt = self.last.get(host, 0.0) + gap
         if nxt > now:
             time.sleep(nxt - now)
             now = nxt
@@ -240,7 +242,11 @@ def fetch(
         for pdf in batches:
             out_rows = []
             for row in pdf.to_dict("records"):
-                bucket.wait(row["host"])
+                # robots Crawl-delay tightens the configured budget
+                delay = (
+                    robots.crawl_delay(row["host"]) if robots is not None else None
+                )
+                bucket.wait(row["host"], delay)
                 out_rows.append(
                     _fetch_one(row, req, robots, rule, cfg_small, disp)
                 )

@@ -206,9 +206,11 @@ class RobotsCache:
         self._cache: dict[str, tuple[float, list[str]]] = {}
 
     @staticmethod
-    def parse_disallows(body: str) -> list[str]:
-        """Disallow prefixes for User-agent: * (minimal RFC 9309 subset)."""
+    def parse_rules(body: str) -> tuple[list[str], float | None]:
+        """(disallow prefixes, crawl-delay seconds) for User-agent: *
+        (minimal RFC 9309 subset + the de-facto Crawl-delay extension)."""
         disallows: list[str] = []
+        delay: float | None = None
         active = False
         for line in body.splitlines():
             line = line.split("#", 1)[0].strip()
@@ -220,14 +222,35 @@ class RobotsCache:
                 active = value == "*"
             elif field == "disallow" and active and value:
                 disallows.append(value)
-        return disallows
+            elif field == "crawl-delay" and active:
+                try:
+                    delay = max(0.0, float(value))
+                except ValueError:
+                    pass
+        return disallows, delay
 
-    def allowed(self, host: str, url: str, now: float | None = None) -> bool:
-        now = time.time() if now is None else now
+    @staticmethod
+    def parse_disallows(body: str) -> list[str]:
+        return RobotsCache.parse_rules(body)[0]
+
+    def _entry(self, host: str, now: float):
         entry = self._cache.get(host)
         if entry is None or now - entry[0] > self.ttl_s:
             body = self.requester.robots_txt(host)
-            entry = (now, self.parse_disallows(body) if body else [])
+            rules = self.parse_rules(body) if body else ([], None)
+            entry = (now, rules[0], rules[1])
             self._cache[host] = entry
+        return entry
+
+    def allowed(self, host: str, url: str, now: float | None = None) -> bool:
+        now = time.time() if now is None else now
+        entry = self._entry(host, now)
         path = "/" + url.split("://", 1)[-1].split("/", 1)[-1] if "/" in url.split("://", 1)[-1] else "/"
         return not any(path.startswith(p) for p in entry[1])
+
+    def crawl_delay(self, host: str, now: float | None = None) -> float | None:
+        """Host's Crawl-delay directive (seconds), or None. Feeds the
+        per-host politeness token bucket: the enforced gap per host is
+        max(configured budget, robots crawl-delay)."""
+        now = time.time() if now is None else now
+        return self._entry(host, now)[2]

@@ -275,10 +275,16 @@ class LsmParquetFrontierStore(RamFrontierStore):
         path: str,
         resumable: bool = False,
         compact_every: int = 8,
+        track_new_links: bool = True,
     ):
         super().__init__(spark)
         self.path = path
         self.compact_every = compact_every
+        # new-links metrics need a before/after state count — a full
+        # merge-on-read fold per round. At 10^10 keys turn this off
+        # (merge returns -1) and derive the figure from the merge job's
+        # output statistics / Iceberg snapshot summary instead.
+        self.track_new_links = track_new_links
         self._base = -1  # base version, -1 = empty
         self._deltas: list[int] = []
         self._next_gen = 1
@@ -405,7 +411,7 @@ class LsmParquetFrontierStore(RamFrontierStore):
         self._write_delta(seeds.withColumn("__src", F.lit(2 if force else 0)))
 
     def merge(self, fetched: DataFrame | None, links: DataFrame | None) -> int:
-        before = self.count()
+        before = self.count() if self.track_new_links else 0
         parts = []
         if fetched is not None:
             parts.append(
@@ -423,6 +429,8 @@ class LsmParquetFrontierStore(RamFrontierStore):
         for p in parts[1:]:
             seg = seg.unionByName(p)
         self._write_delta(seg)
+        if not self.track_new_links:
+            return -1
         return self.count() - before
 
     # -- lineage ---------------------------------------------------------
