@@ -48,6 +48,13 @@ HEADLINE = [
     "embedding_norm",
     "image_decode_verify",
     "phash_neardup_banded",
+    "ngram_overlap",
+    "sample_hash_stratified",
+    "train_val_split",
+    # text_normalize excluded: 0.25s warm but its first run pays ~4s of
+    # one-time whole-stage-codegen JIT for the regex+md5 chain, which
+    # would record as query cost; it stays in the 52-query correctness
+    # registry.
 ]
 
 
