@@ -87,3 +87,34 @@ def test_next_filter_drops_and_rewrites(spark, small_web):
     }
     assert "h001.test" not in hosts
     assert len(hosts) > 0
+
+
+def test_fetched_history_table(spark, small_web, tmp_path):
+    """fetched_history_path: per-round append of executed datums
+    (content dropped), partitioned by round — the offline 'fetched'
+    table."""
+    from pyspark.sql import functions as F
+
+    from webcollector_spark import CrawlerConfig, RamCrawler, fixtures
+    from webcollector_spark.sources.requester import SyntheticRequester
+
+    graph, corpus = small_web
+    path = str(tmp_path / "fetched_history")
+    cfg = CrawlerConfig(bloom_capacity=10_000, fetched_history_path=path)
+    crawler = RamCrawler(
+        spark,
+        SyntheticRequester(graph.to_dict("records"), corpus.to_dict("records")),
+        config=cfg,
+    )
+    crawler.add_seed(fixtures.seeds_for(graph, 3))
+    metrics = crawler.start(3)
+
+    hist = spark.read.parquet(path)
+    assert "content" not in hist.columns
+    per_round = {
+        r["round"]: r["n"]
+        for r in hist.groupBy("round").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_round == {m.round: m.generated for m in metrics}
+    # history rows carry the executed status/code of that round
+    assert hist.filter(F.col("status") == 5).count() > 0

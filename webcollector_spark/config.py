@@ -68,6 +68,13 @@ class CrawlerConfig:
     bloom_min_frontier: int = 2_000_000
     # robots.txt politeness cache TTL (seconds); 0 disables robots checks.
     robots_ttl_s: int = 3600
+    # Optional fetched-history table (north-star "fetched" table): when
+    # set, every round appends its executed datums (content column
+    # dropped — page bytes stay transient) to this parquet path,
+    # partitioned by round. In the Iceberg deployment this is an append
+    # to a `fetched` table; offline analyses (per-round code/status
+    # drift, recrawl policies) read it without touching the frontier.
+    fetched_history_path: str | None = None
     # Number of partitions for the fetch stage (defaults to `threads`).
     fetch_partitions: int = 0
     # Target generated rows per fetch task: the fetch stage uses

@@ -257,6 +257,17 @@ class BreadthCrawler:
             else:
                 fresh = links
 
+            # Optional fetched-history append (O(round) rows, content
+            # dropped): the offline "fetched" table of the north star.
+            if cfg.fetched_history_path:
+                (
+                    fetched.drop("content")
+                    .withColumn("round", F.lit(r))
+                    .write.mode("append")
+                    .partitionBy("round")
+                    .parquet(cfg.fetched_history_path)
+                )
+
             # O9 merge: one snapshot commit; inserted-links count derived
             # from the frontier row-count delta (no extra count job).
             n_links = self.store.merge(fetched.select(*_CORE_COLS), fresh)
