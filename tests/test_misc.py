@@ -299,7 +299,9 @@ Crawl-delay: 0.05
         req = SyntheticRequester(
             graph.to_dict("records"), corpus.to_dict("records"), robots=robots
         )
-        cfg = CrawlerConfig(fetch_partitions=1, per_host_rate=1e9)  # co-locate
+        # strict mode forces host co-location so the robots delay is a
+        # true per-host cap (no separate rate budget needed)
+        cfg = CrawlerConfig(fetch_partitions=4, strict_robots_delay=True)
         gen = seed_rows(spark, urls)
         import time as _t
 

@@ -42,7 +42,8 @@ def main() -> None:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     seen.count()
-    # candidates: ids 2M..3M overlap the frontier (seen), 4M..4.5M are new
+    # candidates: the seen half maps to ids 2.0M..2.5M (inside the
+    # 0..4M frontier), the new half to 4.5M..5.0M (outside it)
     n_old = int(LINKS_N * SEEN_FRAC)
     links = (
         spark.range(LINKS_N)

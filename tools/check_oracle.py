@@ -20,6 +20,10 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def normalize(v):
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return str(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -104,10 +108,11 @@ def main() -> int:
             continue
         sql = oracles.get(name)
         try:
-            sdf = fn(spark, sf_dir)
-            satbl = sdf.toArrow()
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = list(sdf.columns)
+            # one execution per engine: rows and types both come off the
+            # same Arrow table
+            satbl = fn(spark, sf_dir).toArrow()
+            scols = list(satbl.column_names)
+            srows = [tuple(d[c] for c in scols) for d in satbl.to_pylist()]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
@@ -117,9 +122,8 @@ def main() -> int:
             continue
         try:
             datbl = con.execute(sql).arrow()
-            res = con.execute(sql)
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dcols = list(datbl.column_names)
+            drows = [tuple(d[c] for c in dcols) for d in datbl.to_pylist()]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")

@@ -62,13 +62,14 @@ def main() -> None:
 
     for name, mk in (
         ("cow", lambda p: ParquetFrontierStore(spark, p)),
-        ("lsm", lambda p: LsmParquetFrontierStore(spark, p, compact_every=ROUNDS + 1)),
+        # inject consumes one delta slot, so no-compaction needs ROUNDS+2
+        ("lsm", lambda p: LsmParquetFrontierStore(spark, p, compact_every=ROUNDS + 2)),
         ("lsm_compact4", lambda p: LsmParquetFrontierStore(spark, p, compact_every=4)),
         ("cow_nocount", lambda p: nocount(ParquetFrontierStore(spark, p))),
         (
             "lsm_nocount",
             lambda p: nocount(
-                LsmParquetFrontierStore(spark, p, compact_every=ROUNDS + 1)
+                LsmParquetFrontierStore(spark, p, compact_every=ROUNDS + 2)
             ),
         ),
     ):

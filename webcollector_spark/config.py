@@ -68,6 +68,14 @@ class CrawlerConfig:
     bloom_min_frontier: int = 2_000_000
     # robots.txt politeness cache TTL (seconds); 0 disables robots checks.
     robots_ttl_s: int = 3600
+    # The politeness token bucket is partition-local, so a robots
+    # Crawl-delay is a TRUE per-host cap only when the host's URLs are
+    # co-located in one partition. Co-location costs 1.5-2x on skewed
+    # frontiers (BENCH_SKEW.json), so it is opt-in: strict mode forces
+    # host co-location whenever robots checks are enabled; with it off,
+    # round-robin partitioning bounds a delay-declaring host at
+    # (partitions / delay) req/s instead of (1 / delay).
+    strict_robots_delay: bool = False
     # Optional fetched-history table (north-star "fetched" table): when
     # set, every round appends its executed datums (content column
     # dropped — page bytes stay transient) to this parquet path,

@@ -197,10 +197,15 @@ class BreadthCrawler:
 
             # O2 generate; persisted so the fetch stage reads the ranked
             # rows instead of re-running both window phases.
+            # cheap_count: best-effort size for the salt/bloom gates —
+            # None (unknown, e.g. LSM with new-links tracking off) means
+            # assume LARGE and enable the scale defenses, never pay an
+            # exact fold just for a heuristic.
+            approx = self.store.cheap_count()
             if cfg.per_host_top_k > 0:
                 salt = (
                     cfg.host_salt_buckets
-                    if self.store.count() >= cfg.salt_min_frontier
+                    if approx is None or approx >= cfg.salt_min_frontier
                     else 1
                 )
                 gen = generate_per_host(
@@ -242,31 +247,47 @@ class BreadthCrawler:
                 links = discovered_datums(fetched)
             else:
                 links = discovered_links(fetched, dedup=False)  # merge dedups
-            if 0 < cfg.bloom_capacity and cfg.bloom_min_frontier <= self.store.count():
-                # size from the LIVE frontier count (memoized — no extra
-                # job): a fixed capacity below the activation threshold
-                # would load the filter at >1x capacity and blow the
-                # configured fpp exactly when the pre-prune first matters
+            if 0 < cfg.bloom_capacity and (
+                approx is None or cfg.bloom_min_frontier <= approx
+            ):
+                # size from the LIVE frontier count when known (memoized
+                # — no extra job): a fixed capacity below the activation
+                # threshold would load the filter at >1x capacity and
+                # blow the configured fpp exactly when the pre-prune
+                # first matters
                 bloom = build_bloom(
                     frontier.select("key"),
                     "key",
-                    max(cfg.bloom_capacity, self.store.count()),
+                    max(cfg.bloom_capacity, approx or 0),
                     cfg.bloom_fpp,
                 )
                 fresh = seen_filter(links, frontier.select("key"), "key", bloom)
             else:
                 fresh = links
 
-            # Optional fetched-history append (O(round) rows, content
+            # Optional fetched-history write (O(round) rows, content
             # dropped): the offline "fetched" table of the north star.
+            # Dynamic partition overwrite makes a crash-and-resume
+            # re-run of round r replace (not duplicate) its partition.
             if cfg.fetched_history_path:
-                (
-                    fetched.drop("content")
-                    .withColumn("round", F.lit(r))
-                    .write.mode("append")
-                    .partitionBy("round")
-                    .parquet(cfg.fetched_history_path)
+                prev_mode = self.spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", "static"
                 )
+                self.spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                try:
+                    (
+                        fetched.drop("content")
+                        .withColumn("round", F.lit(r))
+                        .write.mode("overwrite")
+                        .partitionBy("round")
+                        .parquet(cfg.fetched_history_path)
+                    )
+                finally:
+                    self.spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", prev_mode
+                    )
 
             # O9 merge: one snapshot commit; inserted-links count derived
             # from the frontier row-count delta (no extra count job).

@@ -267,7 +267,14 @@ def fetch(
     # a skewed frontier in one task); round-robin spreads the load
     # evenly instead. A throttled hot host is bounded by its rate, not
     # CPU, so the skew trade-off only bites in the unthrottled case.
-    polite = per_host_rate > 0 or interval_ms > 0
+    # strict_robots_delay opts robots Crawl-delay into the same
+    # guarantee (see config.py — otherwise the delay is enforced
+    # per-partition, i.e. a partitions/delay aggregate bound).
+    polite = (
+        per_host_rate > 0
+        or interval_ms > 0
+        or (robots_ttl > 0 and cfg.strict_robots_delay)
+    )
     repartitioned = (
         generated.repartition(parts, F.col("host"))
         if polite

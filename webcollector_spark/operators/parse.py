@@ -17,6 +17,26 @@ from pyspark.sql import functions as F
 from webcollector_spark.schema import CODE_NOT_SET, STATUS_DB_UNEXECUTED
 
 
+def _mint_frontier_cols(key_col, url_col, meta_col):
+    """The shared frontier-row template for newly discovered datums —
+    one definition so the plain-link and visitor-datum paths cannot
+    drift (status/counters/host extraction are identical by
+    construction)."""
+    return [
+        key_col.alias("key"),
+        url_col.alias("url"),
+        F.lit(STATUS_DB_UNEXECUTED).alias("status"),
+        F.lit(None).cast("long").alias("execute_time"),
+        F.lit(0).alias("execute_count"),
+        F.lit(CODE_NOT_SET).alias("code"),
+        F.lit(None).cast("string").alias("location"),
+        meta_col.cast("map<string,string>").alias("meta"),
+        F.lower(F.regexp_extract(url_col, r"^[a-z]+://([^/:]+)", 1)).alias("host"),
+        F.col("depth"),
+        F.col("priority"),
+    ]
+
+
 def discovered_links(fetched: DataFrame, dedup: bool = True) -> DataFrame:
     """Explode fetched.links into new UNEXECUTED CrawlDatum rows.
 
@@ -29,20 +49,9 @@ def discovered_links(fetched: DataFrame, dedup: bool = True) -> DataFrame:
         (F.col("depth") + 1).alias("depth"),
         F.col("priority"),
     )
+    # default key identity (O13): key = url
     out = exploded.select(
-        F.col("url").alias("key"),  # default key identity (O13)
-        "url",
-        F.lit(STATUS_DB_UNEXECUTED).alias("status"),
-        F.lit(None).cast("long").alias("execute_time"),
-        F.lit(0).alias("execute_count"),
-        F.lit(CODE_NOT_SET).alias("code"),
-        F.lit(None).cast("string").alias("location"),
-        F.lit(None).cast("map<string,string>").alias("meta"),
-        F.lower(
-            F.regexp_extract(F.col("url"), r"^[a-z]+://([^/:]+)", 1)
-        ).alias("host"),
-        "depth",
-        "priority",
+        *_mint_frontier_cols(F.col("url"), F.col("url"), F.lit(None))
     )
     if not dedup:
         return out
@@ -68,17 +77,9 @@ def discovered_datums(fetched: DataFrame) -> DataFrame:
         F.col("priority"),
     )
     return exploded.select(
-        F.coalesce(F.col("d.key"), F.col("d.url")).alias("key"),
-        F.col("d.url").alias("url"),
-        F.lit(STATUS_DB_UNEXECUTED).alias("status"),
-        F.lit(None).cast("long").alias("execute_time"),
-        F.lit(0).alias("execute_count"),
-        F.lit(CODE_NOT_SET).alias("code"),
-        F.lit(None).cast("string").alias("location"),
-        F.col("d.meta").alias("meta"),
-        F.lower(
-            F.regexp_extract(F.col("d.url"), r"^[a-z]+://([^/:]+)", 1)
-        ).alias("host"),
-        "depth",
-        "priority",
+        *_mint_frontier_cols(
+            F.coalesce(F.col("d.key"), F.col("d.url")),
+            F.col("d.url"),
+            F.col("d.meta"),
+        )
     )

@@ -43,6 +43,30 @@ class OracleDatum:
     meta: dict | None = None
 
 
+def _meta_canon(meta: dict | None) -> str:
+    """Spark to_json of the key-sorted meta map (compact separators) —
+    the engine's deterministic link tiebreak (store._meta_order)."""
+    import json
+
+    if not meta:
+        return ""
+    return json.dumps(dict(sorted(meta.items())), separators=(",", ":"))
+
+
+def _link_keep(seg: dict, cand: "OracleDatum") -> None:
+    """Within-round link dedup, engine policy: keep the minimum of
+    (depth asc, url asc, canonical meta asc) per key — NOT emission
+    order, so the oracle and every Spark backend agree even when the
+    same key is emitted by several parents at different depths or with
+    different meta."""
+    prev = seg.get(cand.key)
+    if prev is None or (
+        (cand.depth, cand.url, _meta_canon(cand.meta))
+        < (prev.depth, prev.url, _meta_canon(prev.meta))
+    ):
+        seg[cand.key] = cand
+
+
 @dataclass
 class OracleCrawler:
     requester: Requester
@@ -194,15 +218,16 @@ class OracleCrawler:
                 nd.status = STATUS_DB_FAILED
         fetch_seg[nd.key] = nd  # last-wins within segment
         for u in links:
-            if u not in link_seg:
-                link_seg[u] = OracleDatum(key=u, url=u, depth=d.depth + 1)
+            _link_keep(link_seg, OracleDatum(key=u, url=u, depth=d.depth + 1))
         for vd in next_datums:
             k = vd.key() if vd._key is not None else vd.url()
-            if k not in link_seg:
-                link_seg[k] = OracleDatum(
+            _link_keep(
+                link_seg,
+                OracleDatum(
                     key=k, url=vd.url(), depth=d.depth + 1,
                     meta=(dict(vd.meta_data) or None),
-                )
+                ),
+            )
 
     # -- inspection helpers for tests -----------------------------------
     def visited_keys(self) -> set[str]:

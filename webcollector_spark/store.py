@@ -50,18 +50,33 @@ def _dedup_last_wins(df: DataFrame, order_col: str = "execute_time") -> DataFram
     return df.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
 
 
+def _meta_order() -> F.Column:
+    """Canonical serialization of the meta map for deterministic tie-
+    breaking: entries key-sorted, Spark to_json compact form (the
+    replay oracle emulates the same string with
+    json.dumps(separators=(',', ':'))). Without it, two link rows that
+    tie on (depth, url) but carry different meta — e.g. the same
+    outlink emitted by two parents with different rank/referer — would
+    be picked arbitrarily per run."""
+    return F.coalesce(
+        F.to_json(F.map_from_entries(F.array_sort(F.map_entries(F.col("meta"))))),
+        F.lit(""),
+    )
+
+
 def _dedup_links_first_wins(df: DataFrame) -> DataFrame:
     """Deterministic single row per key for a links segment: same
     tiebreak as RamFrontierStore.merge applies to link rows
     (execute_time desc nulls last, execute_count desc, depth asc,
-    url asc), so a URL discovered at several depths keeps its minimal
-    depth on every backend — an arbitrary dropDuplicates pick would
-    change generate order across runs."""
+    url asc, canonical meta asc), so a URL discovered at several depths
+    keeps its minimal depth on every backend — an arbitrary
+    dropDuplicates pick would change generate order across runs."""
     w = Window.partitionBy("key").orderBy(
         F.col("execute_time").desc_nulls_last(),
         F.col("execute_count").desc(),
         F.col("depth").asc(),
         F.col("url").asc(),
+        _meta_order().asc(),
     )
     return df.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
 
@@ -125,6 +140,7 @@ class RamFrontierStore:
             F.col("execute_count").desc(),
             F.col("depth").asc(),
             F.col("url").asc(),
+            _meta_order().asc(),
         )
         self._set(
             merged.withColumn("__rn", F.row_number().over(w))
@@ -153,6 +169,13 @@ class RamFrontierStore:
         if getattr(self, "_count", None) is None:
             self._count = 0 if self._df is None else self._df.count()
         return self._count
+
+    def cheap_count(self) -> int | None:
+        """Best-effort frontier size for heuristics (the crawler's
+        salt/bloom gates). None = unknown; callers must then assume
+        LARGE (enable the scale defenses) rather than trigger an
+        expensive exact count."""
+        return self.count()
 
     # -- lineage -------------------------------------------------------
     def log_round(self, **metrics) -> None:
@@ -357,6 +380,7 @@ class LsmParquetFrontierStore(RamFrontierStore):
             .asc(),
             F.col("depth").asc(),
             F.col("url").asc(),
+            _meta_order().asc(),
         )
         return (
             tagged.withColumn("__rn", F.row_number().over(w))
@@ -376,6 +400,17 @@ class LsmParquetFrontierStore(RamFrontierStore):
         if getattr(self, "_count", None) is None:
             self._count = 0 if self.is_empty() else self.load().count()
         return self._count
+
+    def cheap_count(self) -> int | None:
+        """Unlike the RAM/CoW stores, an exact count here is a full
+        merge-on-read fold; return the memoized value when one exists,
+        else None (unknown -> heuristics assume large) when new-links
+        tracking is off — the exact fold the flag exists to avoid."""
+        if getattr(self, "_count", None) is not None:
+            return self._count
+        if not self.track_new_links:
+            return None
+        return self.count()
 
     # -- writes ----------------------------------------------------------
     def _write_delta(self, df: DataFrame) -> None:
