@@ -202,5 +202,47 @@ def test_visitor_next_filter(spark):
     assert "http://site2.test/doc" not in keys
 
 
+def test_duplicate_emission_meta_deterministic(spark):
+    """Two parents at the same depth emit the same outlink with
+    different meta (rank/referer): the merged row must pick the same
+    winner on every run and backend — the (depth, url, canonical-meta)
+    policy shared by the engine windows and the oracle."""
+    shared = "http://site9.test/doc"
+    rows = [
+        _page(f"{SE}/search?q=kw&first=1", [shared, "http://site1.test/doc"]),
+        _page(f"{SE}/search?q=kw&first=21", [shared]),
+        _page(shared),
+        _page("http://site1.test/doc"),
+    ]
+    seeds = [
+        CrawlDatum(f"{SE}/search?q=kw&first=1").type("searchEngine")
+        .meta("keyword", "kw").meta("pageIndex", 1).meta("depth", 1),
+        CrawlDatum(f"{SE}/search?q=kw&first=21").type("searchEngine")
+        .meta("keyword", "kw").meta("pageIndex", 3).meta("depth", 1),
+    ]
+
+    def run_engine():
+        crawler = RamCrawler(
+            spark, SyntheticRequester(rows, []),
+            config=CrawlerConfig(bloom_capacity=10_000),
+            visitor=_make_visitor(),
+        )
+        crawler.add_seed(list(seeds))
+        crawler.start(2)
+        return _engine_metas(crawler)[shared]
+
+    oracle = OracleCrawler(SyntheticRequester(rows, []), visitor=_make_visitor())
+    oracle.inject(list(seeds))
+    oracle.start(2)
+    want = oracle.metas()[shared]
+
+    first = run_engine()
+    second = run_engine()
+    assert first == second == want
+    # the policy picks the minimal canonical meta among the tied rows:
+    # both parents emitted rank 0, pageIndex differs (1 vs 3)
+    assert first["rank"] == "0" and first["pageIndex"] in ("1", "3")
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
