@@ -134,13 +134,19 @@ class RamFrontierStore:
         merged = src[0]
         for s in src[1:]:
             merged = merged.unionByName(s)
+        # the meta tiebreak only matters for link rows (frontier and the
+        # deduped fetch segment are key-unique), so skip the to_json
+        # canonicalization for the non-link majority of rows
+        link_meta_order = F.when(F.col("__src") == 0, _meta_order()).otherwise(
+            F.lit("")
+        )
         w = Window.partitionBy("key").orderBy(
             F.col("__src").desc(),
             F.col("execute_time").desc_nulls_last(),
             F.col("execute_count").desc(),
             F.col("depth").asc(),
             F.col("url").asc(),
-            _meta_order().asc(),
+            link_meta_order.asc(),
         )
         self._set(
             merged.withColumn("__rn", F.row_number().over(w))
@@ -380,7 +386,8 @@ class LsmParquetFrontierStore(RamFrontierStore):
             .asc(),
             F.col("depth").asc(),
             F.col("url").asc(),
-            _meta_order().asc(),
+            # link-only tiebreak (deltas are key-unique within a source)
+            F.when(F.col("__src") == 0, _meta_order()).otherwise(F.lit("")).asc(),
         )
         return (
             tagged.withColumn("__rn", F.row_number().over(w))
