@@ -51,6 +51,10 @@ HEADLINE = [
     "ngram_overlap",
     "sample_hash_stratified",
     "train_val_split",
+    "url_canonicalize",
+    "ivf_ann_topk",
+    "gopher_repetition",
+    "embed_quantize_int8",
     # text_normalize excluded: 0.25s warm but its first run pays ~4s of
     # one-time whole-stage-codegen JIT for the regex+md5 chain, which
     # would record as query cost; it stays in the 52-query correctness

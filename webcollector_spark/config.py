@@ -66,6 +66,14 @@ class CrawlerConfig:
     # 10^8-10^10 scale; building it for a 10^4-row frontier just adds a
     # Python-worker job per round).
     bloom_min_frontier: int = 2_000_000
+    # Canonicalize URL keys (lowercase scheme/host, strip default port,
+    # drop fragment, sort query params — functions/urls.py). The
+    # reference keys on the raw url string (CrawlDatum.java:239-245), so
+    # case/fragment/param-order aliases crawl twice; at 10^10 keys the
+    # aliases inflate the frontier and the URL-seen filter. Off by
+    # default to preserve reference-exact ordering; applies to string
+    # seeds and auto-parsed links (explicit user keys are never touched).
+    canonicalize_link_keys: bool = False
     # robots.txt politeness cache TTL (seconds); 0 disables robots checks.
     robots_ttl_s: int = 3600
     # The politeness token bucket is partition-local, so a robots

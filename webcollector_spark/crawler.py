@@ -161,10 +161,28 @@ class BreadthCrawler:
     # -- the crawl loop -------------------------------------------------
     def start(self, max_depth: int) -> list[RoundMetrics]:
         cfg = self.config
+
+        def _seed_df(seeds):
+            df = seed_rows(self.spark, seeds)
+            if cfg.canonicalize_link_keys:
+                # default-key seeds (key == url) adopt the canonical key
+                # so they unify with canonicalized discovered links;
+                # explicit user keys (key != url tasks) are untouched
+                from webcollector_spark.functions.urls import canonical_url_col
+
+                df = df.withColumn(
+                    "key",
+                    F.when(
+                        F.col("key") == F.col("url"),
+                        canonical_url_col(F.col("url")),
+                    ).otherwise(F.col("key")),
+                )
+            return df
+
         if self._seeds:
-            self.store.inject(seed_rows(self.spark, self._seeds), force=False)
+            self.store.inject(_seed_df(self._seeds), force=False)
         if self._forced_seeds:
-            self.store.inject(seed_rows(self.spark, self._forced_seeds), force=True)
+            self.store.inject(_seed_df(self._forced_seeds), force=True)
         if self.store.is_empty():
             return self.metrics  # nothing injected -> zero-generate, done
         start_round = self.store.last_round() + 1  # resume point
@@ -246,7 +264,11 @@ class BreadthCrawler:
                 # link segment (Fetcher.java:246-270)
                 links = discovered_datums(fetched)
             else:
-                links = discovered_links(fetched, dedup=False)  # merge dedups
+                links = discovered_links(
+                    fetched,
+                    dedup=False,  # merge dedups
+                    canonical_keys=cfg.canonicalize_link_keys,
+                )
             if 0 < cfg.bloom_capacity and (
                 approx is None or cfg.bloom_min_frontier <= approx
             ):

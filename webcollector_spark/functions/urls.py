@@ -1,0 +1,95 @@
+"""URL canonicalization — the dedup-identity normalizer the reference
+lacks (its key is the raw url string, model/CrawlDatum.java:239-245, so
+`HTTP://Host/` and `http://host/` crawl twice). At 10^10-frontier scale
+aliased URLs multiply the frontier and defeat the URL-seen filter, so
+the graft adds an opt-in canonical form used as the CrawlDatum `key`
+while the raw `url` is preserved for fetching.
+
+Rules (the common crawl-canonicalization core, all order-independent):
+  * scheme and host lowercased (path case preserved — it is significant)
+  * default port stripped (`:80` for http, `:443` for https)
+  * fragment dropped
+  * empty path -> "/"
+  * query parameters sorted bytewise (`?b=2&a=1` == `?a=1&b=2`)
+
+Three mirrored implementations, kept in lockstep by tests:
+  * `canonical_url_col` — pure JVM built-ins (regexp + array_sort), the
+    hot path: stays inside whole-stage codegen, no Python worker.
+  * `canonicalize_url` — plain Python twin for driver-side use and the
+    replay oracle.
+  * `CANON_SQL_TEMPLATE` — the DuckDB rendering used by the registry
+    oracle (`url_canonicalize`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_AUTH_RE = r"://([^/?#]*)"
+_PATH_RE = r"://[^/?#]*([^?#]*)"
+_QUERY_RE = r"^[^#]*\?([^#]*)"
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL as a JVM expression."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    auth = F.lower(F.regexp_extract(url, _AUTH_RE, 1))
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
+    )
+
+
+def canonicalize_url(url: str) -> str:
+    """Plain-Python twin of `canonical_url_col` (identical rules)."""
+    import re
+
+    m = re.match(_SCHEME_RE, url)
+    if not m:
+        return url  # not an absolute URL; leave untouched
+    scheme = m.group(1).lower()
+    auth = re.search(_AUTH_RE, url)
+    auth = auth.group(1).lower() if auth else ""
+    if scheme == "http" and auth.endswith(":80"):
+        auth = auth[:-3]
+    elif scheme == "https" and auth.endswith(":443"):
+        auth = auth[:-4]
+    pm = re.search(_PATH_RE, url)
+    path = pm.group(1) if pm else ""
+    if path == "":
+        path = "/"
+    qm = re.match(_QUERY_RE, url)
+    query = qm.group(1) if qm else ""
+    out = f"{scheme}://{auth}{path}"
+    if query:
+        out += "?" + "&".join(sorted(query.split("&")))
+    return out
+
+
+# DuckDB rendering of the same rules; `{u}` is the raw-URL SQL expression.
+CANON_SQL_TEMPLATE = """
+    lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+    CASE lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      WHEN 'http'  THEN regexp_replace(lower(regexp_extract({u}, '://([^/?#]*)', 1)), ':80$', '')
+      WHEN 'https' THEN regexp_replace(lower(regexp_extract({u}, '://([^/?#]*)', 1)), ':443$', '')
+      ELSE lower(regexp_extract({u}, '://([^/?#]*)', 1)) END ||
+    CASE WHEN regexp_extract({u}, '://[^/?#]*([^?#]*)', 1) = '' THEN '/'
+         ELSE regexp_extract({u}, '://[^/?#]*([^?#]*)', 1) END ||
+    CASE WHEN regexp_extract({u}, '^[^#]*\\?([^#]*)', 1) = '' THEN ''
+         ELSE '?' || array_to_string(list_sort(string_split(
+                  regexp_extract({u}, '^[^#]*\\?([^#]*)', 1), '&')), '&') END
+"""

@@ -37,22 +37,33 @@ def _mint_frontier_cols(key_col, url_col, meta_col):
     ]
 
 
-def discovered_links(fetched: DataFrame, dedup: bool = True) -> DataFrame:
+def discovered_links(
+    fetched: DataFrame, dedup: bool = True, canonical_keys: bool = False
+) -> DataFrame:
     """Explode fetched.links into new UNEXECUTED CrawlDatum rows.
 
     `dedup=False` skips the intra-round first-wins window: callers that
     feed the rows straight into `store.merge` can skip it because the
     merge's own per-key window breaks link ties by exactly the same
-    (depth asc, url asc) order — one less shuffle per round."""
+    (depth asc, url asc) order — one less shuffle per round.
+
+    `canonical_keys=True` keys each link on its canonical URL form
+    (functions/urls.py) instead of the raw string, collapsing
+    case/fragment/param-order aliases into one frontier row; the raw
+    url is preserved for fetching. JVM-side expression — no Python."""
     exploded = fetched.filter(F.col("links").isNotNull()).select(
         F.explode("links").alias("url"),
         (F.col("depth") + 1).alias("depth"),
         F.col("priority"),
     )
-    # default key identity (O13): key = url
-    out = exploded.select(
-        *_mint_frontier_cols(F.col("url"), F.col("url"), F.lit(None))
-    )
+    # default key identity (O13): key = url (or its canonical form)
+    if canonical_keys:
+        from webcollector_spark.functions.urls import canonical_url_col
+
+        key_col = canonical_url_col(F.col("url"))
+    else:
+        key_col = F.col("url")
+    out = exploded.select(*_mint_frontier_cols(key_col, F.col("url"), F.lit(None)))
     if not dedup:
         return out
     # first-wins inside the round: keep the shallowest depth per key

@@ -1628,6 +1628,311 @@ def q_text_normalize(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# URL canonicalization (functions/urls.py): the dedup-identity normalizer
+# for crawl keys — two deterministic messy aliases per document collapse to
+# one canonical form. Pure JVM regex/array expressions (codegen, no UDF).
+
+_RAW_URL_1_SQL = (
+    "'HTTP://WWW.' || upper(source) || '.COM:80/D/' || doc_id || '?b=2&a=1#frag'"
+)
+_RAW_URL_2_SQL = "'http://www.' || source || '.com/D/' || doc_id || '?a=1&b=2'"
+
+
+def _canon_sql_body():
+    from webcollector_spark.functions.urls import CANON_SQL_TEMPLATE
+
+    return f"""
+    SELECT doc_id, alias_no, {CANON_SQL_TEMPLATE.format(u="raw")} AS canon_url
+    FROM (
+      SELECT doc_id, 1 AS alias_no, {_RAW_URL_1_SQL} AS raw FROM documents
+      UNION ALL
+      SELECT doc_id, 2 AS alias_no, {_RAW_URL_2_SQL} AS raw FROM documents
+    )
+    """
+
+
+@register("url_canonicalize", None)
+def q_url_canonicalize(spark, sf):
+    """Canonicalize two messy aliases of each doc's URL (mixed-case
+    scheme/host, default port, fragment, shuffled query params) — both
+    aliases must land on the identical canonical key. This is the
+    `canonicalize_link_keys` crawl knob as a registry query."""
+    from webcollector_spark.functions.urls import canonical_url_col
+
+    docs = _t(spark, sf, "documents")
+    raw1 = F.concat(
+        F.lit("HTTP://WWW."),
+        F.upper("source"),
+        F.lit(".COM:80/D/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?b=2&a=1#frag"),
+    )
+    raw2 = F.concat(
+        F.lit("http://www."),
+        F.col("source"),
+        F.lit(".com/D/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?a=1&b=2"),
+    )
+    aliases = docs.select(
+        "doc_id", F.lit(1).alias("alias_no"), raw1.alias("raw")
+    ).unionByName(
+        docs.select("doc_id", F.lit(2).alias("alias_no"), raw2.alias("raw"))
+    )
+    return aliases.select(
+        "doc_id", "alias_no", canonical_url_col(F.col("raw")).alias("canon_url")
+    )
+
+
+SQL["url_canonicalize"] = _canon_sql_body()
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat ANN: the scale path between brute force and LSH. Deterministic
+# seeded centroids (the first k vectors — k-means|| would train these in
+# production; seeding keeps the oracle exact), every vector assigned to its
+# nearest centroid (k broadcast dot products per row — a pure map stage),
+# queries probe their nprobe nearest cells and rank candidates only within
+# them. Candidate volume is ~ nprobe/k of the corpus instead of all of it.
+
+@register(
+    "ivf_ann_topk",
+    """
+    WITH cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id < 8
+    ),
+    vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ),
+    assign AS (
+      SELECT vec_id, cid, row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_dot_product(ve, ce) /
+                        (sqrt(list_dot_product(ve, ve)) *
+                         sqrt(list_dot_product(ce, ce))) DESC, cid ASC
+             ) AS crk
+      FROM vecs CROSS JOIN cents
+    ),
+    cluster_of AS (SELECT vec_id, cid AS cluster FROM assign WHERE crk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cluster, crk AS prk
+      FROM assign WHERE vec_id >= 495 AND crk <= 2
+    ),
+    cands AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id
+      FROM probes p JOIN cluster_of c ON c.cluster = p.cluster
+      WHERE c.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT d.query_id, d.neighbor_id,
+             list_dot_product(q.ve, n.ve) /
+               (sqrt(list_dot_product(q.ve, q.ve)) *
+                sqrt(list_dot_product(n.ve, n.ve))) AS sim
+      FROM cands d JOIN vecs q ON q.vec_id = d.query_id
+                   JOIN vecs n ON n.vec_id = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rk, round(sim, 4) + 0 AS sim4
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def q_ivf_ann_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").alias("ve")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def cos(a, b):
+        return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("ve").alias("ce")
+    )
+    # assignment: k broadcast dot products per vector, rank 1 = home cell
+    crk_w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cid").asc()
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", cos(F.col("ve"), F.col("ce")).alias("csim"))
+        .withColumn("crk", F.row_number().over(crk_w))
+    )
+    cluster_of = assign.filter("crk = 1").select(
+        "vec_id", F.col("cid").alias("cluster")
+    )
+    probes = assign.filter((F.col("vec_id") >= 495) & (F.col("crk") <= 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("cid").alias("cluster")
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(cluster_of, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    scored = (
+        cands.join(
+            F.broadcast(
+                emb.filter(F.col("vec_id") >= 495).select(
+                    F.col("vec_id").alias("query_id"), F.col("ve").alias("qe")
+                )
+            ),
+            "query_id",
+        )
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"), "ve"), "neighbor_id")
+        .select("query_id", "neighbor_id", cos(F.col("qe"), F.col("ve")).alias("sim"))
+    )
+    rk_w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(rk_w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rk",
+            (F.round("sim", 4) + F.lit(0.0)).alias("sim4"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021 quality rules): fraction
+# of word bigrams taken by the single most frequent bigram, and the
+# duplicate-word fraction. High values = boilerplate/spam; standard
+# pretraining-corpus filters. Explode + two-level agg — map-side partials,
+# no Python.
+
+@register(
+    "gopher_repetition",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS words FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, length(words)),
+               i -> words[i] || ' ' || words[i + 1])) AS bg
+      FROM w
+    ),
+    bc AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg),
+    tb AS (SELECT doc_id, max(c) AS topc, sum(c) AS tot FROM bc GROUP BY doc_id),
+    ws AS (
+      SELECT doc_id, length(words) AS n_words,
+             length(list_distinct(words)) AS n_distinct
+      FROM w
+    )
+    SELECT t.doc_id,
+           round(CAST(t.topc AS DOUBLE) / t.tot, 4) AS top_bigram_frac,
+           round(1.0 - CAST(s.n_distinct AS DOUBLE) / s.n_words, 4)
+             AS dup_word_frac
+    FROM tb t JOIN ws s ON s.doc_id = t.doc_id
+    """,
+)
+def q_gopher_repetition(spark, sf):
+    docs = _t(spark, sf, "documents")
+    w = docs.select("doc_id", F.split("text", r"\s+").alias("words"))
+    nw = F.size("words")
+    bigrams = F.when(
+        nw >= 2,
+        F.transform(
+            F.sequence(F.lit(1), nw - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("words", i), F.element_at("words", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bc = (
+        w.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    tb = bc.groupBy("doc_id").agg(
+        F.max("c").alias("topc"), F.sum("c").alias("tot")
+    )
+    ws = w.select(
+        "doc_id",
+        nw.alias("n_words"),
+        F.size(F.array_distinct("words")).alias("n_distinct"),
+    )
+    return tb.join(ws, "doc_id").select(
+        "doc_id",
+        F.round(F.col("topc").cast("double") / F.col("tot"), 4).alias(
+            "top_bigram_frac"
+        ),
+        F.round(
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words"), 4
+        ).alias("dup_word_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Symmetric int8 quantization of the embedding column — the storage form
+# ANN indexes ship at scale (4x smaller, SIMD-friendly). Per-vector scale =
+# max|v|/127; explicit floor(x + 0.5) rounding so Spark and DuckDB agree
+# bit-for-bit (round() half-case conventions differ between engines).
+# Integer checksums make the oracle hash exact.
+
+@register(
+    "embed_quantize_int8",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e,
+             list_aggregate(list_transform(e, x -> abs(x)), 'max') / 127.0
+               AS scale
+      FROM v
+    )
+    SELECT vec_id, round(scale, 6) AS scale6,
+           CAST(list_sum(list_transform(e,
+                  x -> CASE WHEN scale = 0 THEN 0.0
+                            ELSE floor(x / scale + 0.5) END)) AS BIGINT)
+             AS q_sum,
+           CAST(list_sum(list_transform(e,
+                  x -> CASE WHEN scale = 0 THEN 0.0
+                            ELSE abs(floor(x / scale + 0.5)) END)) AS BIGINT)
+             AS q_abs_sum
+    FROM s
+    """,
+)
+def q_embed_quantize_int8(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(e, F.abs)) / F.lit(127.0)
+
+    def quant(x):
+        return F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+            F.floor(x / F.col("scale") + F.lit(0.5)).cast("double")
+        )
+
+    def lsum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    return (
+        emb.select("vec_id", e.alias("e"), scale.alias("scale"))
+        .select(
+            "vec_id",
+            F.round("scale", 6).alias("scale6"),
+            lsum(F.transform("e", quant)).cast("long").alias("q_sum"),
+            lsum(F.transform("e", lambda x: F.abs(quant(x))))
+            .cast("long")
+            .alias("q_abs_sum"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q)
 
