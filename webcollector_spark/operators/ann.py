@@ -155,3 +155,163 @@ def rh_lsh_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "rk", F.round("sim", 4).alias("sim4"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Tier 4: IVF-flat (the index family FAISS/Milvus ship for billion-vector
+# search). Train coarse centroids with Lloyd's k-means, assign every vector
+# to its nearest cell (a pure map stage: k broadcast distances per row),
+# search only the query's `nprobe` nearest cells. Candidate volume is
+# ~ nprobe/k of the corpus; the registry twin `ivf_ann_topk` pins the
+# seeded-centroid variant against the DuckDB oracle.
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column.
+
+    Deterministic seeding: the k lowest-id vectors (k-means|| would seed
+    in production; fixed seeds keep tests reproducible). Each iteration
+    is one broadcast-assignment map plus one posexplode/groupBy mean —
+    shuffle volume O(n_vectors x dim) of (cluster, pos, value) triples,
+    never O(n^2). Centroids (k x dim doubles) round-trip through the
+    driver between iterations — they are small by construction; the
+    corpus never does. Empty cells keep their previous centroid (the
+    standard Lloyd convention).
+
+    Returns a DataFrame (cid int, ce array<double>).
+    """
+    spark = emb.sparkSession
+    vecs = emb.select(
+        F.col(id_col).alias("vid"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("ve"),
+    )
+    seed_rows = vecs.orderBy("vid").limit(k).collect()
+    cents = [(i, list(r["ve"])) for i, r in enumerate(seed_rows)]
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cents, "cid int, ce array<double>")
+        assigned = ivf_assign(vecs, cdf, id_col="vid", vec_col="ve")
+        means = (
+            vecs.join(assigned, "vid")
+            .select("cluster", F.posexplode("ve").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                    ),
+                    lambda s: s["m"],
+                ).alias("ce")
+            )
+            .collect()
+        )
+        new = {r["cluster"]: list(r["ce"]) for r in means}
+        cents = [(cid, new.get(cid, old)) for cid, old in cents]
+    return spark.createDataFrame(cents, "cid int, ce array<double>")
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid cell per vector: (id, cluster). Broadcast the
+    centroids; ties break toward the lower cid (deterministic)."""
+    w = Window.partitionBy(id_col).orderBy(F.col("d").asc(), F.col("cid").asc())
+    return (
+        emb.select(id_col, F.col(vec_col).alias("__v"))
+        .crossJoin(F.broadcast(centroids))
+        .select(id_col, "cid", _sqdist(F.col("__v"), F.col("ce")).alias("d"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select(id_col, F.col("cid").alias("cluster"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query, searched only inside the query's
+    `nprobe` nearest cells. `queries` must be (id_col, vec_col) rows
+    (typically a small subset — it is broadcast)."""
+    cluster_of = ivf_assign(emb, centroids, id_col, vec_col)
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("cid").asc()
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"))
+        .crossJoin(F.broadcast(centroids))
+        .select("query_id", "cid", _sqdist(F.col("qe"), F.col("ce")).alias("d"))
+        .withColumn("rk", F.row_number().over(probe_w))
+        .filter(F.col("rk") <= nprobe)
+        .select("query_id", F.col("cid").alias("cluster"))
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    cands = (
+        F.broadcast(probes)
+        .join(cluster_of, "cluster")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
+    scored = (
+        cands.join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ne")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("qe"), F.col("ne"))
+                / (
+                    F.sqrt(dot(F.col("qe"), F.col("qe")))
+                    * F.sqrt(dot(F.col("ne"), F.col("ne")))
+                )
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk", F.round("sim", 4).alias("sim4"))
+    )

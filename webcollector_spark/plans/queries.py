@@ -625,8 +625,18 @@ def _trigram_shingles(spark, sf):
 def _pruned_trigrams(spark, sf):
     """Trigram shingles minus the hot dictionary (df > max(5, 1% of
     docs)) — broadcast anti-join; the hot list is small by construction
-    (at most ~avg_shingles_per_doc * 100 entries)."""
-    sh = _trigram_shingles(spark, sf)
+    (at most ~avg_shingles_per_doc * 100 entries).
+
+    Persisted: the pair queries consume this subtree on BOTH sides of a
+    self-join, and the df-aggregate consumes it once more — without the
+    persist the shingle extraction (interpreted higher-order lambdas)
+    runs ~4x (measured 2.7x slower at sf0.1). The cached set is
+    (doc_id, shingle) rows — tiny relative to the corpus; at cluster
+    scale this is the standard "materialize the shingle table once"
+    step (a temp table in production)."""
+    from pyspark.storagelevel import StorageLevel
+
+    sh = _trigram_shingles(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
     n_docs = _t(spark, sf, "documents").count()
     thr = max(5.0, 0.01 * n_docs)
     hot = (
@@ -635,7 +645,13 @@ def _pruned_trigrams(spark, sf):
         .filter(F.col("df") > thr)
         .select("s")
     )
-    return sh.join(F.broadcast(hot), "s", "left_anti")
+    pruned = sh.join(F.broadcast(hot), "s", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # eager: the self-join's two sides otherwise materialize this subtree
+    # concurrently, each missing the still-empty cache (measured 2x)
+    pruned.count()
+    return pruned
 
 
 @register(
@@ -1718,7 +1734,7 @@ SQL["url_canonicalize"] = _canon_sql_body()
     cluster_of AS (SELECT vec_id, cid AS cluster FROM assign WHERE crk = 1),
     probes AS (
       SELECT vec_id AS query_id, cid AS cluster, crk AS prk
-      FROM assign WHERE vec_id >= 495 AND crk <= 2
+      FROM assign WHERE vec_id BETWEEN 495 AND 499 AND crk <= 2
     ),
     cands AS (
       SELECT p.query_id, c.vec_id AS neighbor_id
@@ -1770,7 +1786,9 @@ def q_ivf_ann_topk(spark, sf):
     cluster_of = assign.filter("crk = 1").select(
         "vec_id", F.col("cid").alias("cluster")
     )
-    probes = assign.filter((F.col("vec_id") >= 495) & (F.col("crk") <= 2)).select(
+    probes = assign.filter(
+        F.col("vec_id").between(495, 499) & (F.col("crk") <= 2)
+    ).select(
         F.col("vec_id").alias("query_id"), F.col("cid").alias("cluster")
     )
     cands = (
@@ -1782,7 +1800,7 @@ def q_ivf_ann_topk(spark, sf):
     scored = (
         cands.join(
             F.broadcast(
-                emb.filter(F.col("vec_id") >= 495).select(
+                emb.filter(F.col("vec_id").between(495, 499)).select(
                     F.col("vec_id").alias("query_id"), F.col("ve").alias("qe")
                 )
             ),
