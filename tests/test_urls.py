@@ -64,3 +64,67 @@ def test_crawl_knob_collapses_aliases(spark):
     assert on.select("url").distinct().count() >= 1  # raw urls preserved
     off = discovered_links(fetched, dedup=True, canonical_keys=False)
     assert off.select("key").distinct().count() == 2
+
+
+# -- property tests (hypothesis): structural invariants over random URLs ----
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_host = st.from_regex(r"[A-Za-z]([A-Za-z0-9-]{0,10}[A-Za-z0-9])?(\.[A-Za-z]{2,4}){1,2}", fullmatch=True)
+_path = st.from_regex(r"(/[A-Za-z0-9._~-]{0,8}){0,4}", fullmatch=True)
+_params = st.lists(
+    st.from_regex(r"[a-z]{1,4}=[A-Za-z0-9]{0,6}", fullmatch=True), max_size=5
+)
+_frag = st.from_regex(r"(#[A-Za-z0-9]{0,6})?", fullmatch=True)
+
+
+@st.composite
+def _urls(draw):
+    scheme = draw(st.sampled_from(["http", "HTTP", "https", "HTTPS", "Http"]))
+    host = draw(_host)
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    qs = draw(_params)
+    q = "?" + "&".join(qs) if qs else ""
+    return f"{scheme}://{host}{port}{draw(_path)}{q}{draw(_frag)}"
+
+
+@given(url=_urls())
+@settings(max_examples=300, deadline=None)
+def test_prop_idempotent_and_normalized(url):
+    c = canonicalize_url(url)
+    # idempotent fixpoint
+    assert canonicalize_url(c) == c
+    # scheme+host lowercased, fragment gone, path non-empty
+    scheme, rest = c.split("://", 1)
+    assert scheme == scheme.lower()
+    assert "#" not in c
+    host = rest.split("/", 1)[0]
+    assert host == host.lower()
+    assert "/" in rest
+    # default ports stripped, others kept
+    if scheme == "http":
+        assert not host.endswith(":80")
+    if scheme == "https":
+        assert not host.endswith(":443")
+    if ":8080" in url:
+        assert host.endswith(":8080")
+
+
+@given(url=_urls(), seed=st.integers(0, 2**31))
+@settings(max_examples=300, deadline=None)
+def test_prop_param_order_invariant(url, seed):
+    """Shuffling query params never changes the canonical form."""
+    import random
+
+    if "?" not in url:
+        return
+    base, q = url.split("?", 1)
+    frag = ""
+    if "#" in q:
+        q, f = q.split("#", 1)
+        frag = "#" + f
+    parts = q.split("&")
+    random.Random(seed).shuffle(parts)
+    assert canonicalize_url(url) == canonicalize_url(
+        base + "?" + "&".join(parts) + frag
+    )
