@@ -52,9 +52,17 @@ def main() -> None:
     n2 = exact_keep.count()
     print(f"after exact dedup: {n2} ({n1 - n2} exact dupes)")
 
-    # 3. near-dup: LSH candidate pairs -> connected components -> keepers
-    keepers = Q["dedup_cluster_keepers"](spark, sf)  # all docs, keeper flag
-    final = keepers.filter(F.col("is_keeper")).join(exact_keep, "doc_id")
+    # 3. near-dup: LSH candidate pairs -> connected components -> one
+    # keeper per cluster, RE-ELECTED within the surviving set (the
+    # full-corpus keeper may itself have been dropped by the quality or
+    # exact-dedup gates — its cluster must still contribute one doc)
+    clusters = Q["dedup_cluster_keepers"](spark, sf).select("doc_id", "cluster")
+    final = (
+        clusters.join(exact_keep, "doc_id")
+        .groupBy("cluster")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
     n3 = final.count()
     print(f"after near-dup clustering: {n3} ({n2 - n3} near dupes)")
 

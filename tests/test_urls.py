@@ -27,15 +27,18 @@ def test_python_rules():
 
 
 def test_jvm_column_matches_python(spark):
-    df = spark.createDataFrame([(r,) for r, _ in CASES if "://" in r], ["raw"])
+    extra = ["mailto:a@b.c", "javascript:void(0)", "/abs/path?b=1"]
+    raws = [r for r, _ in CASES] + extra
+    df = spark.createDataFrame([(r,) for r in raws], ["raw"])
     got = {
         r["raw"]: r["canon"]
         for r in df.select("raw", canonical_url_col(F.col("raw")).alias("canon"))
         .collect()
     }
+    for raw in raws:
+        assert got[raw] == canonicalize_url(raw), raw
     for raw, want in CASES:
-        if "://" in raw:
-            assert got[raw] == want, raw
+        assert got[raw] == want, raw
 
 
 def test_idempotent():

@@ -33,7 +33,12 @@ _QUERY_RE = r"^[^#]*\?([^#]*)"
 
 
 def canonical_url_col(url: Column) -> Column:
-    """Canonical form of an absolute http(s) URL as a JVM expression."""
+    """Canonical form of an absolute URL as a JVM expression.
+
+    Non-absolute inputs (relative links, mailto:, javascript:) pass
+    through unchanged, exactly like the Python twin — without the guard
+    every such string would collapse to the same garbage key and
+    distinct links would dedup into one frontier row."""
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     auth = F.lower(F.regexp_extract(url, _AUTH_RE, 1))
     auth = (
@@ -45,13 +50,14 @@ def canonical_url_col(url: Column) -> Column:
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(url, _QUERY_RE, 1)
     sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
         auth,
         path,
         F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
     )
+    return F.when(url.rlike(_SCHEME_RE), canon).otherwise(url)
 
 
 def canonicalize_url(url: str) -> str:
@@ -81,6 +87,8 @@ def canonicalize_url(url: str) -> str:
 
 
 # DuckDB rendering of the same rules; `{u}` is the raw-URL SQL expression.
+# Assumes absolute URLs (the registry query constructs them); it has no
+# pass-through branch for non-absolute inputs.
 CANON_SQL_TEMPLATE = """
     lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
     CASE lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))

@@ -43,6 +43,19 @@ def _dot_lit(vec: Column, plane: np.ndarray) -> Column:
     )
 
 
+def _dot(a: Column, b: Column) -> Column:
+    """<a, b> over two array columns as a JVM expression (double)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def _cos(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
 def rh_bucket(vec: Column, planes: np.ndarray) -> Column:
     """Bucket id = integer of sign bits of the plane projections."""
     bits = [
@@ -95,16 +108,7 @@ def rh_lsh_pairs(
     a = sigs.select("tab", "bucket", F.col("vid").alias("vec_a"), F.col("v").alias("va"))
     b = sigs.select("tab", "bucket", F.col("vid").alias("vec_b"), F.col("v").alias("vb"))
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, z: acc + z,
-        )
-
-    sim = dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
-    )
+    sim = _cos(F.col("va"), F.col("vb"))
     return (
         a.join(b, ["tab", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -269,13 +273,6 @@ def ivf_topk(
         .select("query_id", F.col("cid").alias("cluster"))
     )
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, z: acc + z,
-        )
-
     cands = (
         F.broadcast(probes)
         .join(cluster_of, "cluster")
@@ -298,13 +295,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                dot(F.col("qe"), F.col("ne"))
-                / (
-                    F.sqrt(dot(F.col("qe"), F.col("qe")))
-                    * F.sqrt(dot(F.col("ne"), F.col("ne")))
-                )
-            ).alias("sim"),
+            _cos(F.col("qe"), F.col("ne")).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

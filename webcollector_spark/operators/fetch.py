@@ -164,8 +164,12 @@ def _fetch_one(
 
     links: list[str] = []
     if resp.code in (301, 302) and resp.location:
-        # emit the resolved redirect target as a discovered link (O12)
-        links.append(resp.location)
+        # emit the redirect target as a discovered link (O12), resolving
+        # a relative Location header against the page URL (the reference
+        # pattern re-adds the ABSOLUTE location, DemoRedirectCrawler.java:52-63)
+        from urllib.parse import urljoin
+
+        links.append(urljoin(url, resp.location))
     if is_html and cfg.auto_parse:
         harvested = H.extract_links(text, url, cfg.auto_detect_img)
         if not rule.is_empty():
