@@ -277,13 +277,27 @@ class BreadthCrawler:
                 # threshold would load the filter at >1x capacity and
                 # blow the configured fpp exactly when the pre-prune
                 # first matters
-                bloom = build_bloom(
-                    frontier.select("key"),
-                    "key",
-                    max(cfg.bloom_capacity, approx or 0),
-                    cfg.bloom_fpp,
-                )
-                fresh = seen_filter(links, frontier.select("key"), "key", bloom)
+                cap = max(cfg.bloom_capacity, approx or 0)
+                if cfg.bloom_shards > 0:
+                    from webcollector_spark.operators.seen import (
+                        build_sharded_bloom,
+                        seen_filter_sharded,
+                    )
+
+                    sb = build_sharded_bloom(
+                        frontier.select("key"), "key", cap,
+                        cfg.bloom_fpp, cfg.bloom_shards,
+                    )
+                    fresh = seen_filter_sharded(
+                        links, frontier.select("key"), "key", sb
+                    )
+                else:
+                    bloom = build_bloom(
+                        frontier.select("key"), "key", cap, cfg.bloom_fpp
+                    )
+                    fresh = seen_filter(
+                        links, frontier.select("key"), "key", bloom
+                    )
             else:
                 fresh = links
 

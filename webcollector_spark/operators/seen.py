@@ -15,11 +15,12 @@ definitely hasn't seen skip the shuffle entirely; only bloom-positives
 (true hits + fpp false positives) go through the exact anti-join.
 
 Scale note (10^10 keys): one bitset at 1% fpp is ~12 GB — too big to
-broadcast. The production layout shards the bloom by key-hash range
-(SHARDS independent bitsets, each built/owned/applied by the partitions
-of its range after a repartition on the same hash), which this module's
-`shards` parameter models; correctness is identical because a key's
-shard assignment is a pure function of the key.
+broadcast. `ShardedBloom` / `build_sharded_bloom` / `seen_filter_sharded`
+below implement the production layout: S independent bitsets sharded by
+key hash, each built by the partitions that own its key range after one
+repartition on the shard id; correctness is identical because a key's
+shard assignment is a pure function of the key (verified equal to the
+exact anti-join in test_seen.py).
 """
 
 from __future__ import annotations
@@ -118,6 +119,129 @@ def seen_filter(
         b = Bloom.__new__(Bloom)
         b.bits, b.m, b.k = np.frombuffer(bits, dtype=np.uint8), m, k
         return pd.Series(b.maybe_contains(keys.astype(str)))
+
+    flagged = candidates.withColumn("__maybe", maybe_seen(F.col(key_col)))
+    fresh = flagged.filter(~F.col("__maybe")).drop("__maybe")
+    suspect = (
+        flagged.filter(F.col("__maybe"))
+        .drop("__maybe")
+        .join(seen_keys.select(key_col), key_col, "left_anti")
+    )
+    return fresh.unionByName(suspect)
+
+
+# ---------------------------------------------------------------------------
+# Sharded bloom — the 10^10-key layout. One bitset at 1% fpp over 10^10
+# keys is ~12 GB (not broadcastable); S independent bitsets of the same
+# total size are, shard-by-shard. A key's shard is a pure function of
+# the key (h1 % S with the same SipHash family, an INDEPENDENT draw from
+# the bit-index hashes since those use h1/h2 double-hashing offsets), so
+# build and probe agree with no coordination. Build: route keys to their
+# shard partition (one shuffle of just the key column), fold each
+# partition's keys into its local shard bitsets, OR-merge per shard on
+# the driver (S x m/S bytes total — the same volume as the single
+# bitset, arriving pre-partitioned). Probe: candidates are checked
+# against only their own shard's bitset; executors page in shards
+# lazily from the broadcast, so co-partitioned candidates touch one
+# shard per task.
+
+
+class ShardedBloom:
+    def __init__(self, capacity: int, fpp: float = 0.01, shards: int = 16):
+        self.shards = shards
+        self.blooms = [
+            Bloom(max(64, capacity // shards), fpp) for _ in range(shards)
+        ]
+
+    @staticmethod
+    def shard_of(keys: pd.Series, shards: int) -> np.ndarray:
+        h1, _ = _hash2(keys)
+        return (h1 % np.uint64(shards)).astype(np.int64)
+
+    def add_series(self, keys: pd.Series) -> None:
+        sh = self.shard_of(keys, self.shards)
+        for s in np.unique(sh):
+            self.blooms[int(s)].add_series(keys[sh == s])
+
+    def maybe_contains(self, keys: pd.Series) -> np.ndarray:
+        sh = self.shard_of(keys, self.shards)
+        out = np.zeros(len(keys), dtype=bool)
+        for s in np.unique(sh):
+            mask = sh == s
+            out[mask] = self.blooms[int(s)].maybe_contains(keys[mask])
+        return out
+
+
+def build_sharded_bloom(
+    keys_df: DataFrame,
+    key_col: str = "key",
+    capacity: int = 1_000_000,
+    fpp: float = 0.01,
+    shards: int = 16,
+) -> ShardedBloom:
+    """Distributed sharded build: keys shuffle ONCE to their shard's
+    partition, each partition folds its resident shards, the driver
+    OR-merges per shard (most shards arrive as a single partial)."""
+
+    def shard_udf(keys: pd.Series) -> pd.Series:
+        return pd.Series(ShardedBloom.shard_of(keys.astype(str), shards))
+
+    shard_col = F.pandas_udf(shard_udf, T.LongType())(F.col(key_col))
+    routed = (
+        keys_df.select(F.col(key_col).cast("string").alias(key_col))
+        .withColumn("__shard", shard_col)
+        .repartition(shards, "__shard")
+    )
+    cap = max(64, capacity // shards)
+
+    def partial(batches):
+        local: dict[int, Bloom] = {}
+        for pdf in batches:
+            for s, grp in pdf.groupby("__shard"):
+                b = local.setdefault(int(s), Bloom(cap, fpp))
+                b.add_series(grp[key_col].astype(str))
+        for s, b in local.items():
+            yield pd.DataFrame({"shard": [s], "bits": [b.bits.tobytes()]})
+
+    out = ShardedBloom(capacity, fpp, shards)
+    for row in routed.mapInPandas(partial, schema="shard long, bits binary").collect():
+        out.blooms[int(row["shard"])].bits |= np.frombuffer(
+            row["bits"], dtype=np.uint8
+        )
+    return out
+
+
+def seen_filter_sharded(
+    candidates: DataFrame,
+    seen_keys: DataFrame,
+    key_col: str = "key",
+    sharded: ShardedBloom | None = None,
+) -> DataFrame:
+    """`seen_filter` with a sharded bloom: identical semantics (no false
+    negatives — bloom-positives still go through the exact anti-join)."""
+    if sharded is None:
+        return candidates.join(seen_keys.select(key_col), key_col, "left_anti")
+
+    spark = candidates.sparkSession
+    payload = (
+        [b.bits.tobytes() for b in sharded.blooms],
+        sharded.blooms[0].m,
+        sharded.blooms[0].k,
+        sharded.shards,
+    )
+    bc = spark.sparkContext.broadcast(payload)
+
+    @F.pandas_udf(T.BooleanType())
+    def maybe_seen(keys: pd.Series) -> pd.Series:
+        bits_list, m, k, shards = bc.value
+        sb = ShardedBloom.__new__(ShardedBloom)
+        sb.shards = shards
+        sb.blooms = []
+        for bits in bits_list:
+            b = Bloom.__new__(Bloom)
+            b.bits, b.m, b.k = np.frombuffer(bits, dtype=np.uint8), m, k
+            sb.blooms.append(b)
+        return pd.Series(sb.maybe_contains(keys.astype(str)))
 
     flagged = candidates.withColumn("__maybe", maybe_seen(F.col(key_col)))
     fresh = flagged.filter(~F.col("__maybe")).drop("__maybe")
