@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import time
 from collections.abc import Iterator
+from urllib.parse import urljoin
 
 import pandas as pd
 
@@ -167,8 +168,6 @@ def _fetch_one(
         # emit the redirect target as a discovered link (O12), resolving
         # a relative Location header against the page URL (the reference
         # pattern re-adds the ABSOLUTE location, DemoRedirectCrawler.java:52-63)
-        from urllib.parse import urljoin
-
         links.append(urljoin(url, resp.location))
     if is_html and cfg.auto_parse:
         harvested = H.extract_links(text, url, cfg.auto_detect_img)
