@@ -134,3 +134,25 @@ class TestShardedBloom:
             for r in crawler.frontier().collect()
         }
         assert got == oracle.state()
+
+
+def test_false_positive_rate_near_configured():
+    """The measured fpp must track the configured 1% for BOTH layouts.
+    Regression: two SipHash keys that truncated to the same 16 bytes
+    once degenerated double hashing (2.6% mono) and a shard id derived
+    from the probe hash correlated shard and bit positions (47%
+    sharded). Pure numpy — no Spark session needed."""
+    keys = pd.Series([f"http://h{i % 11}.t/p{i}" for i in range(100_000)])
+    new = pd.Series([f"http://x{i % 11}.t/q{i}" for i in range(50_000)])
+
+    b = Bloom(100_000, fpp=0.01)
+    b.add_series(keys)
+    assert b.maybe_contains(keys).all()  # no false negatives
+    assert b.maybe_contains(new).mean() < 0.02
+
+    from webcollector_spark.operators.seen import ShardedBloom
+
+    sb = ShardedBloom(100_000, fpp=0.01, shards=16)
+    sb.add_series(keys)
+    assert sb.maybe_contains(keys).all()
+    assert sb.maybe_contains(new).mean() < 0.02

@@ -261,23 +261,33 @@ class BreadthCrawler:
             # definitely-new links out of the exact anti-join entirely.
             if self.visitor is not None:
                 # visitor-emitted datums (key != url + meta) are the
-                # link segment (Fetcher.java:246-270)
-                links = discovered_datums(fetched)
+                # link segment (Fetcher.java:246-270); default-key
+                # datums honor the same canonicalization knob as
+                # auto-parsed links so seed and link keys agree
+                links = discovered_datums(
+                    fetched, canonical_keys=cfg.canonicalize_link_keys
+                )
             else:
                 links = discovered_links(
                     fetched,
                     dedup=False,  # merge dedups
                     canonical_keys=cfg.canonicalize_link_keys,
                 )
-            if 0 < cfg.bloom_capacity and (
-                approx is None or cfg.bloom_min_frontier <= approx
+            if (
+                0 < cfg.bloom_capacity
+                and approx is not None
+                and cfg.bloom_min_frontier <= approx
             ):
-                # size from the LIVE frontier count when known (memoized
-                # — no extra job): a fixed capacity below the activation
-                # threshold would load the filter at >1x capacity and
-                # blow the configured fpp exactly when the pre-prune
-                # first matters
-                cap = max(cfg.bloom_capacity, approx or 0)
+                # size from the LIVE frontier count (memoized — no extra
+                # job): a fixed capacity below the activation threshold
+                # would load the filter at >1x capacity and blow the
+                # configured fpp exactly when the pre-prune first
+                # matters. When the count is UNKNOWN (LSM store with
+                # track_new_links=False) the bloom is skipped outright:
+                # an unsizable filter over a large frontier saturates to
+                # fpp~1 and the round would pay the build for zero
+                # pruning — the exact anti-join is always correct.
+                cap = max(cfg.bloom_capacity, approx)
                 if cfg.bloom_shards > 0:
                     from webcollector_spark.operators.seen import (
                         build_sharded_bloom,

@@ -112,6 +112,11 @@ def _fetch_one(
     if is_html and (cfg.auto_parse or dispatcher is not None):
         text, charset = decode_html(content)
         out["charset"] = charset
+    if is_html and cfg.auto_parse:
+        # payload extraction (caption + data-URI image decode + phash
+        # for the per-row invariant) belongs to the auto-parse path
+        # only; a visitor handler that wants page content reads
+        # page.html — it must not pay image decode per page
         out["caption"] = H.extract_caption(text)
         img_bytes = H.extract_data_uri_image(text)
         if img_bytes is not None:
@@ -245,6 +250,17 @@ def fetch(
         for pdf in batches:
             out_rows = []
             for row in pdf.to_dict("records"):
+                # robots gate FIRST: a disallowed row makes no request,
+                # so it must not consume the politeness budget (a
+                # Disallow-all host with Crawl-delay 30 would otherwise
+                # stall its partition 30 s per never-made request)
+                if robots is not None and not robots.allowed(
+                    row["host"], row["url"]
+                ):
+                    out_rows.append(
+                        _fetch_one(row, req, robots, rule, cfg_small, disp)
+                    )
+                    continue
                 # robots Crawl-delay tightens the configured budget
                 delay = (
                     robots.crawl_delay(row["host"]) if robots is not None else None

