@@ -256,8 +256,8 @@ Crawl-delay: 0.05
 """
 
     def test_parse_rules(self):
-        dis, delay = RobotsCache.parse_rules(self.BODY)
-        assert dis == ["/private"]
+        rules, delay = RobotsCache.parse_rules(self.BODY)
+        assert rules == [("/private", False)]
         assert delay == 0.05  # star section only, not 'other'
 
     def test_cached_per_host(self):
@@ -311,3 +311,38 @@ Crawl-delay: 0.05
         assert len(rows) == len(urls)
         assert all(r.status == 5 for r in rows)
         assert wall >= 0.2 * (len(urls) - 1)  # 4 gaps at 200ms
+
+
+class TestRobotsAllow:
+    """RFC 9309 Allow with longest-match precedence."""
+
+    BODY = """User-agent: *
+Disallow: /private
+Allow: /private/pub
+Disallow: /private/pub/secret
+Allow: /
+"""
+
+    def test_longest_match_wins(self):
+        from webcollector_spark.sources.requester import RobotsCache
+
+        class _R:
+            def robots_txt(self, host):
+                return TestRobotsAllow.BODY
+
+        rc = RobotsCache(_R(), ttl_s=3600)
+        assert not rc.allowed("h", "http://h/private/doc")       # /private
+        assert rc.allowed("h", "http://h/private/pub/x")         # longer Allow
+        assert not rc.allowed("h", "http://h/private/pub/secret/y")  # longer Disallow
+        assert rc.allowed("h", "http://h/open")                  # Allow: /
+
+    def test_consecutive_user_agents_share_group(self):
+        from webcollector_spark.sources.requester import RobotsCache
+
+        body = "User-agent: foo\nUser-agent: *\nDisallow: /x\n"
+        rules, _ = RobotsCache.parse_rules(body)
+        assert rules == [("/x", False)]
+        # a NEW group for another agent does not leak into *
+        body2 = "User-agent: *\nDisallow: /a\nUser-agent: foo\nDisallow: /b\n"
+        rules2, _ = RobotsCache.parse_rules(body2)
+        assert rules2 == [("/a", False)]

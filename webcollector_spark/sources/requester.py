@@ -206,12 +206,15 @@ class RobotsCache:
         self._cache: dict[str, tuple[float, list[str]]] = {}
 
     @staticmethod
-    def parse_rules(body: str) -> tuple[list[str], float | None]:
-        """(disallow prefixes, crawl-delay seconds) for User-agent: *
-        (minimal RFC 9309 subset + the de-facto Crawl-delay extension)."""
-        disallows: list[str] = []
+    def parse_rules(body: str) -> tuple[list[tuple[str, bool]], float | None]:
+        """([(path prefix, is_allow)], crawl-delay seconds) for
+        User-agent: * (RFC 9309 subset: Allow/Disallow with
+        longest-match precedence, consecutive User-agent lines forming
+        one group, plus the de-facto Crawl-delay extension)."""
+        rules: list[tuple[str, bool]] = []
         delay: float | None = None
         active = False
+        last_was_ua = False
         for line in body.splitlines():
             line = line.split("#", 1)[0].strip()
             if not line or ":" not in line:
@@ -219,19 +222,24 @@ class RobotsCache:
             field, _, value = line.partition(":")
             field, value = field.strip().lower(), value.strip()
             if field == "user-agent":
-                active = value == "*"
-            elif field == "disallow" and active and value:
-                disallows.append(value)
+                if not last_was_ua:
+                    active = False  # a new group header resets the match
+                active = active or value == "*"
+                last_was_ua = True
+                continue
+            last_was_ua = False
+            if field in ("disallow", "allow") and active and value:
+                rules.append((value, field == "allow"))
             elif field == "crawl-delay" and active:
                 try:
                     delay = max(0.0, float(value))
                 except ValueError:
                     pass
-        return disallows, delay
+        return rules, delay
 
     @staticmethod
     def parse_disallows(body: str) -> list[str]:
-        return RobotsCache.parse_rules(body)[0]
+        return [p for p, allow in RobotsCache.parse_rules(body)[0] if not allow]
 
     def _entry(self, host: str, now: float):
         entry = self._cache.get(host)
@@ -243,10 +251,18 @@ class RobotsCache:
         return entry
 
     def allowed(self, host: str, url: str, now: float | None = None) -> bool:
+        """RFC 9309 decision: the LONGEST matching rule wins; on equal
+        length Allow beats Disallow; no matching rule means allowed."""
         now = time.time() if now is None else now
         entry = self._entry(host, now)
         path = "/" + url.split("://", 1)[-1].split("/", 1)[-1] if "/" in url.split("://", 1)[-1] else "/"
-        return not any(path.startswith(p) for p in entry[1])
+        best: tuple[int, bool] | None = None
+        for prefix, allow in entry[1]:
+            if path.startswith(prefix):
+                ln = len(prefix)
+                if best is None or ln > best[0] or (ln == best[0] and allow):
+                    best = (ln, allow)
+        return best is None or best[1]
 
     def crawl_delay(self, host: str, now: float | None = None) -> float | None:
         """Host's Crawl-delay directive (seconds), or None. Feeds the
