@@ -55,6 +55,8 @@ HEADLINE = [
     "ivf_ann_topk",
     "gopher_repetition",
     "embed_quantize_int8",
+    "decontaminate_ngram",
+    "char_entropy",
     # text_normalize excluded: 0.25s warm but its first run pays ~4s of
     # one-time whole-stage-codegen JIT for the regex+md5 chain, which
     # would record as query cost; it stays in the 52-query correctness

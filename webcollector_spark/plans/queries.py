@@ -1962,6 +1962,123 @@ def q_embed_quantize_int8(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — the asymmetric twin of ngram_overlap: flag
+# TRAINING docs sharing any distinct word 5-gram with a BENCHMARK set
+# (here the src0 slice as the stand-in eval set). The benchmark shingle
+# dictionary is small by construction, so the probe is a broadcast join
+# against every training shingle — one map-side pass over the corpus,
+# no all-pairs stage. Standard pretraining hygiene (GPT-3 appendix C).
+
+@register(
+    "decontaminate_ngram",
+    r"""
+    WITH w AS (
+      SELECT doc_id, source, string_split_regex(text, '\s+') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source, unnest(list_distinct(
+               [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                      || ws[i+3] || ' ' || ws[i+4]
+                for i in range(1, len(ws) - 3)])) AS s
+      FROM w WHERE len(ws) >= 5
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+    hits AS (
+      SELECT t.doc_id, count(*) AS n_shared
+      FROM sh t JOIN bench b ON t.s = b.s
+      WHERE t.source <> 'src0'
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+           coalesce(h.n_shared, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.source <> 'src0'
+    """,
+)
+def q_decontaminate_ngram(spark, sf):
+    docs = _t(spark, sf, "documents")
+    w = docs.select(
+        "doc_id", "source", F.split("text", r"\s+").alias("ws")
+    ).filter(F.size("ws") >= 5)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 4),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at("ws", i + j) for j in range(5)],
+            ),
+        )
+    )
+    sh = w.select("doc_id", "source", F.explode(grams).alias("s"))
+    bench = (
+        sh.filter(F.col("source") == "src0").select("s").distinct()
+    )
+    hits = (
+        sh.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal: low-entropy documents are repetitive
+# boilerplate/encoding junk, high-entropy ones are often binary-as-text —
+# a standard cheap filter alongside the C4/Gopher rules. Explode chars ->
+# per-doc distribution -> Shannon entropy, all JVM-side.
+
+@register(
+    "char_entropy",
+    """
+    WITH c AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, length(text) + 1), i -> substr(text, i, 1))) AS ch
+      FROM documents
+    ),
+    f AS (SELECT doc_id, ch, count(*) AS n FROM c GROUP BY doc_id, ch),
+    t AS (SELECT doc_id, sum(n) AS tot FROM f GROUP BY doc_id)
+    SELECT f.doc_id,
+           round(-sum((CAST(f.n AS DOUBLE) / t.tot)
+                      * log2(CAST(f.n AS DOUBLE) / t.tot)), 4) AS entropy_bits
+    FROM f JOIN t ON f.doc_id = t.doc_id
+    GROUP BY f.doc_id
+    """,
+)
+def q_char_entropy(spark, sf):
+    docs = _t(spark, sf, "documents")
+    chars = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length("text")),
+            lambda i: F.col("text").substr(i, F.lit(1)),
+        )
+    )
+    f = (
+        docs.select("doc_id", chars.alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("n"))
+    )
+    t = f.groupBy("doc_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    return (
+        f.join(t, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q)
 
