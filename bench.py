@@ -59,7 +59,7 @@ HEADLINE = [
     "char_entropy",
     # text_normalize excluded: 0.25s warm but its first run pays ~4s of
     # one-time whole-stage-codegen JIT for the regex+md5 chain, which
-    # would record as query cost; it stays in the 52-query correctness
+    # would record as query cost; it stays in the 58-query correctness
     # registry.
 ]
 

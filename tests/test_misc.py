@@ -346,3 +346,36 @@ Allow: /
         body2 = "User-agent: *\nDisallow: /a\nUser-agent: foo\nDisallow: /b\n"
         rules2, _ = RobotsCache.parse_rules(body2)
         assert rules2 == [("/a", False)]
+
+
+def test_host_metrics_history(spark, small_web, tmp_path):
+    """host_metrics_path writes one row per (round, host) with fetch /
+    fail / robots / link aggregates, idempotent per round partition."""
+    from webcollector_spark import fixtures
+    from webcollector_spark.config import CrawlerConfig
+    from webcollector_spark.crawler import RamCrawler
+    from webcollector_spark.sources.requester import SyntheticRequester
+
+    graph, corpus = small_web
+    req = SyntheticRequester(graph.to_dict("records"), corpus.to_dict("records"))
+    path = str(tmp_path / "host_metrics")
+    c = RamCrawler(
+        spark, req, config=CrawlerConfig(host_metrics_path=path)
+    )
+    c.add_seed(fixtures.seeds_for(graph, 3))
+    metrics = c.start(2)
+    hm = spark.read.parquet(path)
+    assert {"host", "fetched", "failed", "robots_denied",
+            "avg_execute_count", "links_emitted", "round"} <= set(hm.columns)
+    assert hm.select("round").distinct().count() == len(metrics)
+    # per-round fetched totals reconcile with the round metrics
+    per_round = {
+        r["round"]: r["s"]
+        for r in hm.groupBy("round").agg(F.sum("fetched").alias("s")).collect()
+    }
+    for m in metrics:
+        assert per_round[m.round] == m.generated
+    # one row per (round, host)
+    assert (
+        hm.groupBy("round", "host").count().filter("count > 1").count() == 0
+    )

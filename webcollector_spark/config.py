@@ -97,6 +97,13 @@ class CrawlerConfig:
     # to a `fetched` table; offline analyses (per-round code/status
     # drift, recrawl policies) read it without touching the frontier.
     fetched_history_path: str | None = None
+    # Optional per-host metrics history (north-star "per-partition
+    # lineage + metrics"): one row per (round, host) with fetch/fail/
+    # robots-denied counts, retry depth, and links emitted — O(hosts)
+    # rows per round, partitioned by round, crash-resume idempotent.
+    # Offline consumers: politeness tuning, dead-host pruning, per-host
+    # crawl-health dashboards.
+    host_metrics_path: str | None = None
     # Number of partitions for the fetch stage (defaults to `threads`).
     fetch_partitions: int = 0
     # Target generated rows per fetch task: the fetch stage uses

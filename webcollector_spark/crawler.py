@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from webcollector_spark.config import CrawlerConfig
+from webcollector_spark.operators.fetch import CODE_ROBOTS_DENIED
 from webcollector_spark.operators.fetch import fetch as fetch_op
 from webcollector_spark.operators.generate import generate, generate_per_host
 from webcollector_spark.operators.parse import discovered_datums, discovered_links
@@ -329,6 +330,46 @@ class BreadthCrawler:
                         .write.mode("overwrite")
                         .partitionBy("round")
                         .parquet(cfg.fetched_history_path)
+                    )
+                finally:
+                    self.spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", prev_mode
+                    )
+
+            # Optional per-host (= per frontier partition) metrics
+            # history: one row per (round, host) with execute/byte/code
+            # aggregates — the "per-partition lineage + metrics" table.
+            # O(hosts) rows per round; idempotent on crash-resume re-run
+            # of a round (dynamic partition overwrite replaces round r).
+            if cfg.host_metrics_path:
+                prev_mode = self.spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", "static"
+                )
+                self.spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                try:
+                    (
+                        fetched.groupBy("host")
+                        .agg(
+                            F.count("*").alias("fetched"),
+                            F.sum(
+                                (F.col("status") == STATUS_DB_FAILED).cast("long")
+                            ).alias("failed"),
+                            F.sum(
+                                (F.col("code") == CODE_ROBOTS_DENIED).cast("long")
+                            ).alias("robots_denied"),
+                            F.avg("execute_count").alias("avg_execute_count"),
+                            F.sum(
+                                F.when(F.col("links").isNull(), 0).otherwise(
+                                    F.size("links")
+                                )
+                            ).alias("links_emitted"),
+                        )
+                        .withColumn("round", F.lit(r))
+                        .write.mode("overwrite")
+                        .partitionBy("round")
+                        .parquet(cfg.host_metrics_path)
                     )
                 finally:
                     self.spark.conf.set(
