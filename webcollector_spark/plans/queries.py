@@ -2079,6 +2079,58 @@ def q_char_entropy(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# Per-document TF-IDF top terms — the classic keyword extractor: term
+# frequency within the doc x inverse document frequency across the
+# corpus, top-3 per doc. Two aggregations + a broadcast of the df
+# dictionary + one window; the idf table is O(vocabulary), never the
+# corpus.
+
+@register(
+    "tfidf_top_terms",
+    r"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, rk, round(score, 4) + 0 AS tfidf4
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark, sf):
+    docs = _t(spark, sf, "documents")
+    w = docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("term"))
+    tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = w.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+    )
+    rk_w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(rk_w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id", "term", "rk", (F.round("score", 4) + F.lit(0.0)).alias("tfidf4")
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q)
 
