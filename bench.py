@@ -60,7 +60,7 @@ HEADLINE = [
     "tfidf_top_terms",
     # text_normalize excluded: 0.25s warm but its first run pays ~4s of
     # one-time whole-stage-codegen JIT for the regex+md5 chain, which
-    # would record as query cost; it stays in the 58-query correctness
+    # would record as query cost; it stays in the 59-query correctness
     # registry.
 ]
 

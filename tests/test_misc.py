@@ -379,3 +379,36 @@ def test_host_metrics_history(spark, small_web, tmp_path):
     assert (
         hm.groupBy("round", "host").count().filter("count > 1").count() == 0
     )
+
+
+class TestRobotsWildcards:
+    """RFC 9309 2.2.3 metacharacters: '*' any-sequence, trailing '$'."""
+
+    BODY = """User-agent: *
+Disallow: /*.pdf
+Disallow: /private*/data
+Allow: /page$
+Disallow: /page
+"""
+
+    def _rc(self):
+        from webcollector_spark.sources.requester import RobotsCache
+
+        class _R:
+            def robots_txt(self, host):
+                return TestRobotsWildcards.BODY
+
+        return RobotsCache(_R(), ttl_s=3600)
+
+    def test_star_matches_any_sequence(self):
+        rc = self._rc()
+        assert not rc.allowed("h", "http://h/docs/report.pdf")
+        assert not rc.allowed("h", "http://h/a.pdf")
+        assert rc.allowed("h", "http://h/docs/report.txt")
+        assert not rc.allowed("h", "http://h/private2024/data")
+        assert rc.allowed("h", "http://h/private2024/other")
+
+    def test_dollar_anchors_end(self):
+        rc = self._rc()
+        assert rc.allowed("h", "http://h/page")       # Allow: /page$ exact
+        assert not rc.allowed("h", "http://h/page2")  # prefix Disallow wins

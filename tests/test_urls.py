@@ -131,3 +131,38 @@ def test_prop_param_order_invariant(url, seed):
     assert canonicalize_url(url) == canonicalize_url(
         base + "?" + "&".join(parts) + frag
     )
+
+
+def test_visitor_datums_canonical_default_keys(spark):
+    """Visitor-emitted datums: default keys (key == url, as the fetch
+    UDF materializes them) adopt the canonical form; explicit keys that
+    differ from the url are never rewritten."""
+    from webcollector_spark.operators.parse import discovered_datums
+
+    fetched = spark.createDataFrame(
+        [
+            (
+                "http://h/p0",
+                [
+                    {"key": "HTTP://H:80/a?b=2&a=1", "url": "HTTP://H:80/a?b=2&a=1",
+                     "meta": None},
+                    {"key": "user-key-7", "url": "http://h/a?a=1&b=2", "meta": None},
+                ],
+                0,
+                0.0,
+            )
+        ],
+        "url string, next_datums array<struct<key:string,url:string,"
+        "meta:map<string,string>>>, depth int, priority double",
+    )
+    rows = {
+        r["key"]
+        for r in discovered_datums(fetched, canonical_keys=True).collect()
+    }
+    assert "http://h/a?a=1&b=2" in rows   # default key canonicalized
+    assert "user-key-7" in rows           # explicit key untouched
+    off = {
+        r["key"]
+        for r in discovered_datums(fetched, canonical_keys=False).collect()
+    }
+    assert "HTTP://H:80/a?b=2&a=1" in off

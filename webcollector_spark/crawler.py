@@ -218,8 +218,10 @@ class BreadthCrawler:
             # rows instead of re-running both window phases.
             # cheap_count: best-effort size for the salt/bloom gates —
             # None (unknown, e.g. LSM with new-links tracking off) means
-            # assume LARGE and enable the scale defenses, never pay an
-            # exact fold just for a heuristic.
+            # assume LARGE for the SALT defense (activation needs no
+            # sizing) but SKIP the bloom (sizing a filter needs the
+            # count; see the bloom gate below). Never pay an exact fold
+            # just for a heuristic.
             approx = self.store.cheap_count()
             if cfg.per_host_top_k > 0:
                 salt = (
@@ -317,24 +319,9 @@ class BreadthCrawler:
             # Dynamic partition overwrite makes a crash-and-resume
             # re-run of round r replace (not duplicate) its partition.
             if cfg.fetched_history_path:
-                prev_mode = self.spark.conf.get(
-                    "spark.sql.sources.partitionOverwriteMode", "static"
+                self._write_round_partition(
+                    fetched.drop("content"), cfg.fetched_history_path, r
                 )
-                self.spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
-                )
-                try:
-                    (
-                        fetched.drop("content")
-                        .withColumn("round", F.lit(r))
-                        .write.mode("overwrite")
-                        .partitionBy("round")
-                        .parquet(cfg.fetched_history_path)
-                    )
-                finally:
-                    self.spark.conf.set(
-                        "spark.sql.sources.partitionOverwriteMode", prev_mode
-                    )
 
             # Optional per-host (= per frontier partition) metrics
             # history: one row per (round, host) with execute/byte/code
@@ -342,39 +329,30 @@ class BreadthCrawler:
             # O(hosts) rows per round; idempotent on crash-resume re-run
             # of a round (dynamic partition overwrite replaces round r).
             if cfg.host_metrics_path:
-                prev_mode = self.spark.conf.get(
-                    "spark.sql.sources.partitionOverwriteMode", "static"
-                )
-                self.spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
-                )
-                try:
-                    (
-                        fetched.groupBy("host")
-                        .agg(
-                            F.count("*").alias("fetched"),
-                            F.sum(
-                                (F.col("status") == STATUS_DB_FAILED).cast("long")
-                            ).alias("failed"),
-                            F.sum(
-                                (F.col("code") == CODE_ROBOTS_DENIED).cast("long")
-                            ).alias("robots_denied"),
-                            F.avg("execute_count").alias("avg_execute_count"),
-                            F.sum(
-                                F.when(F.col("links").isNull(), 0).otherwise(
-                                    F.size("links")
-                                )
-                            ).alias("links_emitted"),
-                        )
-                        .withColumn("round", F.lit(r))
-                        .write.mode("overwrite")
-                        .partitionBy("round")
-                        .parquet(cfg.host_metrics_path)
+                def _emitted(col):  # null-safe element count
+                    return F.sum(
+                        F.when(F.col(col).isNull(), 0).otherwise(F.size(col))
                     )
-                finally:
-                    self.spark.conf.set(
-                        "spark.sql.sources.partitionOverwriteMode", prev_mode
-                    )
+
+                self._write_round_partition(
+                    fetched.groupBy("host").agg(
+                        F.count("*").alias("fetched"),
+                        F.sum(
+                            (F.col("status") == STATUS_DB_FAILED).cast("long")
+                        ).alias("failed"),
+                        F.sum(
+                            (F.col("code") == CODE_ROBOTS_DENIED).cast("long")
+                        ).alias("robots_denied"),
+                        F.avg("execute_count").alias("avg_execute_count"),
+                        # auto-parse emissions live in `links`, visitor
+                        # emissions in `next_datums` — count both
+                        (_emitted("links") + _emitted("next_datums")).alias(
+                            "links_emitted"
+                        ),
+                    ),
+                    cfg.host_metrics_path,
+                    r,
+                )
 
             # O9 merge: one snapshot commit; inserted-links count derived
             # from the frontier row-count delta (no extra count job).
@@ -393,6 +371,26 @@ class BreadthCrawler:
             self.metrics.append(m)
             self.store.log_round(**m.__dict__)
         return self.metrics
+
+    def _write_round_partition(self, df: DataFrame, path: str, r: int) -> None:
+        """Append df as partition round=r of a history table, replacing
+        that partition if it exists (crash-resume idempotence) without
+        touching other rounds (dynamic partition overwrite)."""
+        prev_mode = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                df.withColumn("round", F.lit(r))
+                .write.mode("overwrite")
+                .partitionBy("round")
+                .parquet(path)
+            )
+        finally:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
 
     # -- inspection ------------------------------------------------------
     def frontier(self) -> DataFrame:

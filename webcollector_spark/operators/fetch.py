@@ -79,6 +79,7 @@ def _fetch_one(
     rule: RegexRule,
     cfg: CrawlerConfig,
     dispatcher=None,
+    robots_ok: bool | None = None,
 ) -> dict:
     url, host = row["url"], row["host"]
     out = dict(row)
@@ -89,7 +90,11 @@ def _fetch_one(
         caption=None, image_id=None, phash=None, next_datums=None,
     )
 
-    if robots is not None and not robots.allowed(host, url):
+    # robots_ok: the run loop's pre-gate verdict (it must decide BEFORE
+    # the politeness wait). None = not pre-checked (direct callers).
+    if robots_ok is False or (
+        robots_ok is None and robots is not None and not robots.allowed(host, url)
+    ):
         out["status"], out["code"] = STATUS_DB_FAILED, CODE_ROBOTS_DENIED
         return out
 
@@ -253,21 +258,21 @@ def fetch(
                 # robots gate FIRST: a disallowed row makes no request,
                 # so it must not consume the politeness budget (a
                 # Disallow-all host with Crawl-delay 30 would otherwise
-                # stall its partition 30 s per never-made request)
-                if robots is not None and not robots.allowed(
-                    row["host"], row["url"]
-                ):
-                    out_rows.append(
-                        _fetch_one(row, req, robots, rule, cfg_small, disp)
+                # stall its partition 30 s per never-made request). The
+                # verdict is passed down so the rules scan runs ONCE.
+                ok = robots is None or robots.allowed(row["host"], row["url"])
+                if ok:
+                    # robots Crawl-delay tightens the configured budget
+                    delay = (
+                        robots.crawl_delay(row["host"])
+                        if robots is not None
+                        else None
                     )
-                    continue
-                # robots Crawl-delay tightens the configured budget
-                delay = (
-                    robots.crawl_delay(row["host"]) if robots is not None else None
-                )
-                bucket.wait(row["host"], delay)
+                    bucket.wait(row["host"], delay)
                 out_rows.append(
-                    _fetch_one(row, req, robots, rule, cfg_small, disp)
+                    _fetch_one(
+                        row, req, robots, rule, cfg_small, disp, robots_ok=ok
+                    )
                 )
             yield pd.DataFrame(out_rows, columns=cols) if out_rows else pd.DataFrame(
                 columns=cols

@@ -89,24 +89,25 @@ def discovered_datums(fetched: DataFrame, canonical_keys: bool = False) -> DataF
     path. Intra-round/cross-round dedup is left to the merge window
     (first-wins per key, deterministic depth-asc/url-asc tiebreak).
 
-    `canonical_keys` applies ONLY to default-key datums (no explicit
-    key): they fall back to the canonical url form, matching what
-    `discovered_links` and canonicalized seeds use — an explicit user
-    key is never rewritten."""
+    `canonical_keys` applies ONLY to default-key datums — the fetch UDF
+    materializes key = url for those (a null key never reaches here), so
+    the default is detected as key == url, the same convention the seed
+    path uses; a user key that differs from the url is never rewritten."""
     exploded = fetched.filter(F.col("next_datums").isNotNull()).select(
         F.explode("next_datums").alias("d"),
         (F.col("depth") + 1).alias("depth"),
         F.col("priority"),
     )
+    key_col = F.coalesce(F.col("d.key"), F.col("d.url"))
     if canonical_keys:
         from webcollector_spark.functions.urls import canonical_url_col
 
-        fallback = canonical_url_col(F.col("d.url"))
-    else:
-        fallback = F.col("d.url")
+        key_col = F.when(
+            key_col == F.col("d.url"), canonical_url_col(F.col("d.url"))
+        ).otherwise(key_col)
     return exploded.select(
         *_mint_frontier_cols(
-            F.coalesce(F.col("d.key"), fallback),
+            key_col,
             F.col("d.url"),
             F.col("d.meta"),
         )

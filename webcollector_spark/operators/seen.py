@@ -235,10 +235,11 @@ def seen_filter_sharded(
 
     Each shard ships as its OWN broadcast; the probe UDF deserializes
     only the shards present in its batch (Broadcast.value is lazy per
-    handle). `co_partition=True` additionally repartitions candidates by
-    shard id so a task touches exactly ONE shard — that is what bounds
-    per-executor resident bloom memory at ~m/S instead of m, the
-    property that makes a 12 GB aggregate bitset workable on a cluster.
+    handle). `co_partition=True` additionally range-repartitions
+    candidates by shard id so a task holds one (or a few contiguous)
+    shards — that is what bounds per-executor resident bloom memory
+    near m/S instead of m, the property that makes a 12 GB aggregate
+    bitset workable on a cluster.
     It costs one extra shuffle of the candidate rows, so enable it only
     when the aggregate bitset actually exceeds executor memory; on a
     single box (or small bitsets) the default leaves candidates where
@@ -270,9 +271,15 @@ def seen_filter_sharded(
     probe = candidates
     drop = ["__maybe"]
     if co_partition:
-        probe = probe.withColumn("__shard", shard_id(F.col(key_col))).repartition(
-            shards, "__shard"
-        )
+        # repartitionByRange, NOT hash repartition: hash partitioning of
+        # S distinct shard ids scatters several shards into one task and
+        # leaves ~1/e of partitions empty (murmur3 % N is not identity);
+        # range partitioning of the integer ids gives each task one (or
+        # a few contiguous) shards, which is what bounds resident bloom
+        # memory near m/S per task
+        probe = probe.withColumn(
+            "__shard", shard_id(F.col(key_col))
+        ).repartitionByRange(shards, "__shard")
         drop.append("__shard")
     flagged = probe.withColumn("__maybe", maybe_seen(F.col(key_col)))
     fresh = flagged.filter(~F.col("__maybe")).drop(*drop)

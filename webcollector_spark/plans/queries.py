@@ -2046,7 +2046,7 @@ def q_decontaminate_ngram(spark, sf):
     WITH c AS (
       SELECT doc_id, unnest(list_transform(
                range(1, length(text) + 1), i -> substr(text, i, 1))) AS ch
-      FROM documents
+      FROM documents WHERE length(text) >= 1
     ),
     f AS (SELECT doc_id, ch, count(*) AS n FROM c GROUP BY doc_id, ch),
     t AS (SELECT doc_id, sum(n) AS tot FROM f GROUP BY doc_id)
@@ -2058,7 +2058,11 @@ def q_decontaminate_ngram(spark, sf):
     """,
 )
 def q_char_entropy(spark, sf):
-    docs = _t(spark, sf, "documents")
+    # length >= 1 on BOTH sides: Spark's sequence(1, 0) yields [1, 0]
+    # (descending), which would mint phantom empty-string chars for an
+    # empty text while DuckDB's range(1, 1) is empty — the explicit
+    # filter pins one policy (empty docs have no entropy row)
+    docs = _t(spark, sf, "documents").filter(F.length("text") >= 1)
     chars = F.explode(
         F.transform(
             F.sequence(F.lit(1), F.length("text")),

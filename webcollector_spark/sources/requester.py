@@ -22,6 +22,7 @@ from __future__ import annotations
 import base64
 import time
 from dataclasses import dataclass
+from functools import lru_cache
 
 SUCCESS_CODES = frozenset({200, 301, 302, 404})
 
@@ -250,16 +251,30 @@ class RobotsCache:
             self._cache[host] = entry
         return entry
 
+    @staticmethod
+    @lru_cache(maxsize=4096)
+    def _rule_regex(pattern: str):
+        """Compiled matcher for one rule path: RFC 9309 2.2.3 gives `*`
+        (any sequence) and a trailing `$` (end anchor) special meaning;
+        everything else is a literal prefix."""
+        import re
+
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        rx = ".*".join(re.escape(p) for p in body.split("*"))
+        return re.compile("^" + rx + ("$" if anchored else ""))
+
     def allowed(self, host: str, url: str, now: float | None = None) -> bool:
-        """RFC 9309 decision: the LONGEST matching rule wins; on equal
-        length Allow beats Disallow; no matching rule means allowed."""
+        """RFC 9309 decision: the LONGEST matching rule (by rule octet
+        length) wins; on equal length Allow beats Disallow; no matching
+        rule means allowed. Rules support `*` and trailing `$`."""
         now = time.time() if now is None else now
         entry = self._entry(host, now)
         path = "/" + url.split("://", 1)[-1].split("/", 1)[-1] if "/" in url.split("://", 1)[-1] else "/"
         best: tuple[int, bool] | None = None
-        for prefix, allow in entry[1]:
-            if path.startswith(prefix):
-                ln = len(prefix)
+        for pattern, allow in entry[1]:
+            if self._rule_regex(pattern).match(path):
+                ln = len(pattern)
                 if best is None or ln > best[0] or (ln == best[0] and allow):
                     best = (ln, allow)
         return best is None or best[1]
