@@ -2135,6 +2135,67 @@ def q_tfidf_top_terms(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# PageRank (operators/rank.py) — the crawl-priority source. Iterative in
+# Spark (one join + one agg per round, O(|E|) shuffle); the oracle
+# unrolls the SAME three iterations as DuckDB CTEs, so the full
+# iterative computation is value-checked, not just its shape. Edge list
+# derived deterministically from events (user -> item clicks).
+
+_PR_INFLOW = """
+      SELECT e.dst AS node, sum({prev}.rank / od.odeg) AS inflow
+      FROM e JOIN {prev} ON {prev}.node = e.src JOIN od ON od.src = e.src
+      GROUP BY e.dst
+"""
+_PR_STEP = """
+    {cur} AS (
+      SELECT nodes.node,
+             0.15 / (SELECT cnt FROM n) +
+             0.85 * coalesce(s.inflow, 0.0) AS rank
+      FROM nodes LEFT JOIN ({inflow}) s ON s.node = nodes.node
+    )"""
+
+
+def _pagerank_sql() -> str:
+    steps = ",".join(
+        _PR_STEP.format(cur=f"r{i+1}", inflow=_PR_INFLOW.format(prev=f"r{i}"))
+        for i in range(3)
+    )
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT user_id AS src, event_id % 50 AS dst
+      FROM events WHERE event_type = 'click'
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    n AS (SELECT count(*) AS cnt FROM nodes),
+    od AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT cnt FROM n) AS rank FROM nodes),
+    {steps}
+    SELECT node, round(rank * 1000, 4) + 0 AS rank1k FROM r3
+    """
+
+
+@register("pagerank", None)
+def q_pagerank(spark, sf):
+    from webcollector_spark.operators.rank import pagerank
+
+    ev = _t(spark, sf, "events")
+    edges = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("src"), (F.col("event_id") % 50).alias("dst")
+        )
+        .distinct()
+    )
+    r = pagerank(edges, iters=3, damping=0.85)
+    return r.select(
+        "node", (F.round(F.col("rank") * 1000, 4) + F.lit(0.0)).alias("rank1k")
+    )
+
+
+SQL["pagerank"] = _pagerank_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q)
 
