@@ -59,9 +59,10 @@ HEADLINE = [
     "char_entropy",
     "tfidf_top_terms",
     "pagerank",
+    "hll_registers",
     # text_normalize excluded: 0.25s warm but its first run pays ~4s of
     # one-time whole-stage-codegen JIT for the regex+md5 chain, which
-    # would record as query cost; it stays in the 60-query correctness
+    # would record as query cost; it stays in the 61-query correctness
     # registry.
 ]
 

@@ -2196,6 +2196,36 @@ def q_pagerank(spark, sf):
 SQL["pagerank"] = _pagerank_sql()
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog registers (operators/sketch.py) — the distinct-count
+# sketch behind the LSM store's fold-free frontier-size estimate. The
+# register math is integer-exact (bit ops + binary-string first-1
+# position), so the oracle checks the sketch computation itself; the
+# float estimate is a tiny driver-side fold tested in test_sketch.py.
+
+@register(
+    "hll_registers",
+    """
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS hv
+      FROM documents
+    ),
+    r AS (
+      SELECT hv & 1023 AS bucket,
+             CASE WHEN (hv >> 10) = 0 THEN 51
+                  ELSE strpos(lpad(bin(hv >> 10), 50, '0'), '1') END AS rho
+      FROM h
+    )
+    SELECT bucket, CAST(max(rho) AS INTEGER) AS rho_max
+    FROM r GROUP BY bucket
+    """,
+)
+def q_hll_registers(spark, sf):
+    from webcollector_spark.operators.sketch import hll_registers
+
+    return hll_registers(_t(spark, sf, "documents"), col="text", b=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q)
 

@@ -305,6 +305,7 @@ class LsmParquetFrontierStore(RamFrontierStore):
         resumable: bool = False,
         compact_every: int = 8,
         track_new_links: bool = True,
+        estimate_counts: bool = False,
     ):
         super().__init__(spark)
         self.path = path
@@ -314,6 +315,11 @@ class LsmParquetFrontierStore(RamFrontierStore):
         # (merge returns -1) and derive the figure from the merge job's
         # output statistics / Iceberg snapshot summary instead.
         self.track_new_links = track_new_links
+        # With tracking off, cheap_count() can still answer approximately
+        # via a one-pass HyperLogLog over the RAW base∪delta keys (no
+        # precedence fold needed — distinct keys = final frontier size),
+        # which re-enables the crawler's bloom-sizing gate.
+        self.estimate_counts = estimate_counts
         self._base = -1  # base version, -1 = empty
         self._deltas: list[int] = []
         self._next_gen = 1
@@ -410,12 +416,20 @@ class LsmParquetFrontierStore(RamFrontierStore):
 
     def cheap_count(self) -> int | None:
         """Unlike the RAM/CoW stores, an exact count here is a full
-        merge-on-read fold; return the memoized value when one exists,
-        else None (unknown -> heuristics assume large) when new-links
-        tracking is off — the exact fold the flag exists to avoid."""
+        merge-on-read fold; return the memoized value when one exists.
+        With new-links tracking off: an HLL distinct-key estimate over
+        the unresolved base∪delta union when `estimate_counts` (one
+        scan, no precedence window — ±~3% at 1024 registers), else None
+        (unknown -> salt heuristics assume large, bloom is skipped)."""
         if getattr(self, "_count", None) is not None:
             return self._count
         if not self.track_new_links:
+            if self.estimate_counts and not self.is_empty():
+                from webcollector_spark.operators.sketch import hll_estimate
+
+                return hll_estimate(
+                    self._tagged_sources().select("key"), "key", b=10
+                )
             return None
         return self.count()
 
