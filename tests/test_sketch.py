@@ -55,3 +55,35 @@ def test_lsm_cheap_count_estimates_without_fold(spark, tmp_path):
     est = s2.cheap_count()
     assert est is not None
     assert abs(est - 3000) / 3000 < 0.08, est
+
+
+def test_hll_width_tracks_b(spark):
+    """Regression: a fixed 50-bit rank width made every b != 10 estimate
+    wrong by ~4x (b=12) / ~0.25x (b=8); the width must be 60 - b."""
+    from webcollector_spark.operators.sketch import hll_estimate
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    for b in (8, 12):
+        est = hll_estimate(df, "key", b=b)
+        assert abs(est - n) / n < 0.15, (b, est)
+
+
+def test_estimate_counts_avoids_fold_with_tracking_on(spark, tmp_path):
+    """estimate_counts must take effect regardless of tracking mode —
+    with tracking ON and no memoized count, cheap_count should estimate
+    rather than run the exact precedence fold."""
+    from webcollector_spark.crawler import seed_rows
+    from webcollector_spark.store import LsmParquetFrontierStore
+
+    s = LsmParquetFrontierStore(
+        spark, str(tmp_path / "c"), track_new_links=True, estimate_counts=True
+    )
+    s.inject(seed_rows(spark, [f"http://h/p{i}" for i in range(2000)]))
+    s._count = None  # simulate a fresh process with no memoized count
+    est = s.cheap_count()
+    assert est is not None and abs(est - 2000) / 2000 < 0.08
+    # memoized: second call returns the identical object without rescan
+    assert s.cheap_count() == est

@@ -2,18 +2,17 @@
 JVM expressions only — md5 -> 60-bit hash -> (bucket, leading-zero rank)
 -> per-bucket max. One scan, no Python, O(2^b) state.
 
-Why it exists here: the LSM frontier store cannot answer count() without
-a full merge-on-read precedence fold, so with new-links tracking off it
-reports "unknown" and the crawler must skip the bloom-sizing gate. The
-number those gates actually need is the DISTINCT KEY count, and that is
-computable over the RAW base∪delta union without resolving precedence
-(every delta row's key exists in the final state) — exactly what a
-one-pass HLL gives at ±~1.04/sqrt(2^b) relative error.
-
-The register computation is integer-exact (bit ops + binary-string
-position, no floats), so the registry twin `hll_registers` value-checks
-it against DuckDB bit-for-bit; only the final estimate (a tiny
-driver-side fold over <= 2^b register rows) uses floats.
+Why it exists: the register computation is integer-exact (bit ops +
+binary-string position, no floats), so the registry twin
+`hll_registers` value-checks the full sketch pipeline against DuckDB
+bit-for-bit — something Spark's built-in `approx_count_distinct`
+(HLL++, opaque binary state) cannot offer an oracle for. Production
+call sites that only need the NUMBER — e.g. the LSM store's fold-free
+frontier-size estimate (store.py `cheap_count`, `estimate_counts=True`)
+— use the built-in aggregate instead (executor-side merge, no
+driver-side register fold); this module is the transparent,
+cross-engine-checkable formulation of the same estimator at
+±~1.04/sqrt(2^b) relative error.
 """
 
 from __future__ import annotations
@@ -22,9 +21,6 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-_W = 50  # rank width: 60-bit hash minus up to 10 bucket bits
-
 
 def _hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
@@ -35,14 +31,19 @@ def _hash60(col: Column) -> Column:
 def hll_registers(df: DataFrame, col: str = "key", b: int = 10) -> DataFrame:
     """Occupied HLL registers: (bucket, rho_max). bucket = low b hash
     bits; rho = 1-based position of the first 1-bit in the remaining
-    50 bits (W+1 when they are all zero). Integer-exact end to end."""
+    60-b bits (width+1 when they are all zero). Integer-exact end to
+    end; the rank width tracks b — a fixed width would inflate or
+    deflate every rho as soon as b moved off the default."""
     m = 1 << b
+    width = 60 - b
     h = _hash60(F.col(col))
     bucket = h.bitwiseAND(m - 1)
     w = F.shiftright(h, b)
-    bits = F.lpad(F.bin(w), _W, "0")
+    bits = F.lpad(F.bin(w), width, "0")
     rho = (
-        F.when(w == 0, F.lit(_W + 1)).otherwise(F.instr(bits, "1")).cast("int")
+        F.when(w == 0, F.lit(width + 1))
+        .otherwise(F.instr(bits, "1"))
+        .cast("int")
     )
     return (
         df.select(bucket.alias("bucket"), rho.alias("rho"))

@@ -2197,8 +2197,9 @@ SQL["pagerank"] = _pagerank_sql()
 
 
 # ---------------------------------------------------------------------------
-# HyperLogLog registers (operators/sketch.py) — the distinct-count
-# sketch behind the LSM store's fold-free frontier-size estimate. The
+# HyperLogLog registers (operators/sketch.py) — the transparent,
+# cross-engine-checkable formulation of the estimator family behind
+# the LSM store's fold-free frontier-size estimate. The
 # register math is integer-exact (bit ops + binary-string first-1
 # position), so the oracle checks the sketch computation itself; the
 # float estimate is a tiny driver-side fold tested in test_sketch.py.
