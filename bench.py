@@ -60,9 +60,10 @@ HEADLINE = [
     "tfidf_top_terms",
     "pagerank",
     "hll_registers",
+    "cm_registers",
     # text_normalize excluded: 0.25s warm but its first run pays ~4s of
     # one-time whole-stage-codegen JIT for the regex+md5 chain, which
-    # would record as query cost; it stays in the 61-query correctness
+    # would record as query cost; it stays in the 62-query correctness
     # registry.
 ]
 

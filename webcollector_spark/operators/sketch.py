@@ -65,3 +65,81 @@ def hll_estimate(df: DataFrame, col: str = "key", b: int = 10) -> int:
     if e <= 2.5 * m and zeros > 0:
         e = m * math.log(m / zeros)
     return int(round(e))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — frequency estimates
+# with one-sided error (never undercounts), d x w integer counters. The
+# crawl use: hot-HOST detection feeding the skew defenses
+# (host_salt_buckets / politeness co-location) without a full
+# groupBy(host) when the host cardinality is huge. Registers are
+# integer-exact (derived double hashing from one md5, the
+# Kirsch-Mitzenmacher trick the MinHash path also uses), so the
+# registry twin value-checks the counter table bit-for-bit.
+
+
+def cm_registers(
+    df: DataFrame, col: str = "host", d: int = 4, w: int = 256
+) -> DataFrame:
+    """Occupied count-min counters: (row, slot, cnt). Row i's slot is
+    (h1 + i*h2) mod w with h1/h2 the two 30-bit halves of the 60-bit
+    md5 hash (h2 forced odd)."""
+    h = _hash60(F.col(col))
+    h1 = F.shiftright(h, 30)
+    h2 = h.bitwiseAND((1 << 30) - 1).bitwiseOR(1)
+    rows = []
+    for i in range(d):
+        slot = F.pmod(h1 + i * h2, F.lit(w))
+        rows.append(
+            df.select(
+                F.lit(i).alias("row"), slot.cast("int").alias("slot")
+            )
+        )
+    all_rows = rows[0]
+    for r in rows[1:]:
+        all_rows = all_rows.unionByName(r)
+    return all_rows.groupBy("row", "slot").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def cm_estimate_counts(
+    df: DataFrame, items: DataFrame, col: str = "host", d: int = 4, w: int = 256
+) -> DataFrame:
+    """Estimated frequency per item (min over the d counters) — always
+    >= the true count; within eps*N of it with the usual CM guarantees.
+    `items` is a small candidate set (e.g. distinct hosts of the current
+    round's links) joined against the broadcast counter table."""
+    regs = cm_registers(df, col, d, w)
+    h = _hash60(F.col(col))
+    h1 = F.shiftright(h, 30)
+    h2 = h.bitwiseAND((1 << 30) - 1).bitwiseOR(1)
+    probes = None
+    for i in range(d):
+        p = items.select(
+            F.col(col),
+            F.lit(i).alias("row"),
+            F.pmod(h1 + i * h2, F.lit(w)).cast("int").alias("slot"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    return (
+        probes.join(F.broadcast(regs), ["row", "slot"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
+    )
+
+
+def hot_items(
+    df: DataFrame,
+    col: str = "host",
+    threshold_frac: float = 0.1,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Items whose estimated frequency exceeds threshold_frac of the
+    total — the skew detector. One-sided error means no hot item is
+    ever missed (false positives possible at ~1/w density)."""
+    total = df.count()
+    items = df.select(col).distinct()
+    est = cm_estimate_counts(df, items, col, d, w)
+    return est.filter(F.col("est_count") >= threshold_frac * total)

@@ -2227,6 +2227,36 @@ def q_hll_registers(spark, sf):
     return hll_registers(_t(spark, sf, "documents"), col="text", b=10)
 
 
+# Count-min counter table (operators/sketch.py) — the hot-key detector
+# behind skew defenses, integer-exact like the HLL registers.
+
+@register(
+    "cm_registers",
+    """
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    p AS (SELECT hv >> 30 AS h1, (hv & 1073741823) | 1 AS h2 FROM h),
+    u AS (
+      SELECT 0 AS r, (h1 + 0 * h2) % 256 AS slot FROM p
+      UNION ALL SELECT 1, (h1 + 1 * h2) % 256 FROM p
+      UNION ALL SELECT 2, (h1 + 2 * h2) % 256 FROM p
+      UNION ALL SELECT 3, (h1 + 3 * h2) % 256 FROM p
+    )
+    SELECT r, CAST(slot AS INTEGER) AS slot, count(*) AS cnt
+    FROM u GROUP BY r, slot
+    """,
+)
+def q_cm_registers(spark, sf):
+    from webcollector_spark.operators.sketch import cm_registers
+
+    return cm_registers(
+        _t(spark, sf, "events"), col="user_id", d=4, w=256
+    ).withColumnRenamed("row", "r")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q)
 
