@@ -114,9 +114,21 @@ def crawl_bench(
     }
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(total jiffies, steal jiffies) from /proc/stat — hypervisor
+    steal bursts are the dominant noise source on this sandbox (BENCH.md
+    §4); recording the level makes each bench run self-describing."""
+    try:
+        vals = list(map(int, open("/proc/stat").readline().split()[1:]))
+        return sum(vals), vals[7]
+    except Exception:
+        return 0, 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    t_j0, s_j0 = _cpu_stat()
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     from webcollector_spark.plans import queries as qmod
@@ -137,6 +149,7 @@ def main() -> None:
     crawl = crawl_bench(spark)
     print(f"# crawl: {crawl}", file=sys.stderr)
 
+    t_j1, s_j1 = _cpu_stat()
     out = {
         "metric": "headline_suite_plus_crawl",
         "value": round(sum(times.values()) + crawl["crawl_wall_sec"], 3),
@@ -145,6 +158,11 @@ def main() -> None:
         "sf": sf,
         **crawl,
         "cpus": int(cpus),
+        # hypervisor steal during this run (% of all-core CPU time):
+        # >~2-3% means the absolute timings above are burst-inflated
+        "steal_pct_of_cpu": round(
+            100.0 * (s_j1 - s_j0) / max(1, t_j1 - t_j0), 2
+        ),
     }
     print(json.dumps(out))
 
