@@ -114,21 +114,22 @@ def crawl_bench(
     }
 
 
-def _cpu_stat() -> tuple[int, int]:
+def _cpu_stat() -> tuple[int, int] | None:
     """(total jiffies, steal jiffies) from /proc/stat — hypervisor
     steal bursts are the dominant noise source on this sandbox (BENCH.md
-    §4); recording the level makes each bench run self-describing."""
+    §4); recording the level makes each bench run self-describing.
+    None when unreadable: "unknown" must not be stamped as 0% steal."""
     try:
         vals = list(map(int, open("/proc/stat").readline().split()[1:]))
         return sum(vals), vals[7]
     except Exception:
-        return 0, 0
+        return None
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    t_j0, s_j0 = _cpu_stat()
+    stat0 = _cpu_stat()
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     from webcollector_spark.plans import queries as qmod
@@ -149,7 +150,7 @@ def main() -> None:
     crawl = crawl_bench(spark)
     print(f"# crawl: {crawl}", file=sys.stderr)
 
-    t_j1, s_j1 = _cpu_stat()
+    stat1 = _cpu_stat()
     out = {
         "metric": "headline_suite_plus_crawl",
         "value": round(sum(times.values()) + crawl["crawl_wall_sec"], 3),
@@ -159,9 +160,12 @@ def main() -> None:
         **crawl,
         "cpus": int(cpus),
         # hypervisor steal during this run (% of all-core CPU time):
-        # >~2-3% means the absolute timings above are burst-inflated
-        "steal_pct_of_cpu": round(
-            100.0 * (s_j1 - s_j0) / max(1, t_j1 - t_j0), 2
+        # >~2-3% means the absolute timings above are burst-inflated;
+        # null = the counter was unreadable (NOT a clean-run claim)
+        "steal_pct_of_cpu": (
+            round(100.0 * (stat1[1] - stat0[1]) / (stat1[0] - stat0[0]), 2)
+            if stat0 and stat1 and stat1[0] > stat0[0]
+            else None
         ),
     }
     print(json.dumps(out))

@@ -85,6 +85,9 @@ def test_estimate_counts_avoids_fold_with_tracking_on(spark, tmp_path):
     s._count = None  # simulate a fresh process with no memoized count
     est = s.cheap_count()
     assert est is not None and abs(est - 2000) / 2000 < 0.08
+    # the ESTIMATE path must have answered, not the exact fold (an exact
+    # count would also satisfy the tolerance, masking a regression)
+    assert s._approx is not None and s._count is None
     # memoized: second call returns the identical object without rescan
     assert s.cheap_count() == est
 

@@ -78,50 +78,50 @@ def hll_estimate(df: DataFrame, col: str = "key", b: int = 10) -> int:
 # registry twin value-checks the counter table bit-for-bit.
 
 
+def _cm_slots(col: Column, d: int, w: int) -> Column:
+    """Array of the d counter slots for one key — the ONE definition of
+    the hash derivation shared by build and probe (a divergence between
+    copies would break the never-undercounts guarantee silently): slot_i
+    = (h1 + i*h2) mod w with h1/h2 the two 30-bit halves of the 60-bit
+    md5 hash, h2 forced odd."""
+    h = _hash60(col)
+    h1 = F.shiftright(h, 30)
+    h2 = h.bitwiseAND((1 << 30) - 1).bitwiseOR(1)
+    return F.array(
+        *[F.pmod(h1 + i * h2, F.lit(w)).cast("int") for i in range(d)]
+    )
+
+
 def cm_registers(
     df: DataFrame, col: str = "host", d: int = 4, w: int = 256
 ) -> DataFrame:
-    """Occupied count-min counters: (row, slot, cnt). Row i's slot is
-    (h1 + i*h2) mod w with h1/h2 the two 30-bit halves of the 60-bit
-    md5 hash (h2 forced odd)."""
-    h = _hash60(F.col(col))
-    h1 = F.shiftright(h, 30)
-    h2 = h.bitwiseAND((1 << 30) - 1).bitwiseOR(1)
-    rows = []
-    for i in range(d):
-        slot = F.pmod(h1 + i * h2, F.lit(w))
-        rows.append(
-            df.select(
-                F.lit(i).alias("row"), slot.cast("int").alias("slot")
-            )
-        )
-    all_rows = rows[0]
-    for r in rows[1:]:
-        all_rows = all_rows.unionByName(r)
-    return all_rows.groupBy("row", "slot").agg(
-        F.count("*").cast("long").alias("cnt")
+    """Occupied count-min counters: (row, slot, cnt) — ONE scan of the
+    input (posexplode of the per-key slot array; a union of d selects
+    would read the input d times)."""
+    return (
+        df.select(F.posexplode(_cm_slots(F.col(col), d, w)).alias("row", "slot"))
+        .groupBy("row", "slot")
+        .agg(F.count("*").cast("long").alias("cnt"))
     )
 
 
 def cm_estimate_counts(
-    df: DataFrame, items: DataFrame, col: str = "host", d: int = 4, w: int = 256
+    df: DataFrame,
+    items: DataFrame,
+    col: str = "host",
+    d: int = 4,
+    w: int = 256,
+    registers: DataFrame | None = None,
 ) -> DataFrame:
     """Estimated frequency per item (min over the d counters) — always
     >= the true count; within eps*N of it with the usual CM guarantees.
     `items` is a small candidate set (e.g. distinct hosts of the current
-    round's links) joined against the broadcast counter table."""
-    regs = cm_registers(df, col, d, w)
-    h = _hash60(F.col(col))
-    h1 = F.shiftright(h, 30)
-    h2 = h.bitwiseAND((1 << 30) - 1).bitwiseOR(1)
-    probes = None
-    for i in range(d):
-        p = items.select(
-            F.col(col),
-            F.lit(i).alias("row"),
-            F.pmod(h1 + i * h2, F.lit(w)).cast("int").alias("slot"),
-        )
-        probes = p if probes is None else probes.unionByName(p)
+    round's links) joined against the broadcast counter table. Pass a
+    precomputed `registers` table to probe one sketch repeatedly."""
+    regs = cm_registers(df, col, d, w) if registers is None else registers
+    probes = items.select(
+        F.col(col), F.posexplode(_cm_slots(F.col(col), d, w)).alias("row", "slot")
+    )
     return (
         probes.join(F.broadcast(regs), ["row", "slot"], "left")
         .groupBy(col)
@@ -135,11 +135,23 @@ def hot_items(
     threshold_frac: float = 0.1,
     d: int = 4,
     w: int = 256,
+    items: DataFrame | None = None,
 ) -> DataFrame:
     """Items whose estimated frequency exceeds threshold_frac of the
     total — the skew detector. One-sided error means no hot item is
-    ever missed (false positives possible at ~1/w density)."""
-    total = df.count()
-    items = df.select(col).distinct()
-    est = cm_estimate_counts(df, items, col, d, w)
-    return est.filter(F.col("est_count") >= threshold_frac * total)
+    ever missed (false positives possible at ~1/w density).
+
+    The sketch pays off when `items` is a SMALL known candidate set
+    (this round's link hosts, a watchlist) probed against counters
+    built in one pass over the big table; the default falls back to
+    df's distinct values, which costs a full-cardinality shuffle — at
+    that point a plain groupBy(col).count() is just as good, so pass
+    candidates whenever you have them. The stream total comes free from
+    the sketch itself (every counter row sums to N — no extra scan)."""
+    regs = cm_registers(df, col, d, w).persist()
+    total = regs.filter(F.col("row") == 0).agg(F.sum("cnt")).collect()[0][0] or 0
+    if items is None:
+        items = df.select(col).distinct()
+    est = cm_estimate_counts(df, items, col, d, w, registers=regs)
+    out = est.filter(F.col("est_count") >= threshold_frac * total)
+    return out
