@@ -61,10 +61,10 @@ HEADLINE = [
     "pagerank",
     "hll_registers",
     "cm_registers",
-    # text_normalize excluded: 0.25s warm but its first run pays ~4s of
-    # one-time whole-stage-codegen JIT for the regex+md5 chain, which
-    # would record as query cost; it stays in the 62-query correctness
-    # registry.
+    "text_normalize",
+    # re-admitted in r3: the per-query warm pass (below) absorbs its
+    # one-time ~4s whole-stage-codegen JIT for the regex+md5 chain, so
+    # the recorded figure is the sustained cost.
 ]
 
 
@@ -138,14 +138,31 @@ def main() -> None:
     spark = get_spark("bench", cores=cpus, shuffle_partitions=int(cpus))
     registry = qmod.queries()
 
+    # Recording hygiene (BENCH.md §4, VERDICT r2 finding 4): one
+    # hypervisor steal burst or JIT stall landing on a single timed run
+    # can corrupt the round's canonical number by 10x (r02 recorded
+    # url_canonicalize at 36.4s vs 0.37s warm). Per query: one UNTIMED
+    # warm pass (absorbs codegen JIT + Python-worker spin-up + any
+    # cached-subtree materialization), then median of REPS timed runs —
+    # a burst must now hit 2 of 3 samples to move the median.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
-        df = fn(spark, sf_dir)
-        t0 = time.monotonic()
-        n = len(df.collect())
-        times[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        n = len(fn(spark, sf_dir).collect())  # warm, untimed
+        samples = []
+        for _ in range(reps):
+            df = fn(spark, sf_dir)
+            t0 = time.monotonic()
+            df.collect()
+            samples.append(time.monotonic() - t0)
+        samples.sort()
+        times[name] = round(samples[len(samples) // 2], 3)
+        print(
+            f"# {name}: {times[name]}s median of "
+            f"{[round(s, 3) for s in samples]} ({n} rows)",
+            file=sys.stderr,
+        )
 
     crawl = crawl_bench(spark)
     print(f"# crawl: {crawl}", file=sys.stderr)

@@ -33,6 +33,34 @@ def test_pagerank_dangling_nodes_keep_teleport_rank(spark):
     assert r["a"] < r["b"]           # a only gets teleport mass
 
 
+def test_pagerank_empty_edges_returns_empty_ranks(spark):
+    """A crawl round with no discovered links must not crash a
+    scheduler that wires pagerank in unconditionally (no 1/0 at the
+    uniform-start division)."""
+    from webcollector_spark.operators.rank import pagerank
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(edges, iters=3)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
+
+
+def test_pagerank_deep_iterations_checkpoint(spark):
+    """iters > checkpoint_every exercises the lineage truncation path;
+    ranks must still sum to a sane mass and stay positive."""
+    from webcollector_spark.operators.rank import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    r = {
+        row["node"]: row["rank"]
+        for row in pagerank(edges, iters=12, checkpoint_every=4).collect()
+    }
+    # a 3-cycle converges to the uniform distribution
+    assert all(abs(v - 1 / 3) < 1e-6 for v in r.values()), r
+
+
 def test_priorities_from_ranks(spark):
     from webcollector_spark.crawler import seed_rows
     from webcollector_spark.operators.rank import (

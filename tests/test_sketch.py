@@ -31,8 +31,9 @@ def test_hll_small_range_linear_counting(spark):
 
 def test_lsm_cheap_count_estimates_without_fold(spark, tmp_path):
     """track_new_links=False + estimate_counts=True: cheap_count answers
-    from the raw union (no precedence fold) within HLL error; without
-    the flag it stays None."""
+    from the raw union (no precedence fold) within HLL error; with the
+    flag explicitly off it stays None (the default is now ON so the
+    10^10 configuration keeps the crawler's bloom gate alive)."""
     from webcollector_spark.crawler import seed_rows
     from webcollector_spark.store import LsmParquetFrontierStore
 
@@ -40,7 +41,8 @@ def test_lsm_cheap_count_estimates_without_fold(spark, tmp_path):
     seeds = seed_rows(spark, urls)
 
     s1 = LsmParquetFrontierStore(
-        spark, str(tmp_path / "a"), track_new_links=False
+        spark, str(tmp_path / "a"), track_new_links=False,
+        estimate_counts=False,
     )
     s1.inject(seeds)
     assert s1.cheap_count() is None

@@ -312,6 +312,26 @@ class BreadthCrawler:
                         links, frontier.select("key"), "key", bloom
                     )
             else:
+                if (
+                    0 < cfg.bloom_capacity
+                    and approx is None
+                    and not getattr(self, "_warned_bloom_skip", False)
+                ):
+                    # One-time operator hint: the gate above silently
+                    # skips the bloom when the frontier size is unknown
+                    # (an unsizable filter saturates to fpp~1). At the
+                    # 10^10 configuration that is exactly where the
+                    # pre-prune pays — enable estimate_counts on the
+                    # store (one cheap HLL++ scan/round) to restore it.
+                    self._warned_bloom_skip = True
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "bloom pre-prune skipped: frontier size unknown "
+                        "(store.cheap_count() is None). Enable "
+                        "estimate_counts=True on the frontier store to "
+                        "size the filter without an exact count."
+                    )
                 fresh = links
 
             # Optional fetched-history write (O(round) rows, content

@@ -38,7 +38,18 @@ def canonical_url_col(url: Column) -> Column:
     Non-absolute inputs (relative links, mailto:, javascript:) pass
     through unchanged, exactly like the Python twin — without the guard
     every such string would collapse to the same garbage key and
-    distinct links would dedup into one frontier row."""
+    distinct links would dedup into one frontier row.
+
+    Intentional divergence from RFC 3986: the WHOLE authority is
+    case-folded, including any userinfo component (which the RFC says
+    is case-sensitive) — so http://User@h/ and http://user@h/ collapse
+    to one frontier key. For dedup identity this is the desired
+    behavior (the same resource should not be crawled twice because a
+    link embedded credentials in a different case); userinfo URLs are
+    vanishingly rare in crawl frontiers and fetching strips the
+    userinfo anyway. All three twins (this column expression, the
+    Python `canonicalize_url`, and the `url_canonicalize` oracle SQL)
+    share the rule, so the invariant is mutually consistent."""
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     auth = F.lower(F.regexp_extract(url, _AUTH_RE, 1))
     auth = (

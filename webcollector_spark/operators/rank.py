@@ -27,11 +27,20 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Ranks after `iters` synchronous iterations from a uniform start.
 
     Nodes = union of srcs and dsts; returns (node, rank). Deterministic
     up to float-sum order (aggregation), as all parallel PageRanks are.
+
+    Scale shape: out-degree is folded into the node table ONCE before
+    the loop, so each iteration is a single shuffle join of ranks to
+    edges on src plus a groupBy dst — no broadcast of any O(nodes) side
+    (a 10^9-node out-degree table does not fit in a broadcast). Plan
+    lineage is truncated with localCheckpoint every `checkpoint_every`
+    iterations, same pattern as operators/components.py, so deep runs
+    (iters=20+) don't blow up Catalyst analysis time.
     """
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -39,13 +48,22 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()
+    if n == 0:
+        # A crawl round with no discovered links must not crash a
+        # scheduler that wires pagerank in unconditionally.
+        return nodes.withColumn("rank", F.lit(0.0))
     out_deg = edges.groupBy(src).agg(F.count("*").alias("odeg"))
+    # Fold odeg onto the rank table once; dangling nodes get odeg NULL
+    # (never divided by — they contribute nothing, per the docstring).
+    nodes = (
+        nodes.join(out_deg.withColumnRenamed(src, "node"), "node", "left")
+        .localCheckpoint(eager=False)
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
-    for _ in range(iters):
+    for i in range(iters):
         contribs = (
             edges.join(ranks.withColumnRenamed("node", src), src)
-            .join(F.broadcast(out_deg), src)
             .select(
                 F.col(dst).alias("node"),
                 (F.col("rank") / F.col("odeg")).alias("c"),
@@ -57,13 +75,16 @@ def pagerank(
             nodes.join(contribs, "node", "left")
             .select(
                 "node",
+                "odeg",
                 (
                     F.lit(base)
                     + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
                 ).alias("rank"),
             )
         )
-    return ranks
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", "rank")
 
 
 def priorities_from_ranks(frontier: DataFrame, ranks: DataFrame) -> DataFrame:

@@ -148,8 +148,15 @@ def hot_items(
     that point a plain groupBy(col).count() is just as good, so pass
     candidates whenever you have them. The stream total comes free from
     the sketch itself (every counter row sums to N — no extra scan)."""
-    regs = cm_registers(df, col, d, w).persist()
-    total = regs.filter(F.col("row") == 0).agg(F.sum("cnt")).collect()[0][0] or 0
+    # Materialize the registers to the driver once (bounded: at most
+    # d*w rows, 1024 by default) and rebuild a local DataFrame — unlike
+    # .persist() this leaves nothing cached for the session lifetime,
+    # so repeated hot_items() calls don't accumulate pinned partitions.
+    reg_rows = cm_registers(df, col, d, w).collect()
+    regs = df.sparkSession.createDataFrame(
+        reg_rows, schema="row INT, slot INT, cnt BIGINT"
+    )
+    total = sum(r.cnt for r in reg_rows if r.row == 0)
     if items is None:
         items = df.select(col).distinct()
     est = cm_estimate_counts(df, items, col, d, w, registers=regs)

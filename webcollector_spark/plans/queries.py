@@ -655,8 +655,18 @@ def _pruned_trigrams(spark, sf):
     ck = (id(spark), sf)
     if ck in _SHINGLE_CACHE and _SHINGLE_CACHE[ck][0] is spark:
         return _SHINGLE_CACHE[ck][2]
-    for old_key in [k for k in _SHINGLE_CACHE if k[0] == id(spark)]:
-        _SHINGLE_CACHE.pop(old_key)[1].unpersist()
+    # Evict only entries belonging to a DIFFERENT (dead or replaced)
+    # session: same-session/other-sf entries stay cached so alternating
+    # sf values don't thrash. A stale entry's session may already be
+    # stopped, in which case unpersist raises through py4j — ignore it,
+    # the JVM-side cache died with the session.
+    for old_key in [
+        k for k, v in _SHINGLE_CACHE.items() if v[0] is not spark
+    ]:
+        try:
+            _SHINGLE_CACHE.pop(old_key)[1].unpersist()
+        except Exception:
+            pass
     sh = _trigram_shingles(spark, sf).persist(StorageLevel.MEMORY_AND_DISK)
     n_docs = _t(spark, sf, "documents").count()
     thr = max(5.0, 0.01 * n_docs)
@@ -1301,9 +1311,12 @@ def q_jaccard_pairs(spark, sf):
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    # sizes is O(n_docs) — not broadcastable at 10^9 docs. `common` is
+    # already doc-pair-keyed, so these are plain shuffle joins; AQE
+    # still picks broadcast when the measured side fits (sf<=0.1).
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
@@ -2118,7 +2131,14 @@ def q_tfidf_top_terms(spark, sf):
     tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = w.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()
-    scored = tf.join(F.broadcast(df), "term").select(
+    # No broadcast hint: web-scale vocabulary (misspellings, junk
+    # tokens) is O(billions) of terms and does not fit in a broadcast.
+    # AQE still broadcasts when the measured side is small, so the
+    # bench plan at sf<=0.1 is unchanged; at 100 TB this becomes the
+    # shuffle join it must be. (A min-df prune would be WRONG here:
+    # hapax terms carry the *maximum* idf = ln(n_docs), so they are
+    # prime top-3 candidates, not droppable tail.)
+    scored = tf.join(df, "term").select(
         "doc_id",
         "term",
         (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
