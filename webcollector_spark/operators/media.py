@@ -1,18 +1,31 @@
 """Audio/video multimodal plumbing.
 
-The container has no media codecs (no PIL/ffmpeg/librosa — verified),
-so per the build contract the DECODE KERNELS are stubs — a clearly
-marked deterministic fake plus a NotImplementedError production seam —
-while everything Spark-side is real and tested: typed metadata schemas,
-opaque BinaryType payloads, iterator-of-Arrow-batches UDF signatures,
-batch shapes, and the frame-sample/feature-extract dataflow.
+The container has no media codec LIBRARIES (no PIL/ffmpeg/librosa —
+verified), so compressed formats (h264, mp3, ...) stay behind a
+clearly-marked deterministic fake. But the codec SEAM itself is real
+and exercised: this module also ships genuine pure-Python decoders for
+two uncompressed production formats —
 
-Swap `_decode_video_stub` / `_decode_audio_stub` for ffmpeg/librosa
-bindings in production; every call site routes through this module.
+* **WAV** (RIFF PCM16) — what `ffmpeg -f wav -acodec pcm_s16le` emits;
+  `decode_audio_real` walks the RIFF chunks and returns the float32
+  waveform.
+* **PPM stream** (concatenated binary P6 frames) — byte-for-byte what
+  `ffmpeg -f image2pipe -vcodec ppm` emits; `decode_video_real` parses
+  each maxval-255 P6 header + raster and yields HxWx3 uint8 frames.
+
+Every operator dispatches per row on the `fmt` column (`_VIDEO_CODECS`
+/ `_AUDIO_CODECS`), so a single DataFrame can mix fake and real
+payloads and an unknown fmt raises NotImplementedError — the
+production swap for compressed formats is one registry entry, same
+one-file-swap contract as the image codecs (codecs.py). Reference
+analogue: the fetch path's pluggable Requester
+(fetcher/Executor.java:26-28) — the kernel is injected, the dataflow
+around it is fixed.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -86,11 +99,136 @@ def _decode_audio_stub(audio_id: str, data: bytes, n_samples: int) -> np.ndarray
     return (rng.random(n_samples, dtype=np.float32) * 2.0 - 1.0)
 
 
-def decode_video_real(*a, **k):  # pragma: no cover - production seam
-    raise NotImplementedError(
-        "real video decode requires ffmpeg bindings; swap the stub in "
-        "webcollector_spark/operators/media.py"
-    )
+def encode_ppm_stream(frames: list[np.ndarray]) -> bytes:
+    """Concatenated binary-P6 stream — the `ffmpeg -f image2pipe
+    -vcodec ppm` wire format (header `P6\\n{w} {h}\\n255\\n` + raw RGB
+    raster per frame). Fixture-side twin of `decode_video_real`."""
+    out = bytearray()
+    for fr in frames:
+        h, w, c = fr.shape
+        assert c == 3 and fr.dtype == np.uint8
+        out += f"P6\n{w} {h}\n255\n".encode()
+        out += fr.tobytes()
+    return bytes(out)
+
+
+def decode_video_real(video_id: str, data: bytes, n_frames: int, w: int, h: int):
+    """REAL decoder for a concatenated binary-P6 (PPM) frame stream.
+
+    Pure Python/numpy, no external libs; parses exactly what ffmpeg's
+    image2pipe/ppm output (or `encode_ppm_stream`) produces: per frame
+    a `P6`, whitespace-separated width/height, maxval 255, single
+    whitespace byte, then w*h*3 bytes of raw RGB. Yields
+    (frame_idx, HxWx3 uint8) like the stub, and cross-checks the frame
+    dimensions against the row's typed metadata.
+    """
+    pos = 0
+    for i in range(n_frames):
+        if data[pos : pos + 2] != b"P6":
+            raise ValueError(f"{video_id}: frame {i}: not a P6 header at {pos}")
+        pos += 2
+        fields = []
+        while len(fields) < 3:
+            # skip whitespace and `#` comment lines between header fields
+            while pos < len(data) and data[pos : pos + 1].isspace():
+                pos += 1
+            if data[pos : pos + 1] == b"#":
+                while data[pos : pos + 1] not in (b"\n", b""):
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(data[start:pos]))
+        pos += 1  # the single whitespace byte after maxval
+        fw, fh, maxval = fields
+        if maxval != 255:
+            raise NotImplementedError(f"{video_id}: only maxval-255 P6 supported")
+        if (fw, fh) != (w, h):
+            raise ValueError(
+                f"{video_id}: frame {i} is {fw}x{fh}, metadata says {w}x{h}"
+            )
+        raster = np.frombuffer(data, dtype=np.uint8, count=fh * fw * 3, offset=pos)
+        pos += fh * fw * 3
+        yield i, raster.reshape(fh, fw, 3).copy()
+
+
+def encode_wav(wave: np.ndarray, sample_rate: int) -> bytes:
+    """float32 [-1,1] mono waveform -> RIFF/WAVE PCM16 bytes (the
+    canonical 44-byte-header layout). Fixture-side twin of
+    `decode_audio_real`."""
+    pcm = np.clip(np.round(wave * 32767.0), -32768, 32767).astype("<i2")
+    body = pcm.tobytes()
+    hdr = b"WAVE" + b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    ) + b"data" + struct.pack("<I", len(body))
+    return b"RIFF" + struct.pack("<I", 4 + len(hdr) - 4 + len(body)) + hdr + body
+
+
+def decode_audio_real(audio_id: str, data: bytes, n_samples: int) -> np.ndarray:
+    """REAL decoder for RIFF/WAVE PCM (16-bit mono) -> float32 [-1,1].
+
+    Walks the RIFF chunk list (tolerates extra chunks like LIST/fact
+    before `data`), so it reads what any standard WAV writer emits —
+    not just `encode_wav`'s minimal layout.
+    """
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(f"{audio_id}: not a RIFF/WAVE file")
+    pos, bits, channels = 12, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt_code, channels, _sr, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if fmt_code != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"{audio_id}: only PCM16 mono supported "
+                    f"(fmt={fmt_code}, ch={channels}, bits={bits})"
+                )
+        elif tag == b"data":
+            if bits is None:
+                raise ValueError(f"{audio_id}: data chunk before fmt")
+            pcm = np.frombuffer(body, dtype="<i2")
+            if len(pcm) < n_samples:
+                raise ValueError(
+                    f"{audio_id}: {len(pcm)} samples in file, "
+                    f"metadata says {n_samples}"
+                )
+            return (pcm[:n_samples].astype(np.float32)) / 32767.0
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValueError(f"{audio_id}: no data chunk")
+
+
+# fmt -> decode kernel. Compressed formats (h264, vp9, mp3, opus...)
+# are the production swap: one registry entry with ffmpeg/librosa
+# bindings; nothing else in the dataflow changes.
+_VIDEO_CODECS = {"fakevid": _decode_video_stub, "ppm": decode_video_real}
+_AUDIO_CODECS = {"fakeaud": _decode_audio_stub, "wav": decode_audio_real}
+
+
+def _video_decoder(fmt: str):
+    try:
+        return _VIDEO_CODECS[fmt]
+    except KeyError:
+        raise NotImplementedError(
+            f"no video decoder registered for fmt={fmt!r}; compressed "
+            "formats need ffmpeg bindings — register them in "
+            "webcollector_spark/operators/media.py:_VIDEO_CODECS"
+        ) from None
+
+
+def _audio_decoder(fmt: str):
+    try:
+        return _AUDIO_CODECS[fmt]
+    except KeyError:
+        raise NotImplementedError(
+            f"no audio decoder registered for fmt={fmt!r}; compressed "
+            "formats need librosa/ffmpeg bindings — register them in "
+            "webcollector_spark/operators/media.py:_AUDIO_CODECS"
+        ) from None
 
 
 def make_video_corpus(spark: SparkSession, n: int = 20, seed: int = 42) -> DataFrame:
@@ -132,6 +270,50 @@ def make_audio_corpus(spark: SparkSession, n: int = 20, seed: int = 43) -> DataF
     return spark.createDataFrame(rows, schema=AUDIO_SCHEMA)
 
 
+def make_real_video_corpus(
+    spark: SparkSession, n: int = 6, seed: int = 44, n_frames: int = 8,
+    w: int = 16, h: int = 12,
+) -> DataFrame:
+    """Video table whose payloads are REAL concatenated-P6 streams
+    (fmt='ppm'): the real decoder path, end to end, with recomputable
+    ground-truth frames from a seeded RNG."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        frames = [
+            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for _ in range(n_frames)
+        ]
+        rows.append(
+            (
+                f"rvid{i:06d}",
+                encode_ppm_stream(frames),
+                n_frames,
+                24.0,
+                w,
+                h,
+                "ppm",
+                f"caption of rvid{i:06d}",
+            )
+        )
+    return spark.createDataFrame(rows, schema=VIDEO_SCHEMA)
+
+
+def make_real_audio_corpus(
+    spark: SparkSession, n: int = 6, seed: int = 45
+) -> DataFrame:
+    """Audio table whose payloads are REAL RIFF/WAVE PCM16 bytes
+    (fmt='wav')."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        sr = int(rng.choice([8000, 16000]))
+        ns = int(rng.integers(sr // 2, sr))
+        wave = (rng.random(ns, dtype=np.float32) * 2.0 - 1.0)
+        rows.append((f"raud{i:06d}", encode_wav(wave, sr), sr, ns, "wav"))
+    return spark.createDataFrame(rows, schema=AUDIO_SCHEMA)
+
+
 def sample_frames(videos: DataFrame, every_n: int = 4) -> DataFrame:
     """Frame-sample operator: decode inside Arrow batches, keep every
     n-th frame, emit per-frame features. One row in -> n_frames/every_n
@@ -143,7 +325,8 @@ def sample_frames(videos: DataFrame, every_n: int = 4) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.to_dict("records"):
-                for idx, frame in _decode_video_stub(
+                decode = _video_decoder(r["fmt"])
+                for idx, frame in decode(
                     r["video_id"], bytes(r["bytes"]), r["n_frames"], r["w"], r["h"]
                 ):
                     if idx % every_n:
@@ -181,7 +364,7 @@ def audio_features(audio: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.to_dict("records"):
-                wave = _decode_audio_stub(
+                wave = _audio_decoder(r["fmt"])(
                     r["audio_id"], bytes(r["bytes"]), r["n_samples"]
                 )
                 rows.append(
