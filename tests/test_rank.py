@@ -61,6 +61,91 @@ def test_pagerank_deep_iterations_checkpoint(spark):
     assert all(abs(v - 1 / 3) < 1e-6 for v in r.values()), r
 
 
+def test_pagerank_scheduling_through_start(spark, tmp_path):
+    """End-to-end through the round loop (VERDICT r2 item 5): with
+    rank_priorities_every=1, the crawler re-prioritizes the frontier
+    from PageRank over the observed link graph after each round, and
+    the NEXT round's generate schedules the most-linked-to pages first.
+
+    The graph is built so rank order and key order disagree: the
+    heavily in-linked leaves have lexicographically LATE urls while the
+    one-in-link leaves sort first — so the round-2 schedule can only be
+    explained by the rank-driven priorities, not the reference's
+    default key order (crawldb/Generator.java:49-78)."""
+    from webcollector_spark.config import CrawlerConfig
+    from webcollector_spark.crawler import RamCrawler
+    from webcollector_spark.sources.requester import SyntheticRequester
+
+    seed = "http://hub.test/seed"
+    mids = [f"http://hub.test/p{i}" for i in range(8)]
+    pop = "http://leaf.test/zz-popular"    # linked by all 8 mid pages
+    second = "http://leaf.test/zy-second"  # linked by 4
+    poor = [f"http://leaf.test/aa-{i}" for i in range(8)]  # 1 in-link each
+
+    def page(url, links):
+        return {
+            "url": url, "http_code": 200, "location": None,
+            "image_id": None, "out_links": links,
+        }
+
+    graph = [page(seed, mids)]
+    for i, m in enumerate(mids):
+        links = [pop, poor[i]] + ([second] if i < 4 else [])
+        graph.append(page(m, links))
+    for leaf in [pop, second] + poor:
+        graph.append(page(leaf, []))
+
+    hist = str(tmp_path / "hist")
+    cfg = CrawlerConfig(
+        top_n=0,
+        per_host_top_k=50,  # the priority-aware scheduler (reference-
+        # exact generate() orders by KEY and ignores priority)
+        rank_priorities_every=1,
+        fetched_history_path=hist,
+        pagerank_iters=3,
+    )
+    c = RamCrawler(spark, SyntheticRequester(graph, []), config=cfg)
+    c.add_seed([seed])
+    c.start(2)  # round 0: seed; round 1: all mids; leaves now pending
+
+    # the in-loop re-prioritization ran after round 1: pending leaves
+    # carry -rank priorities ordered by in-link mass
+    prio = {
+        r["key"]: r["priority"]
+        for r in c.frontier().filter(F.col("status") == 0).collect()
+    }
+    assert prio[pop] < prio[second] < prio[poor[0]] < 0
+
+    # round 2 under a budget of 2: must pick the two top-rank leaves,
+    # which sort LAST by key — key order would have picked aa-0/aa-1
+    c.config.top_n = 2
+    c.start(3)
+    import pyspark.sql.functions as SF
+
+    scheduled = {
+        r["url"]
+        for r in spark.read.parquet(hist).filter(SF.col("round") == 2).collect()
+    }
+    assert scheduled == {pop, second}
+
+
+def test_rank_priorities_requires_history_path(spark):
+    import pytest
+
+    from webcollector_spark.config import CrawlerConfig
+    from webcollector_spark.crawler import RamCrawler
+    from webcollector_spark.sources.requester import SyntheticRequester
+
+    c = RamCrawler(
+        spark,
+        SyntheticRequester([], []),
+        config=CrawlerConfig(rank_priorities_every=1),
+    )
+    c.add_seed(["http://h.test/"])
+    with pytest.raises(ValueError, match="fetched_history_path"):
+        c.start(1)
+
+
 def test_priorities_from_ranks(spark):
     from webcollector_spark.crawler import seed_rows
     from webcollector_spark.operators.rank import (

@@ -104,6 +104,17 @@ class CrawlerConfig:
     # Offline consumers: politeness tuning, dead-host pruning, per-host
     # crawl-health dashboards.
     host_metrics_path: str | None = None
+    # PageRank-driven scheduling (operators/rank.py): every k completed
+    # rounds, compute PageRank over the link graph observed so far in
+    # fetched_history (src page -> harvested link) and re-prioritize the
+    # pending frontier (priority = -rank), so the NEXT generate leads
+    # with the most-linked-to pages. 0 = off. Requires
+    # fetched_history_path (the edge source). This upgrades the
+    # reference's key-order generation (crawldb/Generator.java:49-78) to
+    # importance order — the "partitioned priority queue" of the north
+    # star with a principled priority source.
+    rank_priorities_every: int = 0
+    pagerank_iters: int = 3
     # Number of partitions for the fetch stage (defaults to `threads`).
     fetch_partitions: int = 0
     # Target generated rows per fetch task: the fetch stage uses

@@ -162,6 +162,11 @@ class BreadthCrawler:
     # -- the crawl loop -------------------------------------------------
     def start(self, max_depth: int) -> list[RoundMetrics]:
         cfg = self.config
+        if cfg.rank_priorities_every > 0 and not cfg.fetched_history_path:
+            raise ValueError(
+                "rank_priorities_every requires fetched_history_path "
+                "(the link-graph edge source)"
+            )
 
         def _seed_df(seeds):
             df = seed_rows(self.spark, seeds)
@@ -390,7 +395,41 @@ class BreadthCrawler:
             )
             self.metrics.append(m)
             self.store.log_round(**m.__dict__)
+
+            # Importance-ordered scheduling: every k rounds, rank the
+            # observed link graph and fold -rank into the pending
+            # frontier's priority, so the next generate window leads
+            # with the most-linked-to pages. O(|E|) shuffle per
+            # PageRank iteration + one merge — a per-k-rounds cost, not
+            # per-round.
+            if (
+                cfg.rank_priorities_every > 0
+                and (r + 1) % cfg.rank_priorities_every == 0
+            ):
+                self._reprioritize_from_ranks()
         return self.metrics
+
+    def _reprioritize_from_ranks(self) -> None:
+        from webcollector_spark.operators.rank import (
+            edges_from_history,
+            pagerank,
+            priorities_from_ranks,
+        )
+
+        cfg = self.config
+        if not cfg.fetched_history_path:
+            raise ValueError(
+                "rank_priorities_every requires fetched_history_path "
+                "(the link-graph edge source)"
+            )
+        hist = self.spark.read.parquet(cfg.fetched_history_path)
+        edges = edges_from_history(
+            hist, canonical=cfg.canonicalize_link_keys
+        )
+        ranks = pagerank(edges, iters=cfg.pagerank_iters)
+        self.store.inject(
+            priorities_from_ranks(self.store.load(), ranks), force=True
+        )
 
     def _write_round_partition(self, df: DataFrame, path: str, r: int) -> None:
         """Append df as partition round=r of a history table, replacing

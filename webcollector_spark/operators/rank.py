@@ -87,6 +87,43 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
+def edges_from_history(hist: DataFrame, canonical: bool = False) -> DataFrame:
+    """Link graph (src page -> harvested link key) from the crawler's
+    fetched-history table: auto-parse links ride the `links` array,
+    visitor emissions ride `next_datums` (dst = the datum KEY — the
+    frontier identity rank joins back on). With `canonical`, both ends
+    go through the same canonicalization as the frontier keys so ranks
+    land on the rows they refer to."""
+    parts = []
+    cols = set(hist.columns)
+    if "links" in cols:
+        parts.append(
+            hist.filter(F.col("links").isNotNull()).select(
+                F.col("url").alias("src"), F.explode("links").alias("dst")
+            )
+        )
+    if "next_datums" in cols:
+        parts.append(
+            hist.filter(F.col("next_datums").isNotNull()).select(
+                F.col("url").alias("src"),
+                F.explode("next_datums").alias("d"),
+            ).select("src", F.col("d.key").alias("dst"))
+        )
+    if not parts:
+        raise ValueError("history table has neither links nor next_datums")
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    if canonical:
+        from webcollector_spark.functions.urls import canonical_url_col
+
+        edges = edges.select(
+            canonical_url_col(F.col("src")).alias("src"),
+            canonical_url_col(F.col("dst")).alias("dst"),
+        )
+    return edges.distinct()
+
+
 def priorities_from_ranks(frontier: DataFrame, ranks: DataFrame) -> DataFrame:
     """Frontier with `priority` replaced by -rank for ranked keys
     (higher rank -> smaller priority -> scheduled sooner by the
