@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_cluster_keepers",
     "simhash",
     "jaccard_pairs",
+    "jaccard_lsh_verified",
     "winnow_fingerprint",
     "ann_cosine_topk",
     "cosine_blocked_neardup",

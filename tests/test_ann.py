@@ -163,3 +163,103 @@ class TestIVF:
         # above chance and every returned neighbour is exact-scored
         assert recall >= 0.5, recall
         assert len(got) == len(want)
+
+
+class TestPQ:
+    """Product quantization: per-subspace training must reduce
+    reconstruction distortion, codes must be complete + bounded, and
+    ADC ranking must broadly agree with exact squared-L2 ranking."""
+
+    def test_train_encode_shapes(self, spark, emb):
+        from webcollector_spark.operators.ann import (
+            pq_encode,
+            train_pq_codebooks,
+        )
+
+        cb = train_pq_codebooks(emb, m=4, k=8, iters=2)
+        rows = cb.collect()
+        assert len(rows) == 4 * 8
+        assert all(len(r["ce"]) == 16 for r in rows)
+        codes = pq_encode(emb, cb, m=4)
+        got = codes.collect()
+        assert len(got) == emb.count()
+        assert all(len(r["codes"]) == 4 for r in got)
+        assert all(0 <= c < 8 for r in got for c in r["codes"])
+
+    def test_training_reduces_distortion(self, spark, emb):
+        from webcollector_spark.operators.ann import (
+            _pq_subvectors,
+            pq_assign,
+            train_pq_codebooks,
+        )
+
+        def distortion(cb):
+            sv = _pq_subvectors(emb, 4)
+            joined = (
+                sv.join(pq_assign(sv, cb), ["vid", "s"])
+                .join(
+                    cb.withColumnRenamed("cid", "code"), ["s", "code"]
+                )
+            )
+            sq = F.aggregate(
+                F.zip_with("sv", "ce", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            return joined.agg(F.sum(sq)).collect()[0][0]
+
+        c0 = train_pq_codebooks(emb, m=4, k=8, iters=0)
+        c3 = train_pq_codebooks(emb, m=4, k=8, iters=3)
+        assert distortion(c3) < distortion(c0) * 0.95
+
+    def test_adc_agrees_with_exact_on_quantized(self, spark, emb):
+        """ADC distance vs a query equals exact squared L2 to the
+        RECONSTRUCTED (quantized) corpus vector — verify on a few
+        pairs that the LUT-sum pipeline computes what it claims."""
+        from webcollector_spark.operators.ann import (
+            _pq_subvectors,
+            pq_adc_topk,
+            pq_assign,
+            train_pq_codebooks,
+        )
+
+        cb = train_pq_codebooks(emb, m=4, k=8, iters=2)
+        queries = emb.orderBy(F.col("vec_id").desc()).limit(3)
+        top = pq_adc_topk(emb, cb, queries, k=3, m=4).collect()
+        assert {r["rk"] for r in top} == {1, 2, 3}
+        by_q = {}
+        for r in top:
+            by_q.setdefault(r["query_id"], []).append(r)
+        # per query: ranks are adist-ascending and self is excluded
+        for q, rows in by_q.items():
+            rows.sort(key=lambda r: r["rk"])
+            ds = [r["adist4"] for r in rows]
+            assert ds == sorted(ds)
+            assert all(r["neighbor_id"] != q for r in rows)
+
+        # spot-check one (query, neighbor) adist against a direct
+        # reconstruction computed driver-side
+        import numpy as np
+
+        r0 = top[0]
+        vec = {
+            r["vec_id"]: np.array(r["embedding"], dtype=float)
+            for r in emb.filter(
+                F.col("vec_id").isin([int(r0["query_id"]), int(r0["neighbor_id"])])
+            ).collect()
+        }
+        cbl = {
+            (r["s"], r["cid"]): np.array(r["ce"]) for r in cb.collect()
+        }
+        sv = _pq_subvectors(emb, 4)
+        codes = {
+            (r["vid"], r["s"]): r["code"]
+            for r in pq_assign(sv, cb)
+            .filter(F.col("vid") == int(r0["neighbor_id"]))
+            .collect()
+        }
+        recon = np.concatenate(
+            [cbl[(s, codes[(int(r0["neighbor_id"]), s)])] for s in range(4)]
+        )
+        want = float(((vec[int(r0["query_id"])] - recon) ** 2).sum())
+        assert abs(want - r0["adist4"]) < 1e-3

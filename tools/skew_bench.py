@@ -47,13 +47,18 @@ def main() -> None:
     hot = frontier.filter(F.col("host") == "h000.test").count()
     out = {"n_urls": n, "hot_host_rows": hot, "hot_share": round(hot / n, 3)}
 
-    def timed(fn, warm=1, reps=2):
+    def timed(fn, warm=1, reps=3):
+        # median-of-3 after an untimed warm pass — same discipline as
+        # bench.py: a single hypervisor steal burst (documented in
+        # BENCH.md §4) must hit 2 of 3 samples to move the record.
         for _ in range(warm):
             fn()
-        t0 = time.monotonic()
+        samples = []
         for _ in range(reps):
+            t0 = time.monotonic()
             fn()
-        return round((time.monotonic() - t0) / reps, 3)
+            samples.append(time.monotonic() - t0)
+        return round(sorted(samples)[len(samples) // 2], 3)
 
     # 1. generate: salted vs unsalted per-host top-k. The window sort of
     # a hot host only becomes the bottleneck once its partition is
@@ -89,6 +94,77 @@ def main() -> None:
     out["generate_salt_speedup"] = round(
         out["generate_salt1_sec"] / out["generate_salt8_sec"], 2
     )
+    big.unpersist()
+
+    # 1b. adaptive-salt detection cost over the same 4M-row skewed
+    # frontier, three probes:
+    #   detect_cm        - count-min hot_items with a small candidate
+    #                      set (what the round loop wires in)
+    #   detect_groupby   - naive full groupBy(host).count() skew scan
+    #   detect_filtered  - exact candidate-filtered count (broadcast
+    #                      semi-join + groupBy; bounded output too)
+    # At 24 hosts everything is scan-dominated; the structural
+    # difference is the shuffle-OUTPUT bound (d*w counter rows per
+    # partition vs one row per distinct host per partition), so the
+    # same three are re-measured at 1M and 4M (all-unique) distinct
+    # hosts, where the naive probe's partial-agg hash map and shuffle
+    # grow with cardinality and the sketch's don't.
+    from webcollector_spark.operators.sketch import hot_items
+
+    big.persist(StorageLevel.MEMORY_AND_DISK).count()
+    cand = spark.createDataFrame(
+        [("h000.test",), ("h5",), ("h9",)], "host string"
+    )
+
+    def detect_filtered(df):
+        return (
+            df.join(F.broadcast(cand), "host", "left_semi")
+            .groupBy("host")
+            .count()
+            .filter(F.col("count") > 0.2 * big_n)
+            .count()
+        )
+
+    for tag, df in (
+        ("", big),
+        (
+            "_1m_hosts",
+            big.withColumn(
+                "host",
+                F.when(
+                    F.col("host") == "h000.test", F.lit("h000.test")
+                ).otherwise(
+                    F.concat(
+                        F.lit("h"), F.pmod(F.xxhash64("key"), F.lit(1_000_000))
+                    )
+                ),
+            ),
+        ),
+        (
+            "_4m_hosts",
+            big.withColumn(
+                "host",
+                F.when(
+                    F.col("host") == "h000.test", F.lit("h000.test")
+                ).otherwise(F.concat(F.lit("u"), F.col("key"))),
+            ),
+        ),
+    ):
+        if tag:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            df.count()
+        out[f"detect_cm{tag}_sec"] = timed(
+            lambda d=df: hot_items(d, "host", 0.2, items=cand).count()
+        )
+        out[f"detect_groupby{tag}_sec"] = timed(
+            lambda d=df: d.groupBy("host").count()
+            .filter(F.col("count") > 0.2 * big_n).count()
+        )
+        out[f"detect_filtered{tag}_sec"] = timed(
+            lambda d=df: detect_filtered(d)
+        )
+        if tag:
+            df.unpersist()
     big.unpersist()
 
     # 2. fetch: co-located (politeness) vs round-robin (no politeness).

@@ -57,6 +57,22 @@ class CrawlerConfig:
     # partition to matter (measured crossover ~10^6 rows — below it the
     # extra shuffle costs more than the skew, tools/skew_bench.py).
     salt_min_frontier: int = 1_000_000
+    # Adaptive hot-host salting: instead of the size-only gate above,
+    # probe last round's link hosts (a small candidate set) against the
+    # frontier with ONE exact bounded-output scan
+    # (crawler._frontier_has_hot_host: broadcast-mark candidates, group
+    # by candidate-host-or-NULL — per-candidate counts + total in one
+    # job, output <= |candidates|+1 rows at any host cardinality) and
+    # salt the generate window only when some candidate actually holds
+    # > hot_host_frac of frontier rows. A naive groupBy(host).count()
+    # skew probe shuffles one row per distinct host (10^8 at web
+    # scale); the count-min alternative (operators/sketch.py hot_items)
+    # is also bounded but measured 3-4x slower here because exactness
+    # costs nothing when candidates are known up front
+    # (tools/skew_bench.py detect_* rows). Round 0 (no candidates yet)
+    # falls back to the size gate.
+    adaptive_salt: bool = False
+    hot_host_frac: float = 0.2
     # Bloom filter sizing for the distributed URL-seen pre-prune.
     bloom_capacity: int = 1_000_000
     bloom_fpp: float = 0.01

@@ -306,3 +306,183 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "rk", F.round("sim", 4).alias("sim4"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Tier 4: product quantization (Jégou et al. 2011) — the memory side of
+# the web-scale ANN stack. IVF (tier above) bounds how much of the
+# corpus a query touches; PQ bounds what each touched vector costs:
+# dim/m-dim subvectors quantized to k codewords each compress a vector
+# to m small ints (64-dim float -> 4 bytes at m=4/k<=256), and
+# asymmetric-distance (ADC) search scans codes against a per-query
+# lookup table instead of raw floats. Scale shape: the code table is
+# O(n*m) narrow ints; the per-query LUT is m*k entries — broadcast by
+# construction; the scan is one hash join + sum, no O(n^2) stage and no
+# raw-vector shuffle. At 10^9 vectors compose with ivf_assign so the
+# LUT join only scans the probed cells' code lists (IVFADC).
+
+
+def _pq_subvectors(
+    emb: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, s, sv): the m per-subspace slices of every vector — one
+    narrow map stage (crossJoin with the m-row subspace frame is a
+    broadcast nested loop over literals, not a shuffle). Requires
+    dim % m == 0 (checked lazily via slice bounds)."""
+    spark = emb.sparkSession
+    dim = len(emb.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    ln = dim // m
+    sub = spark.range(m).select(F.col("id").cast("int").alias("s"))
+    return emb.crossJoin(F.broadcast(sub)).select(
+        F.col(id_col).alias("vid"),
+        "s",
+        F.transform(
+            F.slice(vec_col, F.col("s") * ln + 1, ln),
+            lambda x: x.cast("double"),
+        ).alias("sv"),
+    )
+
+
+def pq_assign(sv: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Nearest codeword per (vector, subspace): (vid, s, code).
+    `codebooks` is (s, cid, ce) — m*k rows, broadcast. Ties break
+    toward the lower cid (deterministic)."""
+    w = Window.partitionBy("vid", "s").orderBy(
+        F.col("d").asc(), F.col("cid").asc()
+    )
+    return (
+        sv.join(F.broadcast(codebooks), "s")
+        .select("vid", "s", "cid", _sqdist(F.col("sv"), F.col("ce")).alias("d"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .select("vid", "s", F.col("cid").alias("code"))
+    )
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace Lloyd's k-means, all m subspaces trained in the SAME
+    jobs (cluster key (s, cid) — m separate loops would scan the corpus
+    m times per iteration). Deterministic seeding from the k lowest-id
+    vectors' slices, mirroring train_ivf_centroids. Codebooks (m*k*dim/m
+    doubles) round-trip through the driver between iterations; the
+    corpus never does. Returns (s int, cid int, ce array<double>)."""
+    spark = emb.sparkSession
+    sv = _pq_subvectors(emb, m, id_col, vec_col)
+    seed_ids = [
+        r[0] for r in emb.select(id_col).orderBy(id_col).limit(k).collect()
+    ]
+    seed_rows = (
+        sv.filter(F.col("vid").isin(seed_ids)).orderBy("s", "vid").collect()
+    )
+    cents = [
+        (r["s"], i % k, list(r["sv"])) for i, r in enumerate(seed_rows)
+    ]
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cents, "s int, cid int, ce array<double>")
+        assigned = pq_assign(sv, cdf)
+        means = (
+            sv.join(assigned, ["vid", "s"])
+            .select("s", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("s", "code", "pos")
+            .agg(F.avg("x").alias("mval"))
+            .groupBy("s", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("mval")))
+                    ),
+                    lambda st: st["mval"],
+                ).alias("ce")
+            )
+            .collect()
+        )
+        new = {(r["s"], r["code"]): list(r["ce"]) for r in means}
+        cents = [(s, cid, new.get((s, cid), old)) for s, cid, old in cents]
+    return spark.createDataFrame(cents, "s int, cid int, ce array<double>")
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<int>): the stored representation — m small
+    ints per vector, subspace order."""
+    sv = _pq_subvectors(emb, m, id_col, vec_col)
+    return (
+        pq_assign(sv, codebooks)
+        .groupBy("vid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("code")))),
+                lambda st: st["code"],
+            ).alias("codes")
+        )
+        .select(F.col("vid").alias(id_col), "codes")
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: raw query subvectors against the
+    corpus's quantized codes. Per query the m*k partial distances form
+    the LUT (broadcast — small by construction); the corpus side
+    contributes only its code triples, so the scan never touches raw
+    corpus floats. Returns (query_id, neighbor_id, rk, adist4) with
+    adist ascending (approximate squared L2)."""
+    codes = pq_assign(_pq_subvectors(emb, m, id_col, vec_col), codebooks)
+    # qs/qcid renames keep the join condition unambiguous even when
+    # `queries` shares lineage with `emb` (e.g. queries = emb.limit(n)):
+    # bracket-notation same-name refs on shared-lineage frames resolve
+    # trivially true in Spark's analyzer.
+    lut = (
+        _pq_subvectors(queries, m, id_col, vec_col)
+        .withColumnRenamed("vid", "query_id")
+        .join(codebooks, "s")
+        .select(
+            "query_id",
+            F.col("s").alias("qs"),
+            F.col("cid").alias("qcid"),
+            _sqdist(F.col("sv"), F.col("ce")).alias("pd"),
+        )
+    )
+    scored = (
+        codes.join(
+            F.broadcast(lut),
+            (F.col("s") == F.col("qs")) & (F.col("code") == F.col("qcid")),
+        )
+        .filter(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.sum("pd").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", "neighbor_id", "rk", F.round("adist", 4).alias("adist4")
+        )
+    )
