@@ -263,3 +263,70 @@ class TestPQ:
         )
         want = float(((vec[int(r0["query_id"])] - recon) ** 2).sum())
         assert abs(want - r0["adist4"]) < 1e-3
+
+
+class TestIVFADC:
+    """Composed IVF + PQ/ADC: candidates must come only from probed
+    cells, and each candidate's adist must equal the full-scan ADC
+    distance for the same (query, neighbor) pair."""
+
+    def test_probed_cells_and_adc_agreement(self, spark, emb):
+        from webcollector_spark.operators.ann import (
+            ivf_assign,
+            ivfadc_topk,
+            pq_adc_topk,
+            train_ivf_centroids,
+            train_pq_codebooks,
+        )
+
+        cents = train_ivf_centroids(emb, k=8, iters=2)
+        cb = train_pq_codebooks(emb, m=4, k=8, iters=2)
+        queries = emb.orderBy(F.col("vec_id").desc()).limit(3)
+        top = ivfadc_topk(emb, cents, cb, queries, k=3, nprobe=2, m=4)
+        rows = top.collect()
+        assert rows, "no candidates survived the probe restriction"
+
+        # per query: <= k rows, adist-ascending ranks, self excluded
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: r["rk"])
+            assert len(rs) <= 3
+            ds = [r["adist4"] for r in rs]
+            assert ds == sorted(ds)
+            assert all(r["neighbor_id"] != q for r in rs)
+
+        # every returned neighbour lives in one of its query's probed
+        # cells (recompute probe sets driver-side from the same inputs)
+        cluster_of = {
+            r["vec_id"]: r["cluster"] for r in ivf_assign(emb, cents).collect()
+        }
+        centrows = cents.collect()
+        import numpy as np
+
+        cvec = {r["cid"]: np.array(r["ce"]) for r in centrows}
+        qvecs = {
+            r["vec_id"]: np.array(r["embedding"], dtype=float)
+            for r in queries.collect()
+        }
+        for q, rs in by_q.items():
+            d = sorted(
+                (float(((qvecs[q] - c) ** 2).sum()), cid)
+                for cid, c in cvec.items()
+            )
+            probed = {cid for _, cid in d[:2]}
+            for r in rs:
+                assert cluster_of[r["neighbor_id"]] in probed
+
+        # adist agreement: the full-scan ADC top-k (k large enough to
+        # cover all ivfadc picks) must report the same distance for
+        # every (query, neighbor) ivfadc returned
+        full = {
+            (r["query_id"], r["neighbor_id"]): r["adist4"]
+            for r in pq_adc_topk(emb, cb, queries, k=50, m=4).collect()
+        }
+        for r in rows:
+            key = (r["query_id"], r["neighbor_id"])
+            assert key in full
+            assert abs(full[key] - r["adist4"]) < 1e-6

@@ -486,3 +486,85 @@ def pq_adc_topk(
             "query_id", "neighbor_id", "rk", F.round("adist", 4).alias("adist4")
         )
     )
+
+
+def ivfadc_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC (Jegou et al. 2011 SIV): the composed 10^9-vector shape.
+    IVF bounds WHICH vectors a query touches (only the nprobe probed
+    cells' code lists are scanned); PQ/ADC bounds what each touched
+    vector COSTS (m int codes + a broadcast LUT lookup, never raw
+    floats). Scale shape: corpus side contributes (vid, cluster) +
+    (vid, s, code) int tables — both precomputable once and stored;
+    query side contributes nprobe cell ids + an m*k-row LUT per query,
+    broadcast by construction; the scan is one hash join + sum over
+    candidates only. No O(n^2) stage, no raw-corpus-vector shuffle.
+
+    Non-residual variant: codes quantize RAW vectors (what
+    train_pq_codebooks trains). The textbook refinement encodes
+    residuals (x - home centroid) for tighter cells — omitted so the
+    stored codes stay query-independent and the registry oracle can
+    value-check this exact pipeline end to end."""
+    cluster_of = ivf_assign(emb, centroids, id_col, vec_col)
+    codes = pq_assign(_pq_subvectors(emb, m, id_col, vec_col), codebooks)
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("cid").asc()
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"))
+        .crossJoin(F.broadcast(centroids))
+        .select("query_id", "cid", _sqdist(F.col("qe"), F.col("ce")).alias("d"))
+        .withColumn("rk", F.row_number().over(probe_w))
+        .filter(F.col("rk") <= nprobe)
+        .select("query_id", F.col("cid").alias("cluster"))
+    )
+    # lq/qs/qcid renames: the LUT must join on query identity too (a
+    # candidate of query A must not be scored against query B's LUT),
+    # and same-name refs on shared-lineage frames resolve trivially true
+    lut = (
+        _pq_subvectors(queries, m, id_col, vec_col)
+        .withColumnRenamed("vid", "query_id")
+        .join(codebooks, "s")
+        .select(
+            F.col("query_id").alias("lq"),
+            F.col("s").alias("qs"),
+            F.col("cid").alias("qcid"),
+            _sqdist(F.col("sv"), F.col("ce")).alias("pd"),
+        )
+    )
+    cand = (
+        codes.join(
+            cluster_of.select(F.col(id_col).alias("vid"), "cluster"), "vid"
+        )
+        .join(F.broadcast(probes), "cluster")
+        .filter(F.col("vid") != F.col("query_id"))
+    )
+    scored = (
+        cand.join(
+            F.broadcast(lut),
+            (F.col("query_id") == F.col("lq"))
+            & (F.col("s") == F.col("qs"))
+            & (F.col("code") == F.col("qcid")),
+        )
+        .groupBy("query_id", F.col("vid").alias("neighbor_id"))
+        .agg(F.sum("pd").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", "neighbor_id", "rk", F.round("adist", 4).alias("adist4")
+        )
+    )

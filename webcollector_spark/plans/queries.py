@@ -931,9 +931,7 @@ def q_dedup_cluster_keepers(spark, sf):
 # SimHash (16-bit here; 64-bit in production) — bit votes over word hashes.
 # Identical arithmetic on both engines: hv = first 8 md5 hex digits as int,
 # bit j extracted via floor(hv / 2^j) % 2 (no engine-specific shift ops).
-@register(
-    "simhash",
-    r"""
+_SIMHASH_SQL = r"""
     WITH words AS (
       SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '\S+'))) AS w
       FROM documents),
@@ -948,8 +946,10 @@ def q_dedup_cluster_keepers(spark, sf):
            CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
                 AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
-    """,
-)
+    """
+
+
+@register("simhash", _SIMHASH_SQL)
 def q_simhash(spark, sf):
     docs = _t(spark, sf, "documents")
     words = docs.select(
@@ -985,6 +985,63 @@ def q_simhash(spark, sf):
                 0
             )
         ).alias("simhash")
+    )
+
+
+# Banded simhash near-dup (Manku et al. 2007, the production text
+# near-dup shape alongside phash_neardup_banded for images): split the
+# signature into 4 bands, candidates share >= 1 band, exact Hamming
+# verifies candidates only. Pigeonhole EXACTNESS: hamming <= 2 flips at
+# most 2 of the 4 bands, so >= 2 bands stay equal and every qualifying
+# pair is guaranteed a candidate — banding loses nothing at threshold 2.
+# Scale shape: the band join shuffles (band_value, doc_id) pairs and
+# fans out only on collisions; no all-pairs stage (the image twin keeps
+# an O(n^2) exact baseline for recall measurement; text at web scale
+# never runs one).
+@register(
+    "simhash_neardup_banded",
+    f"""
+    WITH sh AS ({_SIMHASH_SQL}),
+    bands AS (
+      SELECT doc_id, simhash, bi,
+             CAST(floor(simhash / pow(2, bi * 4)) AS BIGINT) % 16 AS bv
+      FROM sh, range(4) t(bi)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM bands a JOIN bands b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+    """,
+)
+def q_simhash_neardup_banded(spark, sf):
+    sh = q_simhash(spark, sf)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("bi"),
+    ).withColumn(
+        "bv",
+        F.floor(
+            F.col("simhash") / F.pow(F.lit(2.0), F.col("bi") * 4)
+        ).cast("long")
+        % 16,
+    )
+    a = bands.select(
+        "bi", "bv", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha")
+    )
+    b = bands.select(
+        "bi", "bv", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb")
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+        .filter(ham <= 2)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
     )
 
 
@@ -2016,6 +2073,114 @@ def q_pq_adc_topk(spark, sf):
             "rk",
             (F.round("adist", 4) + F.lit(0.0)).alias("adist4"),
         )
+    )
+
+
+# IVFADC — the composed billion-vector shape (operators/ann.py
+# ivfadc_topk carries the trained path; this twin fixes centroids to the
+# first-8 vectors and codebooks to their subvector slices so DuckDB can
+# value-check the whole composition): IVF restricts WHICH vectors a
+# query touches (nprobe probed cells only), PQ/ADC bounds what each
+# touched vector COSTS (int codes + broadcast LUT — raw corpus floats
+# never shuffle). Candidate volume ~ nprobe/k of the corpus AND each
+# candidate is m LUT lookups, not a dim-wide float op.
+@register(
+    "ivfadc_ann_topk",
+    """
+    WITH cents AS (
+      SELECT vec_id AS ccid, CAST(embedding AS DOUBLE[]) AS cce
+      FROM embeddings WHERE vec_id < 8
+    ),
+    vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ),
+    assign AS (
+      SELECT vec_id, ccid, row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_dot_product(ve, ve)
+                        - 2 * list_dot_product(ve, cce)
+                        + list_dot_product(cce, cce) ASC, ccid ASC
+             ) AS crk
+      FROM vecs CROSS JOIN cents
+    ),
+    cluster_of AS (SELECT vec_id, ccid AS cluster FROM assign WHERE crk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, ccid AS cluster
+      FROM assign WHERE vec_id BETWEEN 495 AND 499 AND crk <= 2
+    ),
+    sub AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(s)),
+    sv AS (
+      SELECT vec_id, s, list_slice(ve, s * 16 + 1, s * 16 + 16) AS svec
+      FROM vecs CROSS JOIN sub
+    ),
+    cb AS (SELECT s, vec_id AS cid, svec AS ce FROM sv WHERE vec_id < 8),
+    a AS (
+      SELECT v.vec_id, v.s, c.cid,
+             row_number() OVER (
+               PARTITION BY v.vec_id, v.s
+               ORDER BY list_dot_product(v.svec, v.svec)
+                        - 2 * list_dot_product(v.svec, c.ce)
+                        + list_dot_product(c.ce, c.ce) ASC, c.cid ASC
+             ) AS rk
+      FROM sv v JOIN cb c ON c.s = v.s
+    ),
+    codes AS (SELECT vec_id, s, cid AS code FROM a WHERE rk = 1),
+    lut AS (
+      SELECT q.vec_id AS query_id, c.s, c.cid,
+             list_dot_product(q.svec, q.svec)
+             - 2 * list_dot_product(q.svec, c.ce)
+             + list_dot_product(c.ce, c.ce) AS pd
+      FROM sv q JOIN cb c ON c.s = q.s
+      WHERE q.vec_id BETWEEN 495 AND 499
+    ),
+    cand AS (
+      SELECT p.query_id, co.vec_id, co.s, co.code
+      FROM codes co
+      JOIN cluster_of cl ON cl.vec_id = co.vec_id
+      JOIN probes p ON p.cluster = cl.cluster
+      WHERE co.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id AS neighbor_id, sum(l.pd) AS adist
+      FROM cand c JOIN lut l
+        ON l.query_id = c.query_id AND l.s = c.s AND l.cid = c.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rk, round(adist, 4) + 0 AS adist4
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def q_ivfadc_ann_topk(spark, sf):
+    from webcollector_spark.operators.ann import ivfadc_topk
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("ce")
+    )
+    ln = 16
+    sub = spark.range(4).select(F.col("id").cast("int").alias("s"))
+    cb = (
+        emb.filter(F.col("vec_id") < 8)
+        .crossJoin(F.broadcast(sub))
+        .select(
+            "s",
+            F.col("vec_id").cast("int").alias("cid"),
+            F.slice("embedding", F.col("s") * ln + 1, ln).alias("ce"),
+        )
+    )
+    queries = emb.filter(F.col("vec_id").between(495, 499))
+    out = ivfadc_topk(emb, cents, cb, queries, k=3, nprobe=2, m=4)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "rk",
+        (F.col("adist4") + F.lit(0.0)).alias("adist4"),
     )
 
 
