@@ -188,3 +188,27 @@ class TestAdaptiveSalt:
         g = self._graph("seed.test", [f"h{i}.test" for i in range(10)], 40)
         c = self._crawl(spark, g, hot_frac=0.2)
         assert c.salt_history == [1, 1], c.salt_history
+
+    def test_candidate_set_is_bounded(self, spark):
+        # salt_candidates caps the driver collect: 10 link hosts but
+        # only the top 2 receivers are kept as candidates
+        from webcollector_spark.config import CrawlerConfig
+        from webcollector_spark.crawler import RamCrawler
+        from webcollector_spark.sources.requester import SyntheticRequester
+
+        g = self._graph("seed.test", [f"h{i}.test" for i in range(10)], 40)
+        cfg = CrawlerConfig(
+            per_host_top_k=100,
+            adaptive_salt=True,
+            hot_host_frac=0.2,
+            host_salt_buckets=8,
+            salt_candidates=2,
+        )
+        c = RamCrawler(spark, SyntheticRequester(g, []), config=cfg)
+        c.add_seed(g[0]["url"])
+        # after round 0 the candidate set reflects the seed's 40 links
+        # across 10 hosts — capped to the top 2 receivers
+        c.start(1)
+        assert len(c._link_hosts) == 2
+        c.start(2)
+        assert c.salt_history == [1, 1]

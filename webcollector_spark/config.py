@@ -73,6 +73,12 @@ class CrawlerConfig:
     # falls back to the size gate.
     adaptive_salt: bool = False
     hot_host_frac: float = 0.2
+    # Cap on the adaptive-salt candidate set (top receivers by link
+    # count via TakeOrdered): bounds the driver collect and the next
+    # round's broadcast at any link-fan-out. A hot-enough host is
+    # overwhelmingly among the biggest link receivers; a miss degrades
+    # to the size-gate fallback, never to an error.
+    salt_candidates: int = 1024
     # Bloom filter sizing for the distributed URL-seen pre-prune.
     bloom_capacity: int = 1_000_000
     bloom_fpp: float = 0.01

@@ -399,13 +399,24 @@ class BreadthCrawler:
                 )
 
             # adaptive-salt candidates: the hosts this round's links
-            # touch — a small driver-bound set (one round's fan-out, not
-            # the frontier's host cardinality), collected while
+            # touch, HARD-BOUNDED to the top salt_candidates receivers
+            # by link count (TakeOrdered — no full sort). A round's
+            # links can touch millions of distinct hosts at web scale,
+            # so an uncapped distinct().collect() would be the exact
+            # O(n)-driver-collect hazard this engine bans elsewhere; a
+            # host hot enough to hold > hot_host_frac of the NEXT
+            # frontier is overwhelmingly among this round's biggest
+            # link receivers, and a miss only means salt=1 (the
+            # size-gate fallback still applies). Collected while
             # `fetched` is still persisted.
             if cfg.adaptive_salt:
                 self._link_hosts = [
                     row["host"]
-                    for row in links.select("host").distinct().collect()
+                    for row in links.groupBy("host")
+                    .agg(F.count("*").alias("n"))
+                    .orderBy(F.col("n").desc(), F.col("host"))
+                    .limit(cfg.salt_candidates)
+                    .collect()
                 ]
 
             # O9 merge: one snapshot commit; inserted-links count derived
