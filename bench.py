@@ -41,6 +41,8 @@ HEADLINE = [
     "simhash",
     "jaccard_pairs",
     "jaccard_lsh_verified",
+    "minhash_jaccard_est",
+    "simhash_neardup_banded",
     "winnow_fingerprint",
     "ann_cosine_topk",
     "cosine_blocked_neardup",
@@ -54,6 +56,8 @@ HEADLINE = [
     "train_val_split",
     "url_canonicalize",
     "ivf_ann_topk",
+    "pq_adc_topk",
+    "ivfadc_ann_topk",
     "gopher_repetition",
     "embed_quantize_int8",
     "decontaminate_ngram",
@@ -100,11 +104,21 @@ def crawl_bench(
     warm.add_seed(fixtures.seeds_for(graph, 64))
     warm.start(1)
 
-    crawler = RamCrawler(spark, req, config=cfg)
-    crawler.add_seed(fixtures.seeds_for(graph, n_seeds))
-    t0 = time.monotonic()
-    metrics = crawler.start(depth)
-    wall = time.monotonic() - t0
+    # median-of-3 timed crawls (same discipline as the per-query
+    # timings): this 24k-page job finishes in 10-20 s, so its rounds
+    # are fixed-overhead-dominated and a single sample swings ~2x with
+    # host noise (measured 575-1174 URLs/s back-to-back). The SUSTAINED
+    # throughput figure lives in tools/scaling_bench.py (300k-URL
+    # rounds); this one tracks regressions in the round loop itself.
+    samples = []
+    for _ in range(3):
+        crawler = RamCrawler(spark, req, config=cfg)
+        crawler.add_seed(fixtures.seeds_for(graph, n_seeds))
+        t0 = time.monotonic()
+        metrics = crawler.start(depth)
+        samples.append((time.monotonic() - t0, metrics))
+    samples.sort(key=lambda s: s[0])
+    wall, metrics = samples[len(samples) // 2]
     executed = sum(m.generated for m in metrics)
     return {
         "crawl_pages": n_pages,
@@ -112,6 +126,7 @@ def crawl_bench(
         "crawl_executed": executed,
         "crawl_wall_sec": round(wall, 3),
         "urls_per_sec": round(executed / wall, 2) if wall > 0 else 0.0,
+        "crawl_samples_sec": [round(s[0], 3) for s in samples],
     }
 
 
@@ -150,6 +165,14 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
+        # Each query is timed SELF-CONTAINED: drop every persisted frame
+        # left by earlier queries (e.g. the shared shingle cache) before
+        # its warm pass. Cross-query cache residue both understates
+        # queries that hit a predecessor's cache and inflates ones whose
+        # shuffles spill because executor memory is half-occupied —
+        # measured: gopher_repetition recorded 16.4s mid-suite vs 4.5s
+        # in a fresh session before this isolation.
+        spark.catalog.clearCache()
         n = len(fn(spark, sf_dir).collect())  # warm, untimed
         samples = []
         for _ in range(reps):

@@ -871,6 +871,136 @@ def q_jaccard_lsh_verified(spark, sf):
     )
 
 
+# Minhash Jaccard ESTIMATOR vs exact, side by side (Broder '97): the
+# estimate is the fraction of agreeing permutation minima — the number
+# the LSH pipeline actually acts on at web scale, where exact Jaccard is
+# only computed for verified candidates. Integer-exact agreement count
+# (n_agree in {0..4}) so the oracle hashes bit-for-bit; the exact column
+# reuses the shingle-join formulation on the SAME bounded candidate set.
+# Scale shape: signatures are one groupBy over shingles; pairs come from
+# band collisions only; the exact join is candidate-bounded.
+@register(
+    "minhash_jaccard_est",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    h AS (SELECT doc_id,
+            CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h1,
+            CAST(('0x' || substr(md5(w), 17, 15)) AS BIGINT) | 1 AS h2
+          FROM sh),
+    sig AS (SELECT doc_id, min(h1) AS m0, min(h1 + h2) AS m1,
+                   min(h1 + 2 * h2) AS m2, min(h1 + 3 * h2) AS m3
+            FROM h GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS bi,
+             concat_ws('_', CAST(m0 AS VARCHAR), CAST(m1 AS VARCHAR)) AS b
+      FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS bi,
+             concat_ws('_', CAST(m2 AS VARCHAR), CAST(m3 AS VARCHAR)) AS b
+      FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.bi = b.bi AND a.b = b.b AND a.doc_id < b.doc_id),
+    agree AS (
+      SELECT c.doc_a, c.doc_b,
+             (CASE WHEN x.m0 = y.m0 THEN 1 ELSE 0 END
+              + CASE WHEN x.m1 = y.m1 THEN 1 ELSE 0 END
+              + CASE WHEN x.m2 = y.m2 THEN 1 ELSE 0 END
+              + CASE WHEN x.m3 = y.m3 THEN 1 ELSE 0 END) AS n_agree
+      FROM cand c JOIN sig x ON x.doc_id = c.doc_a
+                  JOIN sig y ON y.doc_id = c.doc_b),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS c
+      FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                  JOIN sh b ON b.doc_id = c.doc_b AND b.w = a.w
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT g.doc_a, g.doc_b,
+           round(g.n_agree / 4.0, 4) AS jaccard_est,
+           round(CAST(m.c AS DOUBLE) / (sa.n + sb.n - m.c), 4) AS jaccard_exact
+    FROM agree g JOIN common m ON m.doc_a = g.doc_a AND m.doc_b = g.doc_b
+                 JOIN sizes sa ON sa.doc_id = g.doc_a
+                 JOIN sizes sb ON sb.doc_id = g.doc_b
+    """,
+)
+def q_minhash_jaccard_est(spark, sf):
+    sh = _shingles(spark, sf)
+    h = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("h1"),
+        F.expr(
+            "CAST(conv(substring(md5(w), 17, 15), 16, 10) AS BIGINT) | 1"
+        ).alias("h2"),
+    )
+    sig = h.groupBy("doc_id").agg(
+        *[F.min(F.col("h1") + i * F.col("h2")).alias(f"m{i}") for i in range(4)]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.lit(0).alias("bi"),
+        F.concat_ws(
+            "_", F.col("m0").cast("string"), F.col("m1").cast("string")
+        ).alias("b"),
+    ).unionByName(
+        sig.select(
+            "doc_id",
+            F.lit(1).alias("bi"),
+            F.concat_ws(
+                "_", F.col("m2").cast("string"), F.col("m3").cast("string")
+            ).alias("b"),
+        )
+    )
+    cand = (
+        bands.select("bi", "b", F.col("doc_id").alias("doc_a"))
+        .join(bands.select("bi", "b", F.col("doc_id").alias("doc_b")), ["bi", "b"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"x{i}") for i in range(4)],
+    )
+    y = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"y{i}") for i in range(4)],
+    )
+    n_agree = sum(
+        F.when(F.col(f"x{i}") == F.col(f"y{i}"), 1).otherwise(0)
+        for i in range(4)
+    )
+    agree = (
+        cand.join(x, "doc_a").join(y, "doc_b")
+        .select("doc_a", "doc_b", n_agree.alias("n_agree"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "w"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "w"), ["doc_b", "w"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        agree.join(common, ["doc_a", "doc_b"])
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_agree") / 4.0, 4).alias("jaccard_est"),
+            F.round(jac, 4).alias("jaccard_exact"),
+        )
+    )
+
+
 # Dedup ENDPOINT: LSH candidate pairs -> connected components ->
 # canonical keeper per near-dup cluster. Spark side iterates min-label
 # propagation (operators/components.py); the oracle expresses the same
