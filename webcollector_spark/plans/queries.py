@@ -1127,26 +1127,85 @@ def q_simhash(spark, sf):
 # Scale shape: the band join shuffles (band_value, doc_id) pairs and
 # fans out only on collisions; no all-pairs stage (the image twin keeps
 # an O(n^2) exact baseline for recall measurement; text at web scale
-# never runs one).
+# never runs one). Uses a 32-bit signature (4 x 8-bit bands; 64-bit in
+# production): the registry's 16-bit `simhash` cannot discriminate a
+# 5k-doc corpus — at sf0.1 it put 48% of ALL pairs within hamming 2
+# (6.1M rows), measured before this widening.
+_SIMHASH32_SQL = r"""
+    WITH words AS (
+      SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '\S+'))) AS w
+      FROM documents),
+    h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS hv
+          FROM words),
+    votes AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN CAST(floor(hv / pow(2, j)) AS BIGINT) % 2 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM h, range(32) t(j) GROUP BY doc_id, j)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """
+
+
 @register(
     "simhash_neardup_banded",
     f"""
-    WITH sh AS ({_SIMHASH_SQL}),
+    WITH sh AS ({_SIMHASH32_SQL}),
     bands AS (
       SELECT doc_id, simhash, bi,
-             CAST(floor(simhash / pow(2, bi * 4)) AS BIGINT) % 16 AS bv
+             CAST(floor(simhash / pow(2, bi * 8)) AS BIGINT) % 256 AS bv
       FROM sh, range(4) t(bi)),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.simhash AS ha, b.simhash AS hb
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
-        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
-    FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+    sym AS (
+      SELECT doc_a AS doc_id FROM cand
+      UNION ALL SELECT doc_b AS doc_id FROM cand),
+    deg AS (SELECT doc_id, count(*) AS n FROM sym GROUP BY doc_id)
+    SELECT d.doc_id, CAST(coalesce(g.n, 0) AS BIGINT) AS n_neardups
+    FROM documents d LEFT JOIN deg g ON g.doc_id = d.doc_id
     """,
 )
 def q_simhash_neardup_banded(spark, sf):
-    sh = q_simhash(spark, sf)
+    docs = _t(spark, sf, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+            )
+        ).alias("w"),
+    )
+    h = words.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hv"),
+    )
+    bits = h.select(
+        "doc_id", "hv", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j")
+    )
+    votes = (
+        bits.withColumn(
+            "vote",
+            F.when(
+                (F.floor(F.col("hv") / F.pow(F.lit(2.0), F.col("j"))).cast("long") % 2)
+                == 1,
+                1,
+            ).otherwise(-1),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("vote").alias("s"))
+    )
+    sh = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long")).otherwise(
+                0
+            )
+        ).alias("simhash")
+    )
     bands = sh.select(
         "doc_id",
         "simhash",
@@ -1154,9 +1213,9 @@ def q_simhash_neardup_banded(spark, sf):
     ).withColumn(
         "bv",
         F.floor(
-            F.col("simhash") / F.pow(F.lit(2.0), F.col("bi") * 4)
+            F.col("simhash") / F.pow(F.lit(2.0), F.col("bi") * 8)
         ).cast("long")
-        % 16,
+        % 256,
     )
     a = bands.select(
         "bi", "bv", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha")
@@ -1165,13 +1224,28 @@ def q_simhash_neardup_banded(spark, sf):
         "bi", "bv", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb")
     )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
+    # output is the per-doc near-dup DEGREE, not the pair list: this
+    # corpus (6-31 distinct words/doc, templated) genuinely has ~6% of
+    # all pairs within hamming 2 — including a 339-doc identical-
+    # signature cluster — so the pair list is O(cluster^2) rows while
+    # the degree stays O(docs) and is the curation signal you'd rank on
+    pairs = (
         a.join(b, ["bi", "bv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "hb")
+        .filter((F.col("doc_a") < F.col("doc_b")) & (ham <= 2))
+        .select("doc_a", "doc_b")
         .distinct()
-        .filter(ham <= 2)
-        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+    )
+    sym = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = sym.groupBy("doc_id").agg(F.count("*").alias("n"))
+    return (
+        docs.select("doc_id")
+        .join(deg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_neardups"),
+        )
     )
 
 
