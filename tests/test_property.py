@@ -130,3 +130,54 @@ def test_merge_matches_dict_model(spark, case):
         if k not in model:
             model[k] = (0, 0)
     assert got == model
+
+
+# -- URL canonicalization: total + idempotent ---------------------------
+# The canonical form is the frontier dedup KEY at 10^10 scale: it must
+# never raise on hostile link soup (totality) and must be a fixed point
+# of itself (idempotence) — a non-idempotent key would let the same URL
+# re-enter the frontier through a second canonicalization pass.
+
+from webcollector_spark.functions.urls import canonicalize_url  # noqa: E402
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_canonicalize_total_and_idempotent_on_garbage(s):
+    out = canonicalize_url(s)
+    assert canonicalize_url(out) == out
+
+
+_urlish = st.builds(
+    lambda sch, host, port, path, q, frag: (
+        f"{sch}://{host}{port}{path}{q}{frag}"
+    ),
+    st.sampled_from(["http", "HTTP", "https", "HtTpS", "ftp"]),
+    st.text(
+        alphabet="aBcD09.-@",  # mixed case + userinfo separator
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.sampled_from(["", "/", "/A/b", "/x%20y", "//double"]),
+    st.one_of(
+        st.just(""),
+        st.builds(
+            lambda parts: "?" + "&".join(parts),
+            st.lists(
+                st.text(alphabet="ab=12&?", max_size=5), min_size=0, max_size=4
+            ),
+        ),
+    ),
+    st.sampled_from(["", "#f", "#a?b"]),
+)
+
+
+@given(_urlish)
+@settings(max_examples=300, deadline=None)
+def test_canonicalize_idempotent_on_urls(u):
+    once = canonicalize_url(u)
+    assert canonicalize_url(once) == once
+    # canonical output never carries a fragment for absolute URLs
+    if "://" in once and once.startswith(("http://", "https://", "ftp://")):
+        assert "#" not in once
