@@ -1,0 +1,78 @@
+"""Caption-curation operator tests over the noisy alt-text corpus
+(fixtures.corpus_with_caption_noise): boilerplate spam, label-conflict
+pairs on near-identical images, and the quality gate. The registry
+entries add the DuckDB-recomputed oracle check; these assert the
+SEMANTICS directly against the known fixture pathologies."""
+
+from __future__ import annotations
+
+from webcollector_spark import fixtures
+from webcollector_spark.operators import captions, images
+
+
+def _corpus(spark, n=120, dupes=24):
+    return images.caption_corpus_df(spark, n, dupes)
+
+
+def test_caption_spam_finds_boilerplate(spark):
+    rows = {
+        r["caption_norm"]: r
+        for r in captions.caption_spam(_corpus(spark), min_phashes=3).collect()
+    }
+    # every 13th caption is the literal "image" -> many distinct pictures
+    assert "image" in rows
+    assert rows["image"]["n_phashes"] >= 3
+    # the empty caption (every 17th, offset 3) is also boilerplate
+    assert "" in rows
+    # a genuine per-image caption is NOT flagged
+    assert not any(k.startswith("caption of img") and rows[k]["n_phashes"] >= 3
+                   for k in rows if k not in ("image", ""))
+
+
+def test_caption_dedup_counts_match_fixture(spark):
+    n, dupes = 120, 24
+    df = captions.caption_dedup(_corpus(spark, n, dupes))
+    total = df.agg({"n_images": "sum"}).collect()[0][0]
+    assert total == n + dupes  # every row lands in exactly one group
+    # keeper is deterministic (min image_id) — rerun gives same keepers
+    k1 = {r["caption_norm"]: r["keeper"] for r in df.collect()}
+    k2 = {
+        r["caption_norm"]: r["keeper"]
+        for r in captions.caption_dedup(_corpus(spark, n, dupes)).collect()
+    }
+    assert k1 == k2
+
+
+def test_caption_conflict_pairs_are_neardup_with_differing_caps(spark):
+    rows = captions.caption_conflict(_corpus(spark), max_hamming=4).collect()
+    assert rows, "fixture plants odd-index dupes with NEW captions"
+    for r in rows:
+        assert r["hamming"] <= 4
+        assert r["cap_a"] != r["cap_b"]
+    # odd dup indices get "alternate view ..." captions — at least one
+    # planted conflict must surface
+    assert any(
+        "alternate view" in (r["cap_a"] + r["cap_b"]) for r in rows
+    )
+    # even dup indices keep the source caption: dup0 vs img0 must NOT
+    # appear (same pixels, same caption -> pure duplicate, not conflict)
+    pair_ids = {(r["img_a"], r["img_b"]) for r in rows}
+    assert ("dup00000000", "img00000000") not in pair_ids
+    assert ("img00000000", "dup00000000") not in pair_ids
+
+
+def test_caption_quality_gate(spark):
+    rows = {r["image_id"]: r for r in captions.caption_quality(_corpus(spark)).collect()}
+    pdf = fixtures.corpus_with_caption_noise(120, 24)
+    by_id = dict(zip(pdf["image_id"], pdf["caption"]))
+    for image_id, cap in by_id.items():
+        r = rows[image_id]
+        if cap == "":
+            assert r["n_tokens"] == 0 and r["n_chars"] == 0
+            assert not r["quality_ok"]
+        if cap == "image":
+            assert not r["quality_ok"]  # 1 token, 5 chars
+    # normalization fodder (upper-cased + padded) still passes: the
+    # gate sees the normalized caption
+    noisy = [i for i, c in by_id.items() if c.startswith("  ") and c.endswith("  ")]
+    assert noisy and all(rows[i]["quality_ok"] for i in noisy)

@@ -95,6 +95,20 @@ SCHEMAS = {
             ("delta", pa.float64()),
         ]
     ),
+    # NOT a precomputed output: the noisy caption corpus' metadata
+    # (everything but bytes). The caption-curation oracles are real SQL
+    # that DuckDB RECOMPUTES over this table — a stronger check than
+    # comparing against stored answers.
+    "caption_corpus_meta": pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("fmt", pa.string()),
+            ("caption", pa.string()),
+            ("phash", pa.int64()),
+        ]
+    ),
 }
 
 
@@ -287,6 +301,7 @@ def build_all() -> dict[str, pd.DataFrame]:
     vids = video_corpus_rows(24)
     auds = audio_corpus_rows(24)
     frames2 = build_video_frame_sample(vids, every_n=2)
+    noisy_meta = fixtures.corpus_with_caption_noise(200, 40).drop(columns=["bytes"])
     return {
         "image_decode_verify": build_image_decode_verify(corpus),
         "image_resize_meanpool": build_image_resize_meanpool(corpus),
@@ -294,6 +309,7 @@ def build_all() -> dict[str, pd.DataFrame]:
         "video_frame_sample": build_video_frame_sample(vids, every_n=4),
         "audio_features": build_audio_features(auds),
         "video_scene_cuts": build_video_scene_cuts(frames2, threshold=1.0),
+        "caption_corpus_meta": noisy_meta,
     }
 
 

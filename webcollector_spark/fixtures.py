@@ -125,3 +125,56 @@ def html_for_page(url: str, links: list[str], caption: str | None) -> str:
         f'<meta http-equiv="Content-Type" content="text/html; charset=utf-8"/></head>'
         f"<body>{cap}\n{anchors}</body></html>"
     )
+
+
+def corpus_with_caption_noise(
+    n: int = 200, dupes: int = 40, seed: int = SEED
+) -> pd.DataFrame:
+    """Image+caption corpus with deterministic alt-text pathologies —
+    the label-noise shapes a web-scraped image+caption pipeline must
+    curate away (FIXTURES.md A5):
+
+    * boilerplate spam — every 13th source caption becomes the literal
+      string "image" (the classic useless alt-text, shared across many
+      distinct pictures),
+    * empty captions — every 17th (offset 3) becomes "",
+    * normalization fodder — every 11th (offset 5) is upper-cased and
+      padded with whitespace (same caption after normalization),
+    * conflicting captions — `dupes` lossy re-encodes of the first
+      images are appended (same pixels, phash hamming 0-4); odd dup
+      indices get a NEW caption ("alternate view ...") — a near-identical
+      image pair whose labels disagree — while even indices keep the
+      source's (post-noise) caption, a pure duplicate pair.
+
+    Pure pandas/numpy (no Spark) so the DuckDB oracle builder and the
+    Spark operators construct byte-identical corpora from one recipe.
+    """
+    pdf = make_corpus(n, seed=seed)
+    caps = pdf["caption"].tolist()
+    for i in range(n):
+        if i % 13 == 0:
+            caps[i] = "image"
+        elif i % 17 == 3:
+            caps[i] = ""
+        elif i % 11 == 5:
+            caps[i] = "  " + caps[i].upper() + "  "
+    pdf = pdf.assign(caption=caps)
+    dup_rows = []
+    for i in range(min(dupes, n)):
+        src = pdf.iloc[i]
+        pixels = ground_truth_pixels(src["image_id"], src["w"], src["h"])
+        data = codecs.encode_lossy(pixels)
+        dup_rows.append(
+            {
+                "image_id": f"dup{i:08d}",
+                "bytes": data,
+                "w": src["w"],
+                "h": src["h"],
+                "fmt": "jpeg",
+                "caption": (
+                    f"alternate view number {i}" if i % 2 else src["caption"]
+                ),
+                "phash": codecs.phash64(codecs.decode(data)),
+            }
+        )
+    return pd.concat([pdf, pd.DataFrame(dup_rows)], ignore_index=True)

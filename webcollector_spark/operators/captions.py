@@ -1,0 +1,149 @@
+"""Caption-side curation over the input_hint image+caption corpus.
+
+A web crawl of image+caption pairs (the graft's payload) collects
+alt-text, and alt-text is noisy: boilerplate ("image", "photo"),
+empties, case/whitespace variants, and near-identical images whose
+captions disagree (label noise). These operators are the caption half
+of the curation pipeline — the pixel half lives in
+`operators/images.py` (decode verify, phash near-dup).
+
+All caption work is JVM-side string expressions (no Python in the hot
+path); the only join shape is the banded phash self-join reused from
+`images.phash_neardup_banded`-style bucketing, so every operator here
+is O(docs) or O(docs x bucket) and survives a 10^9-image corpus:
+
+* `caption_dedup` / `caption_spam` — one hash-aggregate on the
+  normalized caption (map-side combine; no skew beyond the boilerplate
+  groups, which aggregate to one row each).
+* `caption_conflict` — banded phash bucket join (pigeonhole-complete
+  at hamming <= max_hamming), then two shuffle joins on image_id to
+  attach captions; nothing O(n) is broadcast.
+* `caption_quality` — a pure map stage.
+
+Reference analogue: WebCollector keeps page metadata beside fetched
+content (CrawlDatum meta, crawldb/CrawlDatum.java) but has no
+curation layer; these operators are the training-data extension the
+assignment asks for on top of the crawl core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def caption_norm(col: str | Column = "caption") -> Column:
+    """Canonical caption key: collapse whitespace, trim, lowercase.
+    The oracle twin is DuckDB `lower(trim(regexp_replace(c,'\\s+',' ','g')))`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def caption_dedup(corpus: DataFrame) -> DataFrame:
+    """Group the corpus by normalized caption: how many images share
+    the caption, how many distinct pictures (phash) among them, and the
+    deterministic keeper (min image_id). Single hash-aggregate."""
+    return (
+        corpus.select(
+            caption_norm().alias("caption_norm"), "image_id", "phash"
+        )
+        .groupBy("caption_norm")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.countDistinct("phash").alias("n_phashes"),
+            F.min("image_id").alias("keeper"),
+        )
+    )
+
+
+def caption_spam(corpus: DataFrame, min_phashes: int = 3) -> DataFrame:
+    """Boilerplate alt-text detector: normalized captions attached to
+    >= min_phashes DISTINCT pictures are spam ("image", "photo", ...) —
+    a caption that genuinely describes its picture cannot label many
+    different pictures. Distinct-phash, not row count, so a heavily
+    re-crawled single picture is not flagged."""
+    return caption_dedup(corpus).filter(
+        F.col("n_phashes") >= min_phashes
+    ).select("caption_norm", "n_images", "n_phashes")
+
+
+def caption_conflict(corpus: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Label-noise pairs: two images whose pixels are near-identical
+    (phash hamming <= max_hamming via the banded bucket join —
+    pigeonhole-complete) but whose normalized captions DISAGREE.
+    In a training pipeline at least one of the two labels is wrong.
+
+    Scale shape: the banded self-join is O(n x bucket); the two
+    caption-attach joins are shuffle joins on image_id (pair-keyed,
+    nothing O(n) broadcast)."""
+    bands = max_hamming + 1
+    width = 64 // bands
+
+    def banded(id_alias: str, ph_alias: str) -> DataFrame:
+        out = corpus.select(
+            F.col("image_id").alias(id_alias), F.col("phash").alias(ph_alias)
+        )
+        parts = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col(ph_alias), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("chunk"),
+                )
+                for i in range(bands)
+            ]
+        )
+        return out.select(
+            id_alias, ph_alias, F.explode(parts).alias("bc")
+        ).select(id_alias, ph_alias, "bc.band", "bc.chunk")
+
+    a = banded("img_a", "ph_a")
+    b = banded("img_b", "ph_b")
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    pairs = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("img_a") < F.col("img_b"))
+        .select("img_a", "img_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    caps = corpus.select("image_id", caption_norm().alias("cap"))
+    return (
+        pairs.join(caps.withColumnRenamed("cap", "cap_a"), pairs.img_a == caps.image_id)
+        .drop("image_id")
+        .join(
+            caps.withColumnRenamed("cap", "cap_b").alias("cb"),
+            F.col("img_b") == F.col("cb.image_id"),
+        )
+        .drop("image_id")
+        .filter(F.col("cap_a") != F.col("cap_b"))
+        .select("img_a", "img_b", "hamming", "cap_a", "cap_b")
+    )
+
+
+def caption_quality(corpus: DataFrame, min_tokens: int = 3, min_chars: int = 12) -> DataFrame:
+    """Per-caption quality signals + gate, all whole-stage-codegen
+    string expressions: token count, char count (normalized), alnum
+    ratio, and quality_ok = long enough AND mostly alphanumeric."""
+    norm = caption_norm()
+    n_chars = F.length(norm)
+    n_tokens = F.when(n_chars == 0, F.lit(0)).otherwise(
+        F.size(F.split(norm, " "))
+    )
+    n_alnum = F.length(F.regexp_replace(norm, r"[^a-z0-9]", ""))
+    # raw IEEE division, NOT round(): double division is bit-identical
+    # between Spark and DuckDB, while round() is half-up in Spark and
+    # half-even in DuckDB and diverges on exactly-representable halves
+    ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(n_alnum / n_chars)
+    return corpus.select(
+        "image_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        ratio.alias("alnum_ratio"),
+        (
+            (n_tokens >= min_tokens)
+            & (n_chars >= min_chars)
+            & (F.when(n_chars == 0, F.lit(0.0)).otherwise(n_alnum / n_chars) >= 0.5)
+        ).alias("quality_ok"),
+    )

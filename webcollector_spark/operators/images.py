@@ -90,6 +90,16 @@ def corpus_with_neardups(
     return spark.createDataFrame(both, schema=CORPUS_SCHEMA)
 
 
+def caption_corpus_df(
+    spark: SparkSession, n: int = 200, dupes: int = 40
+) -> DataFrame:
+    """Noisy-caption corpus (fixtures.corpus_with_caption_noise) as a
+    DataFrame — the input for the caption-curation operators
+    (operators/captions.py)."""
+    pdf = fixtures.corpus_with_caption_noise(n, dupes)
+    return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+
+
 def decode_verify(corpus: DataFrame, psnr_gate_db: float = 40.0) -> DataFrame:
     """Decode every image and verify the per-row invariant from
     input_hint: decoded pixels vs recomputed ground truth — exact for

@@ -2903,6 +2903,112 @@ def q_unigram_logprob(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# Caption-side curation over the image+caption corpus (the graft's
+# payload table). The corpus is engine-generated
+# (fixtures.corpus_with_caption_noise — deterministic alt-text
+# pathologies: boilerplate spam, empties, case variants, conflicting
+# labels on near-dup images); its METADATA (sans bytes) is committed as
+# oracles/caption_corpus_meta.parquet, and the oracle SQL RECOMPUTES
+# each curation result in DuckDB over that table — not a stored-answer
+# compare. Spark implementations: operators/captions.py.
+
+_CAPTION_META = f"read_parquet('{_ORACLE_DIR / 'caption_corpus_meta'}.parquet')"
+_CAPTION_NORM_SQL = (
+    "lower(trim(regexp_replace(caption, '\\s+', ' ', 'g')))"
+)
+
+
+def _caption_corpus(spark):
+    from webcollector_spark.operators import images
+
+    return images.caption_corpus_df(spark)
+
+
+@register(
+    "caption_dedup",
+    f"""
+    SELECT {_CAPTION_NORM_SQL} AS caption_norm,
+           count(*) AS n_images,
+           count(DISTINCT phash) AS n_phashes,
+           min(image_id) AS keeper
+    FROM {_CAPTION_META}
+    GROUP BY 1
+    """,
+)
+def q_caption_dedup(spark, sf):
+    from webcollector_spark.operators import captions
+
+    return captions.caption_dedup(_caption_corpus(spark))
+
+
+@register(
+    "caption_spam",
+    f"""
+    SELECT {_CAPTION_NORM_SQL} AS caption_norm,
+           count(*) AS n_images,
+           count(DISTINCT phash) AS n_phashes
+    FROM {_CAPTION_META}
+    GROUP BY 1
+    HAVING count(DISTINCT phash) >= 3
+    """,
+)
+def q_caption_spam(spark, sf):
+    from webcollector_spark.operators import captions
+
+    return captions.caption_spam(_caption_corpus(spark), min_phashes=3)
+
+
+@register(
+    "caption_conflict",
+    f"""
+    WITH m AS (
+      SELECT image_id, phash,
+             {_CAPTION_NORM_SQL} AS cap
+      FROM {_CAPTION_META}
+    )
+    SELECT a.image_id AS img_a, b.image_id AS img_b,
+           bit_count(xor(a.phash, b.phash)) AS hamming,
+           a.cap AS cap_a, b.cap AS cap_b
+    FROM m a JOIN m b ON a.image_id < b.image_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 4 AND a.cap <> b.cap
+    """,
+)
+def q_caption_conflict(spark, sf):
+    from webcollector_spark.operators import captions
+
+    return captions.caption_conflict(_caption_corpus(spark), max_hamming=4)
+
+
+@register(
+    "caption_quality",
+    f"""
+    WITH m AS (
+      SELECT image_id, {_CAPTION_NORM_SQL} AS cap
+      FROM {_CAPTION_META}
+    )
+    SELECT image_id,
+           CASE WHEN length(cap) = 0 THEN 0
+                ELSE len(string_split(cap, ' ')) END AS n_tokens,
+           length(cap) AS n_chars,
+           CASE WHEN length(cap) = 0 THEN 0.0
+                ELSE length(regexp_replace(cap, '[^a-z0-9]', '', 'g')) * 1.0
+                     / length(cap) END AS alnum_ratio,
+           (CASE WHEN length(cap) = 0 THEN 0
+                 ELSE len(string_split(cap, ' ')) END) >= 3
+           AND length(cap) >= 12
+           AND (CASE WHEN length(cap) = 0 THEN 0.0
+                     ELSE length(regexp_replace(cap, '[^a-z0-9]', '', 'g')) * 1.0
+                          / length(cap) END) >= 0.5 AS quality_ok
+    FROM m
+    """,
+)
+def q_caption_quality(spark, sf):
+    from webcollector_spark.operators import captions
+
+    return captions.caption_quality(_caption_corpus(spark))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(Q)
 
