@@ -87,6 +87,7 @@ def test_multimodal_oracle_parquet_fresh():
         "video_frame_sample",
         "audio_features",
         "video_scene_cuts",
+        "caption_corpus_meta",
     }
     for name, pdf in built.items():
         fresh = pa.Table.from_pandas(

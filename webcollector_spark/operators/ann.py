@@ -476,8 +476,14 @@ def pq_adc_topk(
         .groupBy("query_id", F.col("vid").alias("neighbor_id"))
         .agg(F.sum("pd").alias("adist"))
     )
+    # Rank on the ROUNDED distance: vectors sharing all m PQ codes have
+    # mathematically identical adist, but a float sum's value depends on
+    # accumulation order, so raw-adist ordering is nondeterministic
+    # run-to-run (observed: a 5-way exact-tie group reordered itself
+    # between runs in both engines). Quantizing to the output precision
+    # makes the tie explicit and the id tie-break decide.
     w = Window.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col("neighbor_id").asc()
+        F.round("adist", 4).asc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -558,8 +564,14 @@ def ivfadc_topk(
         .groupBy("query_id", F.col("vid").alias("neighbor_id"))
         .agg(F.sum("pd").alias("adist"))
     )
+    # Rank on the ROUNDED distance: vectors sharing all m PQ codes have
+    # mathematically identical adist, but a float sum's value depends on
+    # accumulation order, so raw-adist ordering is nondeterministic
+    # run-to-run (observed: a 5-way exact-tie group reordered itself
+    # between runs in both engines). Quantizing to the output precision
+    # makes the tie explicit and the id tie-break decide.
     w = Window.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col("neighbor_id").asc()
+        F.round("adist", 4).asc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("rk", F.row_number().over(w))

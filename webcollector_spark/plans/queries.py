@@ -2207,7 +2207,7 @@ def q_ivf_ann_topk(spark, sf):
     )
     SELECT query_id, neighbor_id, rk, round(adist, 4) + 0 AS adist4
     FROM (SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rk
+            PARTITION BY query_id ORDER BY round(adist, 4) ASC, neighbor_id ASC) AS rk
           FROM scored)
     WHERE rk <= 3
     """,
@@ -2352,7 +2352,7 @@ def q_pq_adc_topk(spark, sf):
     )
     SELECT query_id, neighbor_id, rk, round(adist, 4) + 0 AS adist4
     FROM (SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rk
+            PARTITION BY query_id ORDER BY round(adist, 4) ASC, neighbor_id ASC) AS rk
           FROM scored)
     WHERE rk <= 3
     """,
