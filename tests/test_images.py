@@ -63,6 +63,29 @@ def test_phash_banded_matches_exact(spark):
         ) in dup_pairs
 
 
+def test_phash_blocked_matches_exact(spark):
+    """Block-combination keys (the web-scale layout) return exactly the
+    O(n^2) hamming-ball result — completeness by pigeonhole on intact
+    8-bit blocks — at both the default and a non-default k."""
+    corpus = images.corpus_with_neardups(spark, 120, dupes=30)
+    for k, m in ((4, 8), (2, 4)):
+        exact = {
+            (r["img_a"], r["img_b"], r["hamming"])
+            for r in images.phash_neardup_pairs(corpus, max_hamming=k).collect()
+        }
+        blocked = {
+            (r["img_a"], r["img_b"], r["hamming"])
+            for r in images.phash_neardup_blocked(
+                corpus, max_hamming=k, m=m
+            ).collect()
+        }
+        assert blocked == exact, (k, m)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        images.phash_neardup_blocked(corpus, max_hamming=8, m=8)
+
+
 def test_multimodal_oracle_parquet_fresh():
     """The committed oracles/*.parquet must equal a fresh numpy rebuild —
     guards against kernel drift silently staling the driver's oracle."""

@@ -15,9 +15,10 @@ is O(docs) or O(docs x bucket) and survives a 10^9-image corpus:
 * `caption_dedup` / `caption_spam` — one hash-aggregate on the
   normalized caption (map-side combine; no skew beyond the boilerplate
   groups, which aggregate to one row each).
-* `caption_conflict` — banded phash bucket join (pigeonhole-complete
-  at hamming <= max_hamming), then two shuffle joins on image_id to
-  attach captions; nothing O(n) is broadcast.
+* `caption_conflict` — block-combination phash keys
+  (images.phash_neardup_blocked, pigeonhole-complete at hamming <=
+  max_hamming with 32-bit bucket keys), then two shuffle joins on
+  image_id to attach captions; nothing O(n) is broadcast.
 * `caption_quality` — a pure map stage.
 
 Reference analogue: WebCollector keeps page metadata beside fetched
@@ -69,44 +70,19 @@ def caption_spam(corpus: DataFrame, min_phashes: int = 3) -> DataFrame:
 
 def caption_conflict(corpus: DataFrame, max_hamming: int = 4) -> DataFrame:
     """Label-noise pairs: two images whose pixels are near-identical
-    (phash hamming <= max_hamming via the banded bucket join —
-    pigeonhole-complete) but whose normalized captions DISAGREE.
-    In a training pipeline at least one of the two labels is wrong.
+    (phash hamming <= max_hamming) but whose normalized captions
+    DISAGREE. In a training pipeline at least one of the two labels is
+    wrong.
 
-    Scale shape: the banded self-join is O(n x bucket); the two
-    caption-attach joins are shuffle joins on image_id (pair-keyed,
-    nothing O(n) broadcast)."""
-    bands = max_hamming + 1
-    width = 64 // bands
+    Scale shape: candidates come from the block-combination keys
+    (images.phash_neardup_blocked — pigeonhole-complete, near-singleton
+    buckets even at 10^9 uniform hashes; plain (k+1)-banding measured
+    quadratic-within-bucket at n=2M); the two caption-attach joins are
+    shuffle joins on image_id (pair-keyed, nothing O(n) broadcast)."""
+    from webcollector_spark.operators.images import phash_neardup_blocked
 
-    def banded(id_alias: str, ph_alias: str) -> DataFrame:
-        out = corpus.select(
-            F.col("image_id").alias(id_alias), F.col("phash").alias(ph_alias)
-        )
-        parts = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.shiftrightunsigned(F.col(ph_alias), i * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    .alias("chunk"),
-                )
-                for i in range(bands)
-            ]
-        )
-        return out.select(
-            id_alias, ph_alias, F.explode(parts).alias("bc")
-        ).select(id_alias, ph_alias, "bc.band", "bc.chunk")
-
-    a = banded("img_a", "ph_a")
-    b = banded("img_b", "ph_b")
-    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    pairs = (
-        a.join(b, ["band", "chunk"])
-        .filter(F.col("img_a") < F.col("img_b"))
-        .select("img_a", "img_b", ham.alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+    pairs = phash_neardup_blocked(
+        corpus.select("image_id", "phash"), max_hamming=max_hamming
     )
     caps = corpus.select("image_id", caption_norm().alias("cap"))
     return (

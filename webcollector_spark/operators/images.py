@@ -12,10 +12,14 @@ Scale notes:
   scale with partitions and never shuffle.
 * phash near-dup is a 64-bit hamming ball search: exact formulation is
   a self-join with bit_count(a XOR b) <= r, JVM-side (whole-stage
-  codegen, no Python). The scale path partitions the hash into
-  (r+1) bands (pigeonhole: two hashes within hamming r share at least
-  one exact band) and bucket-joins per band — the same LSH shape as the
-  MinHash text path, turning O(n^2) into O(n * bucket).
+  codegen, no Python). Two LSH-shaped alternatives:
+  - (r+1)-banding (phash_neardup_banded): pigeonhole on bands; right
+    when r is large (r=12 -> 4-5 bit chunks would be useless, so it
+    keeps wide bands and tolerates bucket fan-out at moderate n).
+  - block-combination keys (phash_neardup_blocked, Manku WWW'07): for
+    small r at LARGE n — 32-bit bucket keys keep buckets near-singleton
+    at 10^9 uniform hashes, where (r+1)-banding's 12-bit buckets
+    measured ~5e9 candidate pairs at just n=2M (BENCH_CAPTIONS.json).
 """
 
 from __future__ import annotations
@@ -216,6 +220,80 @@ def phash_neardup_banded(
     ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
     return (
         a.join(b, ["band", "chunk"])
+        .filter(F.col("img_a") < F.col("img_b"))
+        .select("img_a", "img_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _block_combo_keys(
+    df: DataFrame,
+    id_alias: str,
+    ph_alias: str,
+    max_hamming: int = 4,
+    m: int = 8,
+    id_col: str = "image_id",
+    ph_col: str = "phash",
+) -> DataFrame:
+    """Manku-style block-combination keys for hamming <= k search over
+    a 64-bit hash (Manku, Jain & Sarma, WWW'07 §3 — the permuted-table
+    construction, expressed as explode+join instead of sorted probes).
+
+    WHY not simple (k+1)-banding at scale: with k=4 a band is only
+    64//5 = 12 bits -> 4096 buckets per band. Hashes are uniform, so at
+    n rows every bucket holds ~n/4096 rows and the bucket self-join is
+    quadratic-within-bucket: measured at n=2M synthetic phashes the
+    banded join generates ~5 BILLION candidate pairs. Block-combination
+    keys fix the geometry: split into m=8 blocks of 8 bits; hamming <= k
+    corrupts at most k blocks, so >= m-k blocks are intact and the two
+    hashes agree on SOME (m-k)-block combination. Keying every
+    C(m, m-k) combination (70 for k=4) makes a bucket key m-k blocks =
+    32 bits wide -> random collisions need 32 matching bits
+    (~n/2^32 per bucket, near-singleton even at 10^9 rows). Work is
+    O(n * C(m, m-k)) map-side fan-out + true-pair verification, never
+    quadratic. Tradeoff knob: larger m widens coverage per key but
+    explodes C(m, m-k); m=8/k<=4 is the classic 64-bit operating point.
+    """
+    from itertools import combinations
+
+    t = m - max_hamming
+    if t < 1:
+        raise ValueError(f"need m > max_hamming (got m={m}, k={max_hamming})")
+    width = 64 // m
+    mask = (1 << width) - 1
+
+    def block(i: int):
+        return F.shiftrightunsigned(F.col(ph_alias), i * width).bitwiseAND(
+            F.lit(mask)
+        )
+
+    keys = []
+    for combo_id, combo in enumerate(combinations(range(m), t)):
+        bkey = F.lit(0).cast("long")
+        for i in combo:
+            bkey = F.shiftleft(bkey, width).bitwiseOR(block(i))
+        keys.append(
+            F.struct(F.lit(combo_id).alias("combo"), bkey.alias("bkey"))
+        )
+    out = df.select(F.col(id_col).alias(id_alias), F.col(ph_col).alias(ph_alias))
+    return out.select(
+        id_alias, ph_alias, F.explode(F.array(*keys)).alias("cb")
+    ).select(id_alias, ph_alias, F.col("cb.combo").alias("combo"), F.col("cb.bkey").alias("bkey"))
+
+
+def phash_neardup_blocked(
+    corpus: DataFrame, max_hamming: int = 4, m: int = 8
+) -> DataFrame:
+    """Web-scale hamming <= k near-dup pairs via block-combination keys
+    (see _block_combo_keys for why plain banding collapses at n >= 10^6).
+    Same result set as the exact O(n^2) formulation — completeness by
+    pigeonhole on intact blocks — at O(n * C(m, m-k)) candidate work."""
+    a = _block_combo_keys(corpus, "img_a", "ph_a", max_hamming, m)
+    b = _block_combo_keys(corpus, "img_b", "ph_b", max_hamming, m)
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        a.join(b, ["combo", "bkey"])
         .filter(F.col("img_a") < F.col("img_b"))
         .select("img_a", "img_b", ham.alias("hamming"))
         .distinct()

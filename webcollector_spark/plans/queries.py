@@ -1787,6 +1787,7 @@ def q_rh_lsh_ann_pairs(spark, sf):
 # recomputation of the same deterministic kernels.
 
 _ORACLE_DIR = Path(__file__).resolve().parents[2] / "oracles"
+_CAPTION_META = f"read_parquet('{_ORACLE_DIR / 'caption_corpus_meta'}.parquet')"
 
 
 def _oracle_parquet(name: str, cols: str) -> str:
@@ -1837,6 +1838,33 @@ def q_phash_neardup_banded(spark, sf):
     from webcollector_spark.operators import images
 
     return images.phash_neardup_banded(images.corpus_with_neardups(spark))
+
+
+@register(
+    "phash_neardup_blocked",
+    # oracle RECOMPUTES the exact O(n^2) hamming ball in DuckDB over the
+    # committed noisy-corpus metadata; the blocked candidate generator is
+    # pigeonhole-complete (>= m-k intact 8-bit blocks at hamming <= k),
+    # so the result sets are identical by construction
+    f"""
+    WITH m AS (SELECT image_id, phash FROM {_CAPTION_META})
+    SELECT a.image_id AS img_a, b.image_id AS img_b,
+           bit_count(xor(a.phash, b.phash)) AS hamming
+    FROM m a JOIN m b ON a.image_id < b.image_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 4
+    """,
+)
+def q_phash_neardup_blocked(spark, sf):
+    """Web-scale hamming<=4 near-dup: Manku block-combination keys
+    (C(8,4)=70 32-bit bucket keys per hash) — the layout that stays
+    near-singleton-bucket at 10^9 uniform hashes where (k+1)-banding's
+    12-bit buckets go quadratic (operators/images.py
+    phash_neardup_blocked; measured in BENCH_CAPTIONS.json)."""
+    from webcollector_spark.operators import images
+
+    return images.phash_neardup_blocked(
+        images.caption_corpus_df(spark), max_hamming=4
+    )
 
 
 @register(
@@ -2913,7 +2941,6 @@ def q_unigram_logprob(spark, sf):
 # each curation result in DuckDB over that table — not a stored-answer
 # compare. Spark implementations: operators/captions.py.
 
-_CAPTION_META = f"read_parquet('{_ORACLE_DIR / 'caption_corpus_meta'}.parquet')"
 _CAPTION_NORM_SQL = (
     "lower(trim(regexp_replace(caption, '\\s+', ' ', 'g')))"
 )
