@@ -146,3 +146,57 @@ def test_sliding_rate_runs(spark, events_dir):
     total_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     # sliding windows double-count by design (10m window / 5m slide ~ 2x)
     assert sum(r["n"] for r in rows) >= total_events
+
+
+def test_streaming_caption_spam_matches_batch(spark):
+    """One-batch drain of the noisy caption corpus must flag exactly the
+    captions the batch detector flags (NULL folded into "" — the stream
+    twin's documented key normalization)."""
+    from webcollector_spark.operators import captions, images
+
+    corpus = images.caption_corpus_df(spark, 120, 24)
+    d = tempfile.mkdtemp(prefix="wc_caps_")
+    try:
+        corpus.select("image_id", "phash", "caption").repartition(2).write.mode(
+            "overwrite"
+        ).parquet(d)
+        stream = P.caption_spam_stream(
+            P.read_caption_stream(spark, d), min_phashes=3
+        )
+        P.run_to_memory(stream, "caption_spam_stream", output_mode="append")
+        got = {
+            r["caption_norm"]
+            for r in spark.table("caption_spam_stream").collect()
+        }
+        want = {
+            r["caption_norm"] or ""
+            for r in captions.caption_spam(corpus, min_phashes=3).collect()
+        }
+        assert got == want and len(want) >= 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_caption_spam_cross_batch_state(spark):
+    """A caption reaching the distinct-phash threshold only via a later
+    micro-batch must flag then (state carries the earlier phashes),
+    and must flag only ONCE."""
+    rows_b1 = [("a", 1, "image"), ("b", 2, "image")]
+    rows_b2 = [("c", 3, "image"), ("d", 4, "image")]
+    d = tempfile.mkdtemp(prefix="wc_caps2_")
+    try:
+        for batch in (rows_b1, rows_b2):
+            spark.createDataFrame(
+                batch, P.CAPTION_META_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(d)
+        stream = P.caption_spam_stream(
+            P.read_caption_stream(spark, d, max_files_per_trigger=1),
+            min_phashes=3,
+        )
+        P.run_to_memory(stream, "caption_spam_xbatch", output_mode="append")
+        rows = spark.table("caption_spam_xbatch").collect()
+        assert len(rows) == 1
+        assert rows[0]["caption_norm"] == "image"
+        assert rows[0]["n_phashes"] >= 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -235,6 +235,80 @@ def neardup_stream(docs: DataFrame, max_bucket: int = 64) -> DataFrame:
     )
 
 
+CAPTION_SPAM_STATE_SCHEMA = "phashes array<long>, flagged boolean"
+CAPTION_SPAM_OUT_SCHEMA = "caption_norm string, n_phashes int"
+
+CAPTION_META_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("caption", T.StringType()),
+    ]
+)
+
+
+def read_caption_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over fetched image metadata (the columns the
+    crawl's fetched_history table carries for caption curation)."""
+    reader = spark.readStream.schema(CAPTION_META_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def caption_spam_stream(
+    rows: DataFrame, min_phashes: int = 3, max_track: int = 64
+) -> DataFrame:
+    """Streaming boilerplate-alt-text detector: the incremental twin of
+    batch `captions.caption_spam`. State key = normalized caption;
+    state = the distinct phashes seen so far (capped at `max_track` —
+    past the flag threshold exact counts stop mattering) + a flagged
+    bit. Emits ONE row per caption, at the micro-batch where its
+    distinct-picture count first reaches `min_phashes` — so a crawl can
+    blocklist a spam caption mid-flight instead of at end-of-crawl.
+
+    NULL captions (missing alt text) fold into the "" group: both are
+    the same pathology and state keys must be non-null.
+
+    One-batch drain of a static directory flags exactly the captions
+    batch `caption_spam` flags (equivalence test pins this)."""
+    from webcollector_spark.operators.captions import caption_norm
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = rows.select(
+        F.coalesce(caption_norm(), F.lit("")).alias("caption_norm"), "phash"
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            seen, flagged = set(state.get[0]), bool(state.get[1])
+        else:
+            seen, flagged = set(), False
+        for pdf in pdfs:
+            for ph in pdf["phash"]:
+                if ph is not None and not pd.isna(ph) and len(seen) < max_track:
+                    seen.add(int(ph))
+        out = []
+        if not flagged and len(seen) >= min_phashes:
+            flagged = True
+            out.append({"caption_norm": key[0], "n_phashes": len(seen)})
+        state.update((sorted(seen), flagged))
+        yield pd.DataFrame(out, columns=["caption_norm", "n_phashes"])
+
+    return keyed.groupBy("caption_norm").applyInPandasWithState(
+        fn,
+        outputStructType=CAPTION_SPAM_OUT_SCHEMA,
+        stateStructType=CAPTION_SPAM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     stream: DataFrame, name: str, output_mode: str = "complete"
 ) -> None:
