@@ -70,6 +70,11 @@ HEADLINE = [
     # re-admitted in r3: the per-query warm pass (below) absorbs its
     # one-time ~4s whole-stage-codegen JIT for the regex+md5 chain, so
     # the recorded figure is the sustained cost.
+    "caption_dedup",
+    "caption_spam",
+    "caption_conflict",
+    "caption_quality",
+    "phash_neardup_blocked",
 ]
 
 
