@@ -255,8 +255,6 @@ def _block_combo_keys(
     quadratic. Tradeoff knob: larger m widens coverage per key but
     explodes C(m, m-k); m=8/k<=4 is the classic 64-bit operating point.
     """
-    from itertools import combinations
-
     t = m - max_hamming
     if t < 1:
         raise ValueError(f"need m > max_hamming (got m={m}, k={max_hamming})")
@@ -269,7 +267,7 @@ def _block_combo_keys(
         )
 
     keys = []
-    for combo_id, combo in enumerate(combinations(range(m), t)):
+    for combo_id, combo in enumerate(_block_combos(m, t)):
         bkey = F.lit(0).cast("long")
         for i in combo:
             bkey = F.shiftleft(bkey, width).bitwiseOR(block(i))
@@ -282,20 +280,69 @@ def _block_combo_keys(
     ).select(id_alias, ph_alias, F.col("cb.combo").alias("combo"), F.col("cb.bkey").alias("bkey"))
 
 
+def _block_combos(m: int, t: int) -> list[tuple[int, ...]]:
+    """Canonical enumeration order of the C(m, t) block combinations —
+    shared by the key emitter and the minimal-combo dedup LUT so combo
+    ids agree by construction."""
+    from itertools import combinations
+
+    return list(combinations(range(m), t))
+
+
 def phash_neardup_blocked(
     corpus: DataFrame, max_hamming: int = 4, m: int = 8
 ) -> DataFrame:
     """Web-scale hamming <= k near-dup pairs via block-combination keys
     (see _block_combo_keys for why plain banding collapses at n >= 10^6).
     Same result set as the exact O(n^2) formulation — completeness by
-    pigeonhole on intact blocks — at O(n * C(m, m-k)) candidate work."""
+    pigeonhole on intact blocks — at O(n * C(m, m-k)) candidate work.
+
+    Each qualifying pair shares EVERY combination of its intact blocks,
+    so the raw join emits it up to C(m, m-k) times (70x for an exact
+    duplicate at k=4 — and exact duplicates are the common case in a
+    crawl). Instead of a `.distinct()` shuffle over the full candidate
+    stream, a map-side filter keeps only the row whose joined combo is
+    the FIRST combination fully intact between the two hashes: derive
+    the corrupted-block bitmap from ph_a^ph_b, look up the minimal
+    intact combo in a 2^m-entry literal array, and compare. Exactly one
+    row per pair survives, inside the join stage, shuffle-free —
+    measured 1.26x end-to-end on the 2M-row conflict bench (BENCH.md
+    §4f; the candidate join itself, which is irreducible, dominates)."""
+    t = m - max_hamming
     a = _block_combo_keys(corpus, "img_a", "ph_a", max_hamming, m)
     b = _block_combo_keys(corpus, "img_b", "ph_b", max_hamming, m)
-    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    width = 64 // m
+    blkmask = (1 << width) - 1
+    xor = F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+    corrupt = F.lit(0)
+    for i in range(m):
+        blk = F.shiftrightunsigned(xor, i * width).bitwiseAND(F.lit(blkmask))
+        corrupt = corrupt.bitwiseOR(
+            F.when(blk != 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    combos = _block_combos(m, t)
+    # min_combo_lut[corrupt_bitmap] = first combo id with no corrupted
+    # block (-1 when fewer than t blocks are intact — unreachable here,
+    # since a joined pair agreed on some combo's full bkey)
+    lut = [
+        next(
+            (
+                ci
+                for ci, c in enumerate(combos)
+                if all(not (cmask >> blk_i) & 1 for blk_i in c)
+            ),
+            -1,
+        )
+        for cmask in range(1 << m)
+    ]
+    min_combo = F.element_at(
+        F.array(*[F.lit(v) for v in lut]), corrupt.cast("int") + F.lit(1)
+    )
+    ham = F.bit_count(xor)
     return (
         a.join(b, ["combo", "bkey"])
         .filter(F.col("img_a") < F.col("img_b"))
+        .filter(ham <= max_hamming)
+        .filter(F.col("combo") == min_combo)
         .select("img_a", "img_b", ham.alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )

@@ -1229,11 +1229,28 @@ def q_simhash_neardup_banded(spark, sf):
     # all pairs within hamming 2 — including a 339-doc identical-
     # signature cluster — so the pair list is O(cluster^2) rows while
     # the degree stays O(docs) and is the curation signal you'd rank on
+    # a qualifying pair shares EVERY intact band (an identical-signature
+    # pair all 4), so instead of a `.distinct()` shuffle over the
+    # candidate stream keep only the row joined on the FIRST intact
+    # band — map-side, exactly one row per pair (same trick as
+    # images.phash_neardup_blocked's minimal-combo filter)
+    bxor = F.col("ha").bitwiseXOR(F.col("hb"))
+    min_bi = F.when(
+        F.shiftrightunsigned(bxor, 0).bitwiseAND(F.lit(255)) == 0, F.lit(0)
+    )
+    for _bi in (1, 2, 3):
+        min_bi = min_bi.when(
+            F.shiftrightunsigned(bxor, 8 * _bi).bitwiseAND(F.lit(255)) == 0,
+            F.lit(_bi),
+        )
     pairs = (
         a.join(b, ["bi", "bv"])
-        .filter((F.col("doc_a") < F.col("doc_b")) & (ham <= 2))
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (ham <= 2)
+            & (F.col("bi") == min_bi)
+        )
         .select("doc_a", "doc_b")
-        .distinct()
     )
     sym = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
         pairs.select(F.col("doc_b").alias("doc_id"))
