@@ -118,6 +118,14 @@ def main() -> None:
         from webcollector_spark.operators.images import _block_combo_keys
 
         blocked = _block_combo_keys(meta, "i", "p", 4, 8, "image_id", "phash")
+        # the volume the join ACTUALLY pays since the distinct-hash
+        # collapse: keys over distinct phashes only (exact-dup cluster
+        # pairs never enter the candidate stage — they come from the
+        # linear self-equi-join on phash)
+        distinct_ph = meta.select("phash").distinct()
+        blocked_distinct = _block_combo_keys(
+            distinct_ph, "i", "p", 4, 8, "phash", "phash"
+        )
         row = {
             "banded_candidate_pairs": int(
                 candidate_volume(banded_keys(meta), ["band", "chunk"])
@@ -125,6 +133,10 @@ def main() -> None:
             "blocked_candidate_pairs": int(
                 candidate_volume(blocked, ["combo", "bkey"])
             ),
+            "blocked_distinct_candidate_pairs": int(
+                candidate_volume(blocked_distinct, ["combo", "bkey"])
+            ),
+            "distinct_phashes": distinct_ph.count(),
             "dedup_sec": timed(lambda: captions.caption_dedup(meta).count()),
             "spam_sec": timed(
                 lambda: captions.caption_spam(meta, min_phashes=3).count()

@@ -289,31 +289,17 @@ def _block_combos(m: int, t: int) -> list[tuple[int, ...]]:
     return list(combinations(range(m), t))
 
 
-def phash_neardup_blocked(
-    corpus: DataFrame, max_hamming: int = 4, m: int = 8
-) -> DataFrame:
-    """Web-scale hamming <= k near-dup pairs via block-combination keys
-    (see _block_combo_keys for why plain banding collapses at n >= 10^6).
-    Same result set as the exact O(n^2) formulation — completeness by
-    pigeonhole on intact blocks — at O(n * C(m, m-k)) candidate work.
-
-    Each qualifying pair shares EVERY combination of its intact blocks,
-    so the raw join emits it up to C(m, m-k) times (70x for an exact
-    duplicate at k=4 — and exact duplicates are the common case in a
-    crawl). Instead of a `.distinct()` shuffle over the full candidate
-    stream, a map-side filter keeps only the row whose joined combo is
-    the FIRST combination fully intact between the two hashes: derive
-    the corrupted-block bitmap from ph_a^ph_b, look up the minimal
-    intact combo in a 2^m-entry literal array, and compare. Exactly one
-    row per pair survives, inside the join stage, shuffle-free —
-    measured 1.26x end-to-end on the 2M-row conflict bench (BENCH.md
-    §4f; the candidate join itself, which is irreducible, dominates)."""
-    t = m - max_hamming
-    a = _block_combo_keys(corpus, "img_a", "ph_a", max_hamming, m)
-    b = _block_combo_keys(corpus, "img_b", "ph_b", max_hamming, m)
+def _min_intact_combo(xor, m: int, t: int):
+    """Column expression: id of the FIRST (m,t)-block combination fully
+    intact between two hashes whose xor is `xor` — the canonical combo a
+    candidate pair is allowed to survive on, so each pair is emitted
+    exactly once without a `.distinct()` shuffle. Derives the
+    corrupted-block bitmap from the xor, then looks the minimal intact
+    combo up in a 2^m-entry literal array (-1 when fewer than t blocks
+    are intact — unreachable for joined pairs, which agreed on some
+    combo's full bkey)."""
     width = 64 // m
     blkmask = (1 << width) - 1
-    xor = F.col("ph_a").bitwiseXOR(F.col("ph_b"))
     corrupt = F.lit(0)
     for i in range(m):
         blk = F.shiftrightunsigned(xor, i * width).bitwiseAND(F.lit(blkmask))
@@ -321,9 +307,6 @@ def phash_neardup_blocked(
             F.when(blk != 0, F.lit(1 << i)).otherwise(F.lit(0))
         )
     combos = _block_combos(m, t)
-    # min_combo_lut[corrupt_bitmap] = first combo id with no corrupted
-    # block (-1 when fewer than t blocks are intact — unreachable here,
-    # since a joined pair agreed on some combo's full bkey)
     lut = [
         next(
             (
@@ -335,14 +318,77 @@ def phash_neardup_blocked(
         )
         for cmask in range(1 << m)
     ]
-    min_combo = F.element_at(
+    return F.element_at(
         F.array(*[F.lit(v) for v in lut]), corrupt.cast("int") + F.lit(1)
     )
-    ham = F.bit_count(xor)
-    return (
-        a.join(b, ["combo", "bkey"])
+
+
+def phash_neardup_blocked(
+    corpus: DataFrame, max_hamming: int = 4, m: int = 8
+) -> DataFrame:
+    """Web-scale hamming <= k near-dup pairs via block-combination keys
+    (see _block_combo_keys for why plain banding collapses at n >= 10^6).
+    Same result set as the exact O(n^2) formulation — completeness by
+    pigeonhole on intact blocks.
+
+    Candidate work is keyed on DISTINCT hashes, not rows: a crawl's
+    exact-duplicate multiplicity is Zipfian (the same logo/spacer/stock
+    image recurs millions of times), and every row of an exact-dup
+    cluster shares all C(m, m-k) combination keys, so a row-keyed join
+    does C(cluster)^2 x 70 candidate work for pairs that need none.
+    Instead: (1) hamming-0 pairs come from a plain self-equi-join on
+    phash — true pairs only, output-bound; (2) the blocked join runs
+    over the distinct-hash table (candidates O(distinct^2 within
+    32-bit buckets), each surviving hash pair emitted exactly once via
+    the minimal-intact-combo filter — no `.distinct()` shuffle); (3)
+    members rejoin by hash on both sides. Measured on the 2M-row
+    conflict bench (4-row planted clusters): candidate volume 210M
+    row-keyed -> 2,034 distinct-keyed, wall 188.7 s -> 59.6 s
+    (BENCH.md §4f); at real Zipfian multiplicity the gap widens."""
+    t = m - max_hamming
+    mem = corpus.select("image_id", "phash")
+    # (1) exact duplicates: true pairs, no candidate stage at all
+    within = (
+        mem.select(F.col("image_id").alias("img_a"), "phash")
+        .join(mem.select(F.col("image_id").alias("img_b"), "phash"), "phash")
         .filter(F.col("img_a") < F.col("img_b"))
-        .filter(ham <= max_hamming)
-        .filter(F.col("combo") == min_combo)
-        .select("img_a", "img_b", ham.alias("hamming"))
+        .select("img_a", "img_b", F.lit(0).cast("int").alias("hamming"))
     )
+    if max_hamming == 0:
+        return within
+    # (2) hamming 1..k over distinct hashes only
+    dh = corpus.select(F.col("phash").alias("ph")).distinct()
+    a = _block_combo_keys(dh, "_a", "ph_a", max_hamming, m, "ph", "ph").drop("_a")
+    b = _block_combo_keys(dh, "_b", "ph_b", max_hamming, m, "ph", "ph").drop("_b")
+    xor = F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+    ham = F.bit_count(xor)
+    # hint the self-join: the optimizer sizes the join by the
+    # pre-Generate distinct-hash table (small) and would BROADCAST the
+    # x70-exploded side — a single-threaded 35M-row driver build at 2M
+    # input rows (measured: the broadcast build alone took 83 s). Keys
+    # are hash-uniform, so per-partition SHJ builds are balanced.
+    hash_pairs = (
+        a.hint("shuffle_hash").join(b, ["combo", "bkey"])
+        .filter(F.col("ph_a") < F.col("ph_b"))
+        .filter(ham <= max_hamming)
+        .filter(F.col("combo") == _min_intact_combo(xor, m, t))
+        .select("ph_a", "ph_b", ham.cast("int").alias("hamming"))
+    )
+    # (3) expand hash pairs back to image pairs (shuffle joins on the
+    # hash — pair-keyed, nothing O(n) broadcast)
+    between = (
+        hash_pairs.join(
+            mem.select(F.col("image_id").alias("ia"), F.col("phash").alias("ph_a")),
+            "ph_a",
+        )
+        .join(
+            mem.select(F.col("image_id").alias("ib"), F.col("phash").alias("ph_b")),
+            "ph_b",
+        )
+        .select(
+            F.least("ia", "ib").alias("img_a"),
+            F.greatest("ia", "ib").alias("img_b"),
+            "hamming",
+        )
+    )
+    return within.unionByName(between)

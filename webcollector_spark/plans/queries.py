@@ -1206,9 +1206,23 @@ def q_simhash_neardup_banded(spark, sf):
             )
         ).alias("simhash")
     )
-    bands = sh.select(
-        "doc_id",
+    # output is the per-doc near-dup DEGREE, not the pair list: this
+    # corpus (6-31 distinct words/doc, templated) genuinely has ~6% of
+    # all pairs within hamming 2 — including a 339-doc identical-
+    # signature cluster — so the pair list is O(cluster^2) rows while
+    # the degree stays O(docs) and is the curation signal you'd rank on.
+    # For a DEGREE the pair list never needs materializing at all:
+    # collapse to distinct signatures with their member counts, band
+    # and pair THOSE (each signature pair emitted once via the
+    # first-intact-band filter, the same trick as
+    # images.phash_neardup_blocked's minimal-combo filter), and a doc's
+    # degree is (own cluster size - 1) + sum of neighboring signatures'
+    # counts — candidate work drops from O(cluster^2) row pairs to
+    # O(distinct^2 within band buckets) signature pairs
+    sigc = sh.groupBy("simhash").agg(F.count("*").alias("cnt"))
+    bands = sigc.select(
         "simhash",
+        "cnt",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("bi"),
     ).withColumn(
         "bv",
@@ -1218,23 +1232,13 @@ def q_simhash_neardup_banded(spark, sf):
         % 256,
     )
     a = bands.select(
-        "bi", "bv", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha")
+        "bi", "bv", F.col("simhash").alias("ha"), F.col("cnt").alias("ca")
     )
     b = bands.select(
-        "bi", "bv", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb")
+        "bi", "bv", F.col("simhash").alias("hb"), F.col("cnt").alias("cb")
     )
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    # output is the per-doc near-dup DEGREE, not the pair list: this
-    # corpus (6-31 distinct words/doc, templated) genuinely has ~6% of
-    # all pairs within hamming 2 — including a 339-doc identical-
-    # signature cluster — so the pair list is O(cluster^2) rows while
-    # the degree stays O(docs) and is the curation signal you'd rank on
-    # a qualifying pair shares EVERY intact band (an identical-signature
-    # pair all 4), so instead of a `.distinct()` shuffle over the
-    # candidate stream keep only the row joined on the FIRST intact
-    # band — map-side, exactly one row per pair (same trick as
-    # images.phash_neardup_blocked's minimal-combo filter)
     bxor = F.col("ha").bitwiseXOR(F.col("hb"))
+    ham = F.bit_count(bxor)
     min_bi = F.when(
         F.shiftrightunsigned(bxor, 0).bitwiseAND(F.lit(255)) == 0, F.lit(0)
     )
@@ -1243,22 +1247,28 @@ def q_simhash_neardup_banded(spark, sf):
             F.shiftrightunsigned(bxor, 8 * _bi).bitwiseAND(F.lit(255)) == 0,
             F.lit(_bi),
         )
-    pairs = (
-        a.join(b, ["bi", "bv"])
-        .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (ham <= 2)
-            & (F.col("bi") == min_bi)
-        )
-        .select("doc_a", "doc_b")
+    # shuffle_hash hint for the same reason as phash_neardup_blocked:
+    # the optimizer sizes this self-join by the small distinct-signature
+    # table and would broadcast the exploded band side
+    sig_pairs = (
+        a.hint("shuffle_hash").join(b, ["bi", "bv"])
+        .filter((F.col("ha") < F.col("hb")) & (ham <= 2) & (F.col("bi") == min_bi))
+        .select("ha", "ca", "hb", "cb")
     )
-    sym = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
-        pairs.select(F.col("doc_b").alias("doc_id"))
+    contrib = sig_pairs.select(
+        F.col("ha").alias("simhash"), F.col("cb").alias("add")
+    ).unionAll(
+        sig_pairs.select(F.col("hb").alias("simhash"), F.col("ca").alias("add"))
     )
-    deg = sym.groupBy("doc_id").agg(F.count("*").alias("n"))
+    neighbor = contrib.groupBy("simhash").agg(F.sum("add").alias("oth"))
+    deg_sig = sigc.join(neighbor, "simhash", "left").select(
+        "simhash",
+        (F.col("cnt") - 1 + F.coalesce(F.col("oth"), F.lit(0))).alias("n"),
+    )
     return (
         docs.select("doc_id")
-        .join(deg, "doc_id", "left")
+        .join(sh, "doc_id", "left")
+        .join(deg_sig, "simhash", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_neardups"),
