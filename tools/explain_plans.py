@@ -92,6 +92,43 @@ CHECKS = {
 }
 
 
+# queries allowed to broadcast an explode output (see _explode_broadcasts)
+EXPLODE_BROADCAST_OK = {
+    # the labeled O(n^2)-class TEST BASELINE over the 200-row fixture —
+    # explicitly kept out of the scale path (its scale twin is
+    # phash_neardup_blocked)
+    "phash_neardup_banded",
+}
+
+
+def _explode_broadcasts(plan: str) -> bool:
+    """True when a Generate (explode) sits DIRECTLY under a
+    BroadcastExchange — the planner trap that cost 83 s on
+    phash_neardup_blocked: join-strategy sizing happens on the
+    pre-Generate stats, so the broadcast side is under-estimated by the
+    explode factor (x70 there) and a huge single-threaded driver build
+    slips through. A Generate below an Exchange or a cached
+    InMemoryTableScan is fine — runtime stats there already reflect the
+    exploded size, so AQE degrades the join to a shuffle at scale."""
+    lines = plan.split("\n")
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line or line.startswith("("):
+            continue
+        indent = len(line) - len(line.lstrip(" :+-"))
+        for nxt in lines[i + 1:]:
+            if not nxt.strip() or nxt.startswith("("):
+                break
+            ind2 = len(nxt) - len(nxt.lstrip(" :+-"))
+            if ind2 <= indent:
+                break
+            if ("InMemoryTableScan" in nxt or
+                    ("Exchange" in nxt and "BroadcastExchange" not in nxt)):
+                break
+            if "Generate" in nxt:
+                return True
+    return False
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from webcollector_spark.plans import queries as qmod
@@ -117,6 +154,9 @@ def main() -> int:
                 verdicts.append(f"{'OK' if ok else 'MISSING'}:{needle}")
             if not ok:
                 failures.append(f"{name}:{needle}")
+        if name not in EXPLODE_BROADCAST_OK and _explode_broadcasts(plan):
+            verdicts.append("BROADCAST-OVER-EXPLODE")
+            failures.append(f"{name}:broadcast-over-explode")
         head = f"## {name}" + (f"  [{' '.join(verdicts)}]" if verdicts else "")
         out += [head, "", "```", plan.strip(), "```", ""]
         print(head)

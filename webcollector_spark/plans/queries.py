@@ -852,8 +852,14 @@ def q_jaccard_lsh_verified(spark, sf):
     cands = q_lsh_pairs(spark, sf)
     sh = _shingles(spark, sf)  # distinct (doc_id, w) by construction
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "w")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "w")
+    # merge-hint the shingle sides: the planner sizes them by the
+    # pre-explode documents scan and would BROADCAST the exploded
+    # shingle table (O(docs x shingles/doc) — the same trap
+    # images.phash_neardup_blocked documents; caught by
+    # explain_plans.py's broadcast-over-explode check). SMJ spills
+    # gracefully at any scale.
+    a = sh.select(F.col("doc_id").alias("doc_a"), "w").hint("merge")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "w").hint("merge")
     common = (
         cands.join(a, "doc_a")
         .join(b, ["doc_b", "w"])
@@ -975,9 +981,17 @@ def q_minhash_jaccard_est(spark, sf):
         .select("doc_a", "doc_b", n_agree.alias("n_agree"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # merge hint for the same reason as jaccard_lsh_verified: never let
+    # the planner broadcast the exploded shingle table
     common = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "w"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "w"), ["doc_b", "w"])
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "w").hint("merge"),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "w").hint("merge"),
+            ["doc_b", "w"],
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
     )
