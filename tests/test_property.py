@@ -181,3 +181,79 @@ def test_canonicalize_idempotent_on_urls(u):
     # canonical output never carries a fragment for absolute URLs
     if "://" in once and once.startswith(("http://", "https://", "ftp://")):
         assert "#" not in once
+
+
+# -- minimal-intact-combo LUT (hamming-ball candidate dedup) -------------
+#
+# The LUT drives single-emission of block-combination candidate pairs
+# (operators/images.py): a pair within hamming k of a 64-bit hash split
+# into m blocks must survive on EXACTLY the first combination of its
+# intact blocks. Brute-force oracle: enumerate the combinations.
+
+_mk = st.sampled_from([(8, 4), (8, 2), (8, 1), (4, 2), (4, 1)])
+
+
+@given(_mk, st.data())
+@settings(max_examples=300, deadline=None)
+def test_min_combo_lut_matches_bruteforce(mk, data):
+    from itertools import combinations
+
+    from webcollector_spark.operators.images import (
+        _block_combos,
+        _min_combo_lut,
+    )
+
+    m, k = mk
+    t = m - k
+    lut = _min_combo_lut(m, t)
+    combos = _block_combos(m, t)
+    assert combos == list(combinations(range(m), t))  # canonical order
+    mask = data.draw(st.integers(0, (1 << m) - 1))
+    intact = [ci for ci, c in enumerate(combos) if all(not (mask >> b) & 1 for b in c)]
+    assert lut[mask] == (intact[0] if intact else -1)
+    # pigeonhole: <= k corrupted blocks always leaves an intact combo
+    if bin(mask).count("1") <= k:
+        assert lut[mask] >= 0
+
+
+@given(_mk, st.data())
+@settings(max_examples=200, deadline=None)
+def test_pair_survives_on_exactly_one_combo(mk, data):
+    """Simulate the join + filter on random hash pairs: a pair within
+    hamming k is emitted on exactly one combination; a pair beyond k on
+    none (the hamming filter drops it before the combo filter)."""
+    from webcollector_spark.operators.images import (
+        _block_combos,
+        _min_combo_lut,
+    )
+
+    m, k = mk
+    t = m - k
+    width = 64 // m
+    blkmask = (1 << width) - 1
+    combos = _block_combos(m, t)
+    lut = _min_combo_lut(m, t)
+
+    h1 = data.draw(st.integers(0, (1 << 64) - 1))
+    flips = data.draw(st.lists(st.integers(0, 63), min_size=0, max_size=k + 3))
+    h2 = h1
+    for b in flips:
+        h2 ^= 1 << b
+    xor = h1 ^ h2
+    ham = bin(xor).count("1")
+
+    def bkey(h, c):
+        v = 0
+        for i in c:
+            v = (v << width) | ((h >> (i * width)) & blkmask)
+        return v
+
+    joined = [ci for ci, c in enumerate(combos) if bkey(h1, c) == bkey(h2, c)]
+    corrupt = 0
+    for i in range(m):
+        if (xor >> (i * width)) & blkmask:
+            corrupt |= 1 << i
+    survivors = [ci for ci in joined if ham <= k and ci == lut[corrupt]]
+    assert len(survivors) == (1 if ham <= k else 0)
+    if ham <= k:
+        assert lut[corrupt] in joined  # completeness by pigeonhole

@@ -289,25 +289,14 @@ def _block_combos(m: int, t: int) -> list[tuple[int, ...]]:
     return list(combinations(range(m), t))
 
 
-def _min_intact_combo(xor, m: int, t: int):
-    """Column expression: id of the FIRST (m,t)-block combination fully
-    intact between two hashes whose xor is `xor` — the canonical combo a
-    candidate pair is allowed to survive on, so each pair is emitted
-    exactly once without a `.distinct()` shuffle. Derives the
-    corrupted-block bitmap from the xor, then looks the minimal intact
-    combo up in a 2^m-entry literal array (-1 when fewer than t blocks
-    are intact — unreachable for joined pairs, which agreed on some
-    combo's full bkey)."""
-    width = 64 // m
-    blkmask = (1 << width) - 1
-    corrupt = F.lit(0)
-    for i in range(m):
-        blk = F.shiftrightunsigned(xor, i * width).bitwiseAND(F.lit(blkmask))
-        corrupt = corrupt.bitwiseOR(
-            F.when(blk != 0, F.lit(1 << i)).otherwise(F.lit(0))
-        )
+def _min_combo_lut(m: int, t: int) -> list[int]:
+    """min_combo_lut[corrupt_bitmap] = id of the FIRST (m,t)-block
+    combination containing no corrupted block, -1 when fewer than t
+    blocks are intact (unreachable for joined pairs, which agreed on
+    some combo's full bkey). Property-tested against a brute-force
+    oracle in tests/test_property.py."""
     combos = _block_combos(m, t)
-    lut = [
+    return [
         next(
             (
                 ci
@@ -318,8 +307,26 @@ def _min_intact_combo(xor, m: int, t: int):
         )
         for cmask in range(1 << m)
     ]
+
+
+def _min_intact_combo(xor, m: int, t: int):
+    """Column expression: id of the FIRST (m,t)-block combination fully
+    intact between two hashes whose xor is `xor` — the canonical combo a
+    candidate pair is allowed to survive on, so each pair is emitted
+    exactly once without a `.distinct()` shuffle. Derives the
+    corrupted-block bitmap from the xor, then looks the minimal intact
+    combo up in a 2^m-entry literal array."""
+    width = 64 // m
+    blkmask = (1 << width) - 1
+    corrupt = F.lit(0)
+    for i in range(m):
+        blk = F.shiftrightunsigned(xor, i * width).bitwiseAND(F.lit(blkmask))
+        corrupt = corrupt.bitwiseOR(
+            F.when(blk != 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
     return F.element_at(
-        F.array(*[F.lit(v) for v in lut]), corrupt.cast("int") + F.lit(1)
+        F.array(*[F.lit(v) for v in _min_combo_lut(m, t)]),
+        corrupt.cast("int") + F.lit(1),
     )
 
 
