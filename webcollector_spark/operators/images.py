@@ -344,7 +344,12 @@ def phash_neardup_blocked(
     cluster shares all C(m, m-k) combination keys, so a row-keyed join
     does C(cluster)^2 x 70 candidate work for pairs that need none.
     Instead: (1) hamming-0 pairs come from a plain self-equi-join on
-    phash — true pairs only, output-bound; (2) the blocked join runs
+    phash — true pairs only, output-bound (a Zipfian mega-cluster's
+    C(g,2) output is the pair-list CONTRACT, not join waste; its
+    oversized shuffle partition is the shape AQE skew-split handles,
+    and consumers that only need connectivity — dedup components,
+    per-image conflict flags — should aggregate per cluster instead of
+    enumerating pairs); (2) the blocked join runs
     over the distinct-hash table (candidates O(distinct^2 within
     32-bit buckets), each surviving hash pair emitted exactly once via
     the minimal-intact-combo filter — no `.distinct()` shuffle); (3)
