@@ -76,3 +76,49 @@ def test_caption_quality_gate(spark):
     # gate sees the normalized caption
     noisy = [i for i, c in by_id.items() if c.startswith("  ") and c.endswith("  ")]
     assert noisy and all(rows[i]["quality_ok"] for i in noisy)
+
+
+def test_conflict_flags_equal_pairlist_image_set(spark):
+    """caption_conflict_flags (the O(n), pair-free consumer) must flag
+    exactly the images appearing in caption_conflict's pair list — on
+    the noisy fixture with its hamming<=4 near-dups and caption
+    disagreements."""
+    corpus = _corpus(spark)
+    pairs = captions.caption_conflict(corpus).collect()
+    expected = {r["img_a"] for r in pairs} | {r["img_b"] for r in pairs}
+    flags = {
+        r["image_id"]: r["conflicted"]
+        for r in captions.caption_conflict_flags(corpus).collect()
+    }
+    assert set(flags) == {r["image_id"] for r in corpus.select("image_id").collect()}
+    assert {i for i, c in flags.items() if c} == expected
+
+
+def test_conflict_flags_multi_caption_cluster(spark):
+    """A 3-member exact-dup cluster with captions (A, A, B) flags ALL
+    three members (each has a disagreeing hamming-0 neighbor); an
+    isolated image and a unanimous cluster stay unflagged."""
+    # clusters at pairwise hamming >> 4 (the first fixture draft used
+    # phashes 100 and 200, which are hamming-4 NEIGHBORS — the operator
+    # correctly flagged the "unanimous" cluster against them)
+    rows = [
+        ("i1", 0, "a cat"),
+        ("i2", 0, "a cat"),
+        ("i3", 0, "a dog"),
+        ("i4", 0xFF00FF00, "same"),
+        ("i5", 0xFF00FF00, "same"),
+        ("i6", 0x0F0F0F0F0F0F0F0F, "alone"),
+        # NULL alt-text never conflicts (cap != NULL is never true in
+        # the pair list) even inside the conflicted cluster
+        ("i7", 0, None),
+    ]
+    corpus = spark.createDataFrame(rows, ["image_id", "phash", "caption"])
+    flags = {
+        r["image_id"]: r["conflicted"]
+        for r in captions.caption_conflict_flags(corpus).collect()
+    }
+    assert flags == {
+        "i1": True, "i2": True, "i3": True,
+        "i4": False, "i5": False, "i6": False,
+        "i7": False,
+    }

@@ -123,3 +123,100 @@ def caption_quality(corpus: DataFrame, min_tokens: int = 3, min_chars: int = 12)
             & (F.when(n_chars == 0, F.lit(0.0)).otherwise(n_alnum / n_chars) >= 0.5)
         ).alias("quality_ok"),
     )
+
+
+def caption_conflict_flags(corpus: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Per-image label-noise FLAG — the O(n) consumer of the near-dup
+    structure that `caption_conflict`'s pair list cannot be at web
+    scale: on a Zipfian corpus a single mega-cluster of g exact
+    duplicates contributes C(g,2) conflict pairs (output-bound by the
+    pair-list contract), while the flag — "this image sits within
+    hamming <= k of a DIFFERENTLY-captioned image" — aggregates per
+    cluster and stays linear.
+
+    Formulation, all candidate-bounded (no pair list, ever):
+
+    * per distinct phash: n_caps = countDistinct(normalized caption),
+      cap0 = min(caption) — ONE hash-aggregate over the corpus;
+    * a cluster with n_caps >= 2 conflicts internally: every member
+      has a disagreeing hamming-0 neighbor;
+    * cross-hash, over the blocked distinct-hash pairs
+      (images `_block_combo_keys` + minimal-intact-combo, the same
+      candidate stage as phash_neardup_blocked): a single-caption
+      cluster is flagged by a neighbor that is multi-caption (some
+      member must disagree) or whose single caption differs;
+    * members inherit their cluster's flag by one join on phash.
+
+    Flag set == distinct images of `caption_conflict`'s pair list
+    (asserted in tests/test_captions.py); measured on the Zipfian
+    corpus in BENCH.md §4g."""
+    from webcollector_spark.operators.images import (
+        _block_combo_keys,
+        _min_intact_combo,
+    )
+
+    norm = corpus.select("image_id", "phash", caption_norm().alias("cap"))
+    per_hash = norm.groupBy("phash").agg(
+        F.countDistinct("cap").alias("n_caps"), F.min("cap").alias("cap0")
+    )
+    m = 8
+    t = m - max_hamming
+    dh = per_hash.select(F.col("phash").alias("ph"))
+    a = _block_combo_keys(dh, "_a", "ph_a", max_hamming, m, "ph", "ph").drop("_a")
+    b = _block_combo_keys(dh, "_b", "ph_b", max_hamming, m, "ph", "ph").drop("_b")
+    xor = F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+    ham = F.bit_count(xor)
+    # candidate hash pairs, each emitted once (shuffle_hash +
+    # minimal-intact-combo, same stage as phash_neardup_blocked); the
+    # per-hash caption summaries attach AFTERWARDS — hp is
+    # candidate-sized, so those are two cheap joins
+    hp = (
+        a.hint("shuffle_hash")
+        .join(b, ["combo", "bkey"])
+        .filter(F.col("ph_a") < F.col("ph_b"))
+        .filter(ham <= max_hamming)
+        .filter(F.col("combo") == _min_intact_combo(xor, m, t))
+        .select("ph_a", "ph_b")
+        .join(
+            per_hash.select(
+                F.col("phash").alias("ph_a"), "n_caps", "cap0"
+            ),
+            "ph_a",
+        )
+        .join(
+            per_hash.select(
+                F.col("phash").alias("ph_b"),
+                F.col("n_caps").alias("n_caps_b"),
+                F.col("cap0").alias("cap0_b"),
+            ),
+            "ph_b",
+        )
+    )
+    # a neighbor flags me when it is multi-caption or we disagree;
+    # emitted symmetrically so one pass covers both directions
+    flagged_by_neighbor = (
+        hp.filter((F.col("n_caps_b") >= 2) | (F.col("cap0") != F.col("cap0_b")))
+        .select(F.col("ph_a").alias("phash"))
+        .unionAll(
+            hp.filter(
+                (F.col("n_caps") >= 2) | (F.col("cap0") != F.col("cap0_b"))
+            ).select(F.col("ph_b").alias("phash"))
+        )
+        .distinct()
+        .withColumn("__nbr", F.lit(True))
+    )
+    cluster_flag = per_hash.join(flagged_by_neighbor, "phash", "left").select(
+        "phash",
+        ((F.col("n_caps") >= 2) | F.coalesce(F.col("__nbr"), F.lit(False))).alias(
+            "__cf"
+        ),
+    )
+    # a NULL-caption image never conflicts (matching the pair list's
+    # SQL semantics: cap != NULL is never true), even when its cluster
+    # is flagged — AND the member's own caption presence in
+    return norm.select("image_id", "phash", "cap").join(
+        cluster_flag, "phash"
+    ).select(
+        "image_id",
+        (F.col("__cf") & F.col("cap").isNotNull()).alias("conflicted"),
+    )
