@@ -200,3 +200,67 @@ def test_streaming_caption_spam_cross_batch_state(spark):
         assert rows[0]["n_phashes"] >= 3
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_caption_conflict_matches_batch_clusters(spark):
+    """One-batch drain of the noisy caption corpus must flag exactly the
+    exact-dup clusters (phashes) whose members carry >= 2 distinct
+    non-null normalized captions — the hamming-0 core of the batch
+    conflict operators (caption_dedup's n_caps >= 2 clusters)."""
+    from pyspark.sql import functions as F
+
+    from webcollector_spark.operators import captions, images
+
+    corpus = images.caption_corpus_df(spark, 120, 24)
+    d = tempfile.mkdtemp(prefix="wc_conf_")
+    try:
+        corpus.select("image_id", "phash", "caption").repartition(2).write.mode(
+            "overwrite"
+        ).parquet(d)
+        stream = P.caption_conflict_stream(P.read_caption_stream(spark, d))
+        P.run_to_memory(stream, "caption_conflict_stream", output_mode="append")
+        got = {
+            r["phash"] for r in spark.table("caption_conflict_stream").collect()
+        }
+        want = {
+            r["phash"]
+            for r in corpus.select(
+                "phash", captions.caption_norm().alias("cap")
+            )
+            .filter(F.col("cap").isNotNull())
+            .groupBy("phash")
+            .agg(F.countDistinct("cap").alias("n_caps"))
+            .filter(F.col("n_caps") >= 2)
+            .collect()
+        }
+        assert got == want and len(want) >= 1
+        # evidence columns: each emitted row carries two DISTINCT caps
+        for r in spark.table("caption_conflict_stream").collect():
+            assert r["cap0"] != r["cap_other"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_caption_conflict_cross_batch_once(spark):
+    """A cluster unanimous in batch 1 that receives a disagreeing
+    caption in batch 2 must flag THEN, exactly once; NULL alt text
+    neither seeds nor triggers a conflict."""
+    rows_b1 = [("a", 7, "a cat"), ("b", 7, "a cat"), ("n", 7, None)]
+    rows_b2 = [("c", 7, "a dog"), ("d", 7, "a bird"), ("e", 9, None)]
+    d = tempfile.mkdtemp(prefix="wc_conf2_")
+    try:
+        for batch in (rows_b1, rows_b2):
+            spark.createDataFrame(
+                batch, P.CAPTION_META_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(d)
+        stream = P.caption_conflict_stream(
+            P.read_caption_stream(spark, d, max_files_per_trigger=1)
+        )
+        P.run_to_memory(stream, "caption_conflict_xbatch", output_mode="append")
+        rows = spark.table("caption_conflict_xbatch").collect()
+        assert len(rows) == 1
+        assert rows[0]["phash"] == 7
+        assert rows[0]["cap0"] == "a cat"
+        assert rows[0]["cap_other"] in ("a dog", "a bird")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

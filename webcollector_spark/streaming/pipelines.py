@@ -322,3 +322,65 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+CAPTION_CONFLICT_STATE_SCHEMA = "cap0 string, conflicted boolean"
+CAPTION_CONFLICT_OUT_SCHEMA = "phash long, cap0 string, cap_other string"
+
+
+def caption_conflict_stream(rows: DataFrame) -> DataFrame:
+    """Streaming label-noise detector at the CLUSTER level: the
+    incremental twin of the hamming-0 core of batch
+    `captions.caption_conflict_flags`. State key = phash (the exact-dup
+    cluster identity); state = (first non-null normalized caption seen,
+    flagged bit) — BOUNDED per cluster, so a 10^7-member boilerplate
+    mega-cluster costs the same state as a pair, where a pair-emitting
+    stream would hold members and emit C(g,2) rows. Emits ONE row per
+    cluster at the micro-batch where a disagreeing caption first
+    arrives, carrying both captions (the label-noise evidence a crawl
+    can route to curation mid-flight).
+
+    NULL/missing alt text never conflicts (matches the batch SQL
+    semantics: cap != NULL is never true) and cannot seed cap0.
+
+    Scope: hamming-0 clusters only — the cross-hash (hamming 1..k)
+    component needs the blocked candidate join over distinct hashes,
+    which is a batch shape; run it per checkpoint over the accumulated
+    cluster summaries instead. One-batch drain of a static directory
+    flags exactly the multi-caption clusters batch `caption_dedup`
+    reports with n_caps >= 2 (equivalence test pins this)."""
+    from webcollector_spark.operators.captions import caption_norm
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = rows.select("phash", caption_norm().alias("cap"))
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            cap0, conflicted = state.get[0], bool(state.get[1])
+        else:
+            cap0, conflicted = None, False
+        out = []
+        for pdf in pdfs:
+            for cap in pdf["cap"]:
+                if cap is None or (isinstance(cap, float) and pd.isna(cap)):
+                    continue
+                if cap0 is None:
+                    cap0 = cap
+                elif cap != cap0 and not conflicted:
+                    conflicted = True
+                    out.append(
+                        {"phash": key[0], "cap0": cap0, "cap_other": cap}
+                    )
+        state.update((cap0, conflicted))
+        yield pd.DataFrame(out, columns=["phash", "cap0", "cap_other"])
+
+    return keyed.groupBy("phash").applyInPandasWithState(
+        fn,
+        outputStructType=CAPTION_CONFLICT_OUT_SCHEMA,
+        stateStructType=CAPTION_CONFLICT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
