@@ -202,3 +202,24 @@ class TestExplodeBroadcastChecker:
             F.col("ph_a") < F.col("ph_b")
         )
         assert _explode_broadcasts(plan_of(hinted)) is False
+
+    def test_conflict_flags_plan_clean(self, spark):
+        """caption_conflict_flags is NOT in the registry (round-3
+        freeze), so PLANS.md never sees it — assert here that its plan
+        carries no broadcast-over-explode and no Python eval."""
+        from explain_plans import _explode_broadcasts
+
+        from webcollector_spark.operators.captions import (
+            caption_conflict_flags,
+        )
+
+        corpus = spark.range(500).select(
+            F.concat(F.lit("img"), F.col("id")).alias("image_id"),
+            F.xxhash64((F.col("id") / 4).cast("long")).alias("phash"),
+            F.concat(F.lit("cap "), (F.col("id") / 4).cast("long")).alias(
+                "caption"
+            ),
+        )
+        plan = plan_of(caption_conflict_flags(corpus))
+        assert _explode_broadcasts(plan) is False
+        assert "EvalPython" not in plan
