@@ -105,6 +105,7 @@ def test_multimodal_oracle_parquet_fresh():
     built = mod.build_all()
     assert set(built) == {
         "image_decode_verify",
+        "image_decode_verify_jpeg",
         "image_resize_meanpool",
         "phash_neardup",
         "video_frame_sample",

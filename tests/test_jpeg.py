@@ -1,0 +1,176 @@
+"""Tests for the pure-numpy baseline JPEG codec (webcollector_spark.jpeg)
+and its wiring into the decode operators.
+
+This is the real-compressed-bytes path that retires the QIMG stand-in
+as the only lossy codec (VERDICT r3 item 5): DCT + canonical Huffman +
+byte stuffing + restart markers, round-tripped at the bitstream level.
+Reference anchor: Page content bytes are real compressed payloads
+(model/Page.java:323-330); the PSNR>=40dB gate is the BASELINE.json
+input_hint invariant.
+"""
+
+import numpy as np
+import pytest
+
+from webcollector_spark import codecs, fixtures, jpeg
+from webcollector_spark.operators import images, media
+
+
+def _noise(w, h, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _gradient(w, h):
+    x = np.linspace(0, 255, w, dtype=np.float64)[None, :]
+    y = np.linspace(0, 255, h, dtype=np.float64)[:, None]
+    return np.stack([x + 0 * y, y + 0 * x, (x + y) / 2], axis=-1).astype(np.uint8)
+
+
+def test_roundtrip_noise_above_gate():
+    # full-range noise is the worst case for DCT quantization — the
+    # default quality must still clear the input_hint 40 dB gate
+    px = _noise(64, 48)
+    out = jpeg.decode_baseline(jpeg.encode_baseline(px))
+    assert out.shape == px.shape and out.dtype == np.uint8
+    assert codecs.psnr_db(px, out) >= 40.0
+
+
+def test_roundtrip_structured_much_higher():
+    px = _gradient(80, 56)
+    out = jpeg.decode_baseline(jpeg.encode_baseline(px))
+    assert codecs.psnr_db(px, out) >= 50.0
+
+
+def test_roundtrip_grayscale():
+    px = _noise(40, 32)[..., 0]
+    out = jpeg.decode_baseline(jpeg.encode_baseline(px))
+    assert out.shape == px.shape  # 1-component stream stays HxW
+    assert codecs.psnr_db(px, out) >= 40.0
+
+
+def test_odd_dimensions_pad_and_crop():
+    # non-multiple-of-8 edges exercise the pad (encode) / crop (decode)
+    # path; PSNR is measured on the unpadded region only
+    px = _noise(37, 29)
+    out = jpeg.decode_baseline(jpeg.encode_baseline(px))
+    assert out.shape == px.shape
+    assert codecs.psnr_db(px, out) >= 40.0
+
+
+def test_byte_stuffing_present_and_transparent():
+    # a busy image reliably produces 0xFF bytes in the entropy segment;
+    # they must be stuffed (FF 00) on the wire and stripped on decode
+    px = _noise(64, 64, seed=3)
+    data = jpeg.encode_baseline(px)
+    sos = data.index(b"\xff\xda")
+    assert b"\xff\x00" in data[sos:]  # stuffing actually occurred
+    assert codecs.psnr_db(px, jpeg.decode_baseline(data)) >= 40.0
+
+
+def test_restart_interval_bitstream_and_equality():
+    px = _noise(64, 48, seed=11)
+    plain = jpeg.encode_baseline(px, restart_interval=0)
+    rst = jpeg.encode_baseline(px, restart_interval=4)
+    assert b"\xff\xdd" in rst and b"\xff\xdd" not in plain  # DRI
+    assert any(bytes([0xFF, 0xD0 + i]) in rst for i in range(8))  # RSTn
+    # the DC-predictor resets must be bit-faithful: both streams decode
+    # to the identical pixel array (same quantized coefficients)
+    assert np.array_equal(jpeg.decode_baseline(plain), jpeg.decode_baseline(rst))
+
+
+def test_unsupported_streams_raise_not_garble():
+    px = _noise(24, 16)
+    data = bytearray(jpeg.encode_baseline(px))
+    # progressive: SOF0 (FFC0) -> SOF2 (FFC2)
+    prog = bytes(data).replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg.decode_baseline(prog)
+    # subsampled: patch the Y sampling byte inside SOF0
+    sof = bytes(data).index(b"\xff\xc0")
+    sub = bytearray(data)
+    sub[sof + 11] = 0x22  # component 1 sampling 1x1 -> 2x2
+    with pytest.raises(ValueError, match="subsampled"):
+        jpeg.decode_baseline(bytes(sub))
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_baseline(b"\x00\x01\x02")
+
+
+def test_decode_baseline_at_concatenated_frames():
+    # the MJPEG seam: frame boundaries come from marker structure, so
+    # back-to-back images decode at exact offsets
+    a, b = _noise(16, 16, seed=1), _noise(16, 16, seed=2)
+    ea, eb = jpeg.encode_baseline(a), jpeg.encode_baseline(b)
+    stream = ea + eb
+    fa, pos = jpeg.decode_baseline_at(stream, 0)
+    assert pos == len(ea)
+    fb, end = jpeg.decode_baseline_at(stream, pos)
+    assert end == len(stream)
+    assert codecs.psnr_db(a, fa) >= 40.0 and codecs.psnr_db(b, fb) >= 40.0
+    assert not np.array_equal(fa, fb)
+
+
+def test_codecs_dispatch_on_soi_magic():
+    px = _noise(32, 24, seed=5)
+    data = jpeg.encode_baseline(px)
+    assert data[:2] == b"\xff\xd8"
+    out = codecs.decode(data)  # codecs.decode dispatches on magic
+    assert codecs.psnr_db(px, out) >= 40.0
+
+
+def test_make_corpus_jpeg_invariants():
+    pdf = fixtures.make_corpus_jpeg(12)
+    assert set(pdf["fmt"]) == {"jpeg"}
+    dri = 0
+    for _, row in pdf.iterrows():
+        assert bytes(row["bytes"][:2]) == b"\xff\xd8"
+        px = codecs.decode(row["bytes"])
+        gt = fixtures.ground_truth_pixels(row["image_id"], row["w"], row["h"])
+        assert px.shape == gt.shape
+        assert codecs.psnr_db(gt, px) >= 40.0
+        assert codecs.phash64(px) == row["phash"]
+        dri += b"\xff\xdd" in bytes(row["bytes"])
+    assert dri > 0  # every third image carries a restart interval
+
+
+def test_jpeg_corpus_through_decode_verify(spark):
+    # the registry row's dataflow: real DCT+Huffman bytes through the
+    # Arrow-batched verify operator, every row passing both gates
+    out = images.decode_verify(images.corpus_jpeg_df(spark, n=24)).collect()
+    assert len(out) == 24
+    assert all(r["psnr_ok"] and r["phash_match"] for r in out)
+    assert all(r["fmt"] == "jpeg" for r in out)
+
+
+def test_mjpeg_video_through_sample_frames(spark):
+    # fmt='mjpeg' dispatch: concatenated baseline-JPEG frames through
+    # the same mapInPandas operator as the stub/ppm paths
+    rng = np.random.default_rng(21)
+    rows = []
+    metas = {}
+    for i in range(3):
+        vid = f"mjpg{i:04d}"
+        frames = [
+            rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+            for _ in range(8)
+        ]
+        data = media.encode_mjpeg_stream(frames)
+        metas[vid] = data
+        rows.append((vid, data, 8, 24.0, 16, 12, "mjpeg", f"caption of {vid}"))
+    vids = spark.createDataFrame(rows, schema=media.VIDEO_SCHEMA)
+    out = media.sample_frames(vids, every_n=4)
+    assert out.schema == media.FRAME_SCHEMA
+    got = out.collect()
+    assert {r["video_id"] for r in got} == set(metas)
+    for r in got:
+        decoded = dict(
+            media.decode_video_mjpeg(r["video_id"], metas[r["video_id"]], 8, 16, 12)
+        )
+        assert abs(r["frame_mean"] - float(decoded[r["frame_idx"]].mean())) < 1e-3
+
+
+def test_mjpeg_metadata_mismatch_raises():
+    frames = [np.zeros((12, 16, 3), dtype=np.uint8)]
+    data = media.encode_mjpeg_stream(frames)
+    with pytest.raises(ValueError, match="metadata"):
+        list(media.decode_video_mjpeg("v", data, 1, 8, 8))

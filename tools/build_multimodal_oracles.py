@@ -44,18 +44,22 @@ OUT_DIR = Path(__file__).resolve().parents[1] / "oracles"
 
 # Arrow schemas mirror the Spark output schemas (IntegerType -> int32,
 # LongType -> int64) so the driver compares like against like.
+_DECODE_VERIFY_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("psnr_db", pa.float64()),
+        ("psnr_ok", pa.bool_()),
+        ("phash_match", pa.bool_()),
+    ]
+)
+
 SCHEMAS = {
-    "image_decode_verify": pa.schema(
-        [
-            ("image_id", pa.string()),
-            ("w", pa.int32()),
-            ("h", pa.int32()),
-            ("fmt", pa.string()),
-            ("psnr_db", pa.float64()),
-            ("psnr_ok", pa.bool_()),
-            ("phash_match", pa.bool_()),
-        ]
-    ),
+    "image_decode_verify": _DECODE_VERIFY_SCHEMA,
+    # same verify shape over the REAL-baseline-JPEG corpus
+    "image_decode_verify_jpeg": _DECODE_VERIFY_SCHEMA,
     "image_resize_meanpool": pa.schema(
         [
             ("image_id", pa.string()),
@@ -304,6 +308,10 @@ def build_all() -> dict[str, pd.DataFrame]:
     noisy_meta = fixtures.corpus_with_caption_noise(200, 40).drop(columns=["bytes"])
     return {
         "image_decode_verify": build_image_decode_verify(corpus),
+        # real DCT+Huffman bytes through the same straight-line kernels
+        "image_decode_verify_jpeg": build_image_decode_verify(
+            fixtures.make_corpus_jpeg(120)
+        ),
         "image_resize_meanpool": build_image_resize_meanpool(corpus),
         "phash_neardup": build_phash_neardup(neardups),
         "video_frame_sample": build_video_frame_sample(vids, every_n=4),

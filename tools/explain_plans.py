@@ -55,8 +55,10 @@ CHECKS = {
     "decontaminate_ngram": ["BroadcastHashJoin", "!EvalPython"],
     "char_entropy": ["HashAggregate", "!EvalPython"],
     # LSH-bounded exact Jaccard: banded candidates, no quadratic stage,
-    # all JVM
-    "jaccard_lsh_verified": ["HashAggregate", "!EvalPython"],
+    # all JVM; exact verify is size(array_intersect()) over per-doc
+    # shingle arrays — the exploded shingle table feeds ONLY the
+    # signature aggregate, never a join (VERDICT r3 item 3)
+    "jaccard_lsh_verified": ["HashAggregate", "array_intersect", "!EvalPython"],
     "dup_rate_by_source": ["HashAggregate", "!EvalPython"],
     "unigram_logprob": ["HashAggregate", "!EvalPython"],
     # PQ/ADC: per-query LUT broadcast; corpus side is int code triples,
@@ -68,8 +70,9 @@ CHECKS = {
     # banded simhash: band join fans out on collisions only, no
     # quadratic stage, all JVM
     "simhash_neardup_banded": ["HashAggregate", "!EvalPython"],
-    # minhash estimator: signature groupBy + candidate-bounded joins
-    "minhash_jaccard_est": ["HashAggregate", "!EvalPython"],
+    # minhash estimator: signature groupBy + candidate-bounded joins;
+    # exact column shares the array_intersect verify form
+    "minhash_jaccard_est": ["HashAggregate", "array_intersect", "!EvalPython"],
     # HLL register fold: one partial-agg scan, pure JVM
     "hll_registers": ["HashAggregate", "!EvalPython"],
     "cm_registers": ["HashAggregate", "!EvalPython"],
@@ -87,6 +90,9 @@ CHECKS = {
     # minimal-intact-combo filter, so no post-join `.distinct()`
     # Exchange exists
     "caption_conflict": ["Join", "Aggregate", "!EvalPython"],
+    # the per-image flag consumer: same blocked candidate stage, flags
+    # propagate by joins on phash — never a pair-list output
+    "caption_conflict_flags": ["Join", "Aggregate", "!EvalPython"],
     "phash_neardup_blocked": ["Join", "Aggregate", "!EvalPython"],
     "caption_quality": ["!EvalPython"],
 }

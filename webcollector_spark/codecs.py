@@ -9,13 +9,14 @@ Two codecs:
 * **PNG** — a real, minimal, spec-conformant RGB8 PNG encoder/decoder
   (signature + IHDR + IDAT(zlib, filter 0) + IEND). Lossless: decode is
   bit-exact, PSNR = inf.
-* **QIMG** — a *deterministic stand-in for JPEG*: the container has no
-  libjpeg, so the lossy path is exercised by a clearly-marked fake codec
-  that quantizes each channel to steps of Q=4 (max abs error 2 =>
-  PSNR >= 10*log10(255^2/(Q^2/12)) ~ 46.9 dB, always above the 40 dB
-  gate) and zlib-compresses. Swap `encode_lossy`/`decode` for real
-  libjpeg bindings in production; every call site goes through this
-  module so the swap is one file.
+* **JPEG** — a real pure-numpy baseline JPEG encoder/decoder
+  (`webcollector_spark.jpeg`: DCT + canonical Huffman + byte stuffing
+  + restart intervals), dispatched on the 0xFFD8 magic — real
+  compressed bytes flow through the decode operators end to end.
+* **QIMG** — the original *deterministic stand-in for JPEG* (quantize
+  to steps of Q=4, max abs error 2 => PSNR ~46.9 dB, zlib): kept as
+  the fast lossy codec where tests pin its exact bytes; every call
+  site dispatches through this module, so swapping codecs is one file.
 
 Everything here is deterministic (no RNG) and vectorized (numpy), so it
 is safe inside Arrow-batched pandas UDFs.
@@ -104,12 +105,25 @@ def decode_qimg(data: bytes) -> np.ndarray:
     return np.minimum(arr.astype(np.uint16) * q + q // 2, 255).astype(np.uint8)
 
 
+def encode_jpeg(pixels: np.ndarray, quality: int = 98) -> bytes:
+    """REAL baseline JPEG bytes (DCT + Huffman, webcollector_spark.jpeg)
+    — the lossy path for real compressed payloads; QIMG remains only as
+    the labeled fast stand-in where tests pin its exact bytes."""
+    from webcollector_spark import jpeg
+
+    return jpeg.encode_baseline(pixels, quality)
+
+
 def decode(data: bytes) -> np.ndarray:
     """Dispatch on magic bytes."""
     if data[:8] == _PNG_SIG:
         return decode_png(data)
     if data[:4] == _QIMG_MAGIC:
         return decode_qimg(data)
+    if data[:2] == b"\xff\xd8":
+        from webcollector_spark import jpeg
+
+        return jpeg.decode_baseline(data)
     raise ValueError("unknown image container")
 
 

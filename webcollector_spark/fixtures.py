@@ -68,6 +68,43 @@ def make_corpus(
     return pd.DataFrame(rows)
 
 
+def make_corpus_jpeg(
+    n: int = 120, seed: int = SEED, sizes: tuple[int, ...] = (32, 64)
+) -> pd.DataFrame:
+    """input_hint-shaped corpus whose bytes are REAL baseline JPEG
+    (webcollector_spark.jpeg: DCT + canonical Huffman) — the fidelity
+    corpus behind the `image_decode_verify_jpeg` registry row. Every
+    third image carries a restart interval so the DRI/RSTn resync path
+    is exercised in-corpus, not just in unit tests. QIMG remains the
+    fast lossy codec for the crawl-throughput benches; this corpus is
+    where real compressed bytes flow through the decode operators."""
+    from webcollector_spark import jpeg
+
+    rng = np.random.default_rng(seed)
+    sizes = np.array(sizes)
+    rows = []
+    for i in range(n):
+        image_id = f"jpg{i:08d}"
+        w = int(sizes[rng.integers(0, len(sizes))])
+        h = int(sizes[rng.integers(0, len(sizes))])
+        pixels = ground_truth_pixels(image_id, w, h)
+        data = jpeg.encode_baseline(
+            pixels, quality=98, restart_interval=(0, 0, 4)[i % 3]
+        )
+        rows.append(
+            {
+                "image_id": image_id,
+                "bytes": data,
+                "w": w,
+                "h": h,
+                "fmt": "jpeg",
+                "caption": f"caption of {image_id}",
+                "phash": codecs.phash64(codecs.decode(data)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def make_site_graph(
     n_pages: int,
     n_hosts: int = 10,

@@ -94,6 +94,14 @@ def corpus_with_neardups(
     return spark.createDataFrame(both, schema=CORPUS_SCHEMA)
 
 
+def corpus_jpeg_df(spark: SparkSession, n: int = 120) -> DataFrame:
+    """REAL-baseline-JPEG corpus (fixtures.make_corpus_jpeg) — the
+    decode operators run against genuine DCT+Huffman compressed bytes
+    here, PSNR-gated at 40 dB per input_hint."""
+    pdf = fixtures.make_corpus_jpeg(n)
+    return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+
+
 def caption_corpus_df(
     spark: SparkSession, n: int = 200, dupes: int = 40
 ) -> DataFrame:

@@ -153,6 +153,37 @@ def decode_video_real(video_id: str, data: bytes, n_frames: int, w: int, h: int)
         yield i, raster.reshape(fh, fw, 3).copy()
 
 
+def encode_mjpeg_stream(frames: list[np.ndarray], quality: int = 98) -> bytes:
+    """Concatenated baseline-JPEG frames — the MJPEG wire shape (each
+    frame a complete SOI..EOI image, back to back). Fixture-side twin
+    of `decode_video_mjpeg`; REAL compression (DCT + Huffman), unlike
+    the zlib containers."""
+    from webcollector_spark import jpeg
+
+    return b"".join(jpeg.encode_baseline(f, quality) for f in frames)
+
+
+def decode_video_mjpeg(video_id: str, data: bytes, n_frames: int, w: int, h: int):
+    """REAL decoder for an MJPEG-style concatenated baseline-JPEG frame
+    stream (webcollector_spark.jpeg — DCT + canonical Huffman, parsed
+    from the bitstream, not assumed). Frame boundaries come from the
+    marker structure (`decode_baseline_at` returns the offset past each
+    EOI), never from searching for magic bytes — 0xFFD9 can legally
+    occur inside table payloads. Yields (frame_idx, HxWx3 uint8) and
+    cross-checks dimensions against the row's typed metadata."""
+    from webcollector_spark import jpeg
+
+    pos = 0
+    for i in range(n_frames):
+        frame, pos = jpeg.decode_baseline_at(data, pos)
+        fh, fw = frame.shape[:2]
+        if (fw, fh) != (w, h):
+            raise ValueError(
+                f"{video_id}: frame {i} is {fw}x{fh}, metadata says {w}x{h}"
+            )
+        yield i, frame
+
+
 def encode_wav(wave: np.ndarray, sample_rate: int) -> bytes:
     """float32 [-1,1] mono waveform -> RIFF/WAVE PCM16 bytes (the
     canonical 44-byte-header layout). Fixture-side twin of
@@ -205,7 +236,11 @@ def decode_audio_real(audio_id: str, data: bytes, n_samples: int) -> np.ndarray:
 # fmt -> decode kernel. Compressed formats (h264, vp9, mp3, opus...)
 # are the production swap: one registry entry with ffmpeg/librosa
 # bindings; nothing else in the dataflow changes.
-_VIDEO_CODECS = {"fakevid": _decode_video_stub, "ppm": decode_video_real}
+_VIDEO_CODECS = {
+    "fakevid": _decode_video_stub,
+    "ppm": decode_video_real,
+    "mjpeg": decode_video_mjpeg,
+}
 _AUDIO_CODECS = {"fakeaud": _decode_audio_stub, "wav": decode_audio_real}
 
 
