@@ -74,18 +74,23 @@ HEADLINE = [
     "caption_spam",
     "caption_conflict",
     "caption_quality",
+    "caption_conflict_flags",
     "phash_neardup_blocked",
+    "image_decode_verify_jpeg",
 ]
 
 
 def crawl_bench(
     spark, n_pages: int = 24000, depth: int = 3, n_seeds: int = 256
 ) -> dict:
-    """BFS crawl over the synthetic web; throughput = executed URLs/sec
-    (the BASELINE.json 'sustained fetch-schedule throughput' metric).
-    Sized so the fetch stage dominates per-round fixed overhead — a
-    single round schedules thousands of URLs, as it would at cluster
-    scale where one round covers millions of frontier rows."""
+    """BFS crawl SMOKE over the synthetic web — tracks regressions in
+    the round loop itself (generate -> fetch -> merge -> repeat), NOT
+    the throughput headline. At 24k pages the job finishes in 10-25 s,
+    which is stage-latency-bound: r03's three samples spanned 3.3x
+    (7.2/13.0/24.0 s) at 0.85% steal, so its URLs/sec is not a stable
+    metric (VERDICT r3 finding 3). The headline `urls_per_sec` now
+    comes from sustained_bench() below — the 300k-URL steady-state
+    round, which is stable +/-4% across rounds."""
     from webcollector_spark import fixtures
     from webcollector_spark.config import CrawlerConfig
     from webcollector_spark.crawler import RamCrawler
@@ -126,12 +131,49 @@ def crawl_bench(
     wall, metrics = samples[len(samples) // 2]
     executed = sum(m.generated for m in metrics)
     return {
-        "crawl_pages": n_pages,
-        "crawl_rounds": len(metrics),
-        "crawl_executed": executed,
-        "crawl_wall_sec": round(wall, 3),
-        "urls_per_sec": round(executed / wall, 2) if wall > 0 else 0.0,
-        "crawl_samples_sec": [round(s[0], 3) for s in samples],
+        "crawl_smoke_pages": n_pages,
+        "crawl_smoke_rounds": len(metrics),
+        "crawl_smoke_executed": executed,
+        "crawl_smoke_wall_sec": round(wall, 3),
+        "crawl_smoke_urls_per_sec": round(executed / wall, 2) if wall > 0 else 0.0,
+        "crawl_smoke_samples_sec": [round(s[0], 3) for s in samples],
+    }
+
+
+def sustained_bench(cpus: str) -> dict:
+    """The throughput HEADLINE: one steady-state 300k-URL crawl round
+    (salted per-host generate -> vectorized fetch+decode+phash+links ->
+    MERGE) via tools/scaling_bench.py --single, in its own
+    taskset-pinned JVM so the core budget is honest. This is the
+    BASELINE.json metric ('sustained fetch-schedule throughput'): at
+    10^10-frontier scale a round covers millions of URLs and per-round
+    fixed overhead vanishes; 300k is the smallest size where that
+    asymptotic regime is visible (BENCH.md par.1), measured stable
+    +/-4% across rounds vs the 3.3x spread of the 24k smoke."""
+    import shutil
+    import subprocess
+
+    script = str(Path(__file__).resolve().parent / "tools" / "scaling_bench.py")
+    cmd = [sys.executable, script, "--single", str(cpus)]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{int(cpus) - 1}"] + cmd
+    out = subprocess.run(
+        cmd,
+        capture_output=True,
+        text=True,
+        env=dict(os.environ, SPARK_GRAFT_CPUS=str(cpus)),
+        check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    r = json.loads(line)
+    return {
+        "sustained_n_urls": r["n_urls"],
+        "sustained_fetch_schedule_sec": r["fetch_schedule_sec"],
+        "sustained_round_sec": r["round_sec"],
+        # THE headline (BASELINE.json metric definition): generate+fetch
+        "urls_per_sec": r["fetch_urls_per_sec"],
+        # and the round including the MERGE commit
+        "round_urls_per_sec": r["round_urls_per_sec"],
     }
 
 
@@ -194,16 +236,22 @@ def main() -> None:
         )
 
     crawl = crawl_bench(spark)
-    print(f"# crawl: {crawl}", file=sys.stderr)
+    print(f"# crawl smoke: {crawl}", file=sys.stderr)
+    sustained = sustained_bench(cpus)
+    print(f"# sustained: {sustained}", file=sys.stderr)
 
     stat1 = _cpu_stat()
     out = {
         "metric": "headline_suite_plus_crawl",
-        "value": round(sum(times.values()) + crawl["crawl_wall_sec"], 3),
+        # value composition unchanged vs r01-r03 (suite + 24k-crawl
+        # wall) so the cross-round totals stay comparable; the
+        # sustained run's wall is reported separately, not added.
+        "value": round(sum(times.values()) + crawl["crawl_smoke_wall_sec"], 3),
         "unit": "sec",
         "queries": times,
         "sf": sf,
         **crawl,
+        **sustained,
         "cpus": int(cpus),
         # hypervisor steal during this run (% of all-core CPU time):
         # >~2-3% means the absolute timings above are burst-inflated;

@@ -35,6 +35,7 @@ import pyarrow.parquet as pq
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from webcollector_spark import codecs, fixtures  # noqa: E402
+from webcollector_spark.operators import media  # noqa: E402
 from webcollector_spark.operators.media import (  # noqa: E402
     _decode_audio_stub,
     _decode_video_stub,
@@ -85,6 +86,14 @@ SCHEMAS = {
         ]
     ),
     "audio_features": pa.schema(
+        [
+            ("audio_id", pa.string()),
+            ("duration_sec", pa.float64()),
+            ("rms", pa.float64()),
+            ("zero_crossings", pa.int64()),
+        ]
+    ),
+    "audio_features_adpcm": pa.schema(
         [
             ("audio_id", pa.string()),
             ("duration_sec", pa.float64()),
@@ -243,6 +252,52 @@ def build_audio_features(clips: list[dict]):
     return pd.DataFrame(rows)
 
 
+def build_audio_features_adpcm(clips: list[dict]):
+    """Features over IMA-ADPCM clips, decoded with the STDLIB's
+    independent DVI/IMA implementation (audioop.adpcm2lin) — unlike the
+    other oracles this one does NOT reuse the engine kernel, so it
+    checks the codec itself as well as the dataflow. audioop walks a
+    contiguous high-nibble-first stream from explicit (pred, index)
+    state; the WAV block layout is low-nibble-first with a per-block
+    state header, so swap nibbles and seed per block."""
+    import audioop  # deprecated in 3.11, removed 3.13; sandbox is 3.11
+    import struct
+
+    rows = []
+    for r in clips:
+        data = bytes(r["bytes"])
+        pos, block_align, body = 12, None, None
+        while pos + 8 <= len(data):
+            tag = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            payload = data[pos + 8 : pos + 8 + size]
+            if tag == b"fmt ":
+                block_align = struct.unpack("<HHIIHH", payload[:16])[4]
+            elif tag == b"data":
+                body = payload
+            pos += 8 + size + (size & 1)
+        pcm_parts = []
+        for off in range(0, len(body), block_align):
+            block = body[off : off + block_align]
+            pred, idx = struct.unpack("<hB", block[:3])
+            swapped = bytes(
+                ((b >> 4) | ((b & 0x0F) << 4)) for b in block[4:]
+            )
+            decoded, _ = audioop.adpcm2lin(swapped, 2, (pred, idx))
+            pcm_parts.append(struct.pack("<h", pred) + decoded)
+        pcm = np.frombuffer(b"".join(pcm_parts), dtype="<i2")[: r["n_samples"]]
+        wave = pcm.astype(np.float32) / 32767.0
+        rows.append(
+            {
+                "audio_id": r["audio_id"],
+                "duration_sec": round(r["n_samples"] / r["sample_rate"], 4),
+                "rms": round(float(np.sqrt(np.mean(wave**2))), 6),
+                "zero_crossings": int(np.sum(np.diff(np.sign(wave)) != 0)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def build_video_scene_cuts(frames: pd.DataFrame, threshold: float = 1.0):
     rows = []
     for _, grp in frames.groupby("video_id", sort=False):
@@ -316,6 +371,11 @@ def build_all() -> dict[str, pd.DataFrame]:
         "phash_neardup": build_phash_neardup(neardups),
         "video_frame_sample": build_video_frame_sample(vids, every_n=4),
         "audio_features": build_audio_features(auds),
+        # real compressed bytes, decoded by the stdlib's independent
+        # IMA implementation — codec-checking, not just dataflow
+        "audio_features_adpcm": build_audio_features_adpcm(
+            media.adpcm_corpus_rows(16)
+        ),
         "video_scene_cuts": build_video_scene_cuts(frames2, threshold=1.0),
         "caption_corpus_meta": noisy_meta,
     }

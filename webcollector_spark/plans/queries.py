@@ -1980,6 +1980,25 @@ def q_audio_features(spark, sf):
 
 
 @register(
+    "audio_features_adpcm",
+    _oracle_parquet(
+        "audio_features_adpcm", "audio_id, duration_sec, rms, zero_crossings"
+    ),
+)
+def q_audio_features_adpcm(spark, sf):
+    """Same feature dataflow over REAL compressed IMA-ADPCM bytes
+    (webcollector_spark.adpcm: 4-bit block-coded, vectorized across
+    blocks). The committed oracle decodes with the STDLIB's independent
+    DVI/IMA implementation (audioop), so this row checks the codec
+    bitstream itself, not just the mapInPandas plumbing. Reference
+    anchor: payloads are opaque bytes + typed metadata
+    (model/Page.java:323-330)."""
+    from webcollector_spark.operators import media
+
+    return media.audio_features(media.make_adpcm_audio_corpus(spark, 16))
+
+
+@register(
     "video_scene_cuts",
     _oracle_parquet("video_scene_cuts", "video_id, frame_idx, delta"),
 )
@@ -3169,6 +3188,7 @@ _SNAPSHOT_FIRST = [
     # round-4 registrations — need their first driver row
     "caption_conflict_flags",
     "image_decode_verify_jpeg",
+    "audio_features_adpcm",
     # caption curation (registered r3 after the snapshot freeze)
     "caption_dedup",
     "caption_spam",
