@@ -106,6 +106,8 @@ def test_multimodal_oracle_parquet_fresh():
     assert set(built) == {
         "image_decode_verify",
         "image_decode_verify_jpeg",
+        "image_decode_verify_gif",
+        "audio_features_adpcm",
         "image_resize_meanpool",
         "phash_neardup",
         "video_frame_sample",

@@ -61,6 +61,7 @@ SCHEMAS = {
     "image_decode_verify": _DECODE_VERIFY_SCHEMA,
     # same verify shape over the REAL-baseline-JPEG corpus
     "image_decode_verify_jpeg": _DECODE_VERIFY_SCHEMA,
+    "image_decode_verify_gif": _DECODE_VERIFY_SCHEMA,
     "image_resize_meanpool": pa.schema(
         [
             ("image_id", pa.string()),
@@ -366,6 +367,10 @@ def build_all() -> dict[str, pd.DataFrame]:
         # real DCT+Huffman bytes through the same straight-line kernels
         "image_decode_verify_jpeg": build_image_decode_verify(
             fixtures.make_corpus_jpeg(120)
+        ),
+        # real palette+LZW bytes; lossless on the posterized truth
+        "image_decode_verify_gif": build_image_decode_verify(
+            fixtures.make_corpus_gif(100)
         ),
         "image_resize_meanpool": build_image_resize_meanpool(corpus),
         "phash_neardup": build_phash_neardup(neardups),

@@ -124,6 +124,10 @@ def decode(data: bytes) -> np.ndarray:
         from webcollector_spark import jpeg
 
         return jpeg.decode_baseline(data)
+    if data[:4] == b"GIF8":
+        from webcollector_spark import gif
+
+        return gif.decode_gif87a(data)
     raise ValueError("unknown image container")
 
 

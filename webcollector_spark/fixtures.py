@@ -30,10 +30,16 @@ def _page_url(host_id: int, page_id: int) -> str:
 
 
 def ground_truth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
-    """Recompute the exact pixel array the generator encoded for this id."""
+    """Recompute the exact pixel array the generator encoded for this id.
+    `gif*` ids are posterized to 6 levels/channel (216 unique colors ≤
+    the GIF palette cap) so GIF round-trips losslessly — the invariant
+    for paletted input is bit-exactness, not the 40 dB lossy gate."""
     idx = int(image_id[3:])
     rng = np.random.default_rng(SEED * 1_000_003 + idx)
-    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    if image_id.startswith("gif"):
+        return (pixels // 51 * 51).astype(np.uint8)
+    return pixels
 
 
 def make_corpus(
@@ -98,6 +104,40 @@ def make_corpus_jpeg(
                 "w": w,
                 "h": h,
                 "fmt": "jpeg",
+                "caption": f"caption of {image_id}",
+                "phash": codecs.phash64(codecs.decode(data)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def make_corpus_gif(
+    n: int = 100, seed: int = SEED, sizes: tuple[int, ...] = (32, 64)
+) -> pd.DataFrame:
+    """input_hint-shaped corpus whose bytes are REAL GIF87a
+    (webcollector_spark.gif: palette + variable-width LZW) — the
+    fidelity corpus behind the `image_decode_verify_gif` registry row.
+    Ground truth is posterized to 216 colors, so GIF is LOSSLESS here:
+    the verify invariant is PSNR = inf and exact phash, stricter than
+    the lossy 40 dB gate."""
+    from webcollector_spark import gif
+
+    rng = np.random.default_rng(seed)
+    sizes = np.array(sizes)
+    rows = []
+    for i in range(n):
+        image_id = f"gif{i:08d}"
+        w = int(sizes[rng.integers(0, len(sizes))])
+        h = int(sizes[rng.integers(0, len(sizes))])
+        pixels = ground_truth_pixels(image_id, w, h)
+        data = gif.encode_gif87a(pixels)
+        rows.append(
+            {
+                "image_id": image_id,
+                "bytes": data,
+                "w": w,
+                "h": h,
+                "fmt": "gif",
                 "caption": f"caption of {image_id}",
                 "phash": codecs.phash64(codecs.decode(data)),
             }

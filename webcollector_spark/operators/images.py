@@ -102,6 +102,14 @@ def corpus_jpeg_df(spark: SparkSession, n: int = 120) -> DataFrame:
     return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
 
 
+def corpus_gif_df(spark: SparkSession, n: int = 100) -> DataFrame:
+    """REAL-GIF87a corpus (fixtures.make_corpus_gif) — palette+LZW
+    compressed bytes; posterized ground truth makes GIF lossless here,
+    so decode must be bit-exact (PSNR = inf)."""
+    pdf = fixtures.make_corpus_gif(n)
+    return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+
+
 def caption_corpus_df(
     spark: SparkSession, n: int = 200, dupes: int = 40
 ) -> DataFrame:

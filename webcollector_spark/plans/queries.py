@@ -1895,6 +1895,27 @@ def q_image_decode_verify_jpeg(spark, sf):
 
 
 @register(
+    "image_decode_verify_gif",
+    _oracle_parquet(
+        "image_decode_verify_gif",
+        "image_id, w, h, fmt, psnr_db, psnr_ok, phash_match",
+    ),
+)
+def q_image_decode_verify_gif(spark, sf):
+    """Same verify dataflow over REAL GIF87a bytes
+    (webcollector_spark.gif: palette + variable-width LZW, decoded from
+    the bitstream — KwKwK, width growth, 4096-CLEAR all exercised).
+    Ground truth is posterized to 216 colors so GIF is LOSSLESS here:
+    every row must decode bit-exact (psnr_db = 1e9 cap, psnr_ok, exact
+    phash). Third real compressed image bitstream after PNG's DEFLATE
+    and JPEG's DCT+Huffman. Reference anchor: payloads are opaque bytes
+    + typed metadata (model/Page.java:323-330)."""
+    from webcollector_spark.operators import images
+
+    return images.decode_verify(images.corpus_gif_df(spark))
+
+
+@register(
     "image_resize_meanpool",
     _oracle_parquet("image_resize_meanpool", "image_id, out_w, out_h, pixel_sum"),
 )
@@ -3189,6 +3210,7 @@ _SNAPSHOT_FIRST = [
     "caption_conflict_flags",
     "image_decode_verify_jpeg",
     "audio_features_adpcm",
+    "image_decode_verify_gif",
     # caption curation (registered r3 after the snapshot freeze)
     "caption_dedup",
     "caption_spam",
