@@ -77,6 +77,9 @@ HEADLINE = [
     "caption_conflict_flags",
     "phash_neardup_blocked",
     "image_decode_verify_jpeg",
+    "image_decode_verify_gif",
+    "audio_features_adpcm",
+    "semdedup_keepers",
 ]
 
 

@@ -74,3 +74,60 @@ def test_components_match_union_find(spark, edges):
     want_all = _union_find(15, edges)
     touched = {x for e in edges for x in e}
     assert got == {x: want_all[x] for x in touched}
+
+
+def test_semdedup_keepers_vs_numpy(spark):
+    """SemDeDup composition (cells -> within-cell cosine edges ->
+    components -> keeper) against a straight-line numpy + union-find
+    recompute on the real sf0.001 embeddings table — independent of the
+    DuckDB oracle, which exercises the same SQL both engines run."""
+    import numpy as np
+
+    from webcollector_spark.plans.queries import _SEMDEDUP_TAU, Q
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+
+    cents = V[ids < 8]
+    cent_ids = ids[ids < 8]
+    d2 = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    cell = cent_ids[np.argmin(d2, axis=1)]  # ties: lowest cid (argmin)
+
+    norm = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    n = len(ids)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if cell[i] == cell[j] and sims[i, j] >= _SEMDEDUP_TAU:
+                parent[find(j)] = find(i)
+    comp = {int(ids[i]): int(ids[min(
+        k for k in range(n) if find(k) == find(i)
+    )]) for i in range(n)}
+
+    got = {r["vec_id"]: r for r in Q["semdedup_keepers"](spark, sf).collect()}
+    assert set(got) == set(comp)
+    sizes = {}
+    for c in comp.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    n_edges = 0
+    for i, vid in enumerate(ids):
+        r = got[int(vid)]
+        assert r["cell"] == cell[i]
+        assert r["sem_cluster"] == comp[int(vid)]
+        assert r["sem_cluster_size"] == sizes[comp[int(vid)]]
+        assert r["is_keeper"] == (int(vid) == comp[int(vid)])
+    # the fixture threshold leaves a non-trivial edge set: some cluster
+    # must be larger than a singleton or the test proves nothing
+    assert max(sizes.values()) >= 2

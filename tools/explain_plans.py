@@ -67,6 +67,10 @@ CHECKS = {
     # IVFADC composition: probes + LUT broadcast, candidates bounded by
     # the probed cells, all JVM
     "ivfadc_ann_topk": ["BroadcastHashJoin", "!EvalPython"],
+    # SemDeDup: centroid assignment is a broadcast map stage; the
+    # within-cell self-join co-locates on cell id (never all-pairs
+    # across cells); components iterate JVM-side
+    "semdedup_keepers": ["BroadcastHashJoin", "!EvalPython"],
     # banded simhash: band join fans out on collisions only, no
     # quadratic stage, all JVM
     "simhash_neardup_banded": ["HashAggregate", "!EvalPython"],

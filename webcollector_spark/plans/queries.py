@@ -3195,6 +3195,127 @@ def q_caption_conflict_flags(spark, sf):
     return captions.caption_conflict_flags(_caption_corpus(spark), max_hamming=4)
 
 
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup over
+# the embedding column — k-means-style cells bound the pair search, a
+# cosine threshold inside each cell defines "semantic duplicate", and
+# connected components + a deterministic keeper give the per-vector
+# decision. Composition of two already-oracled patterns: the IVF
+# assignment (seeded centroids, identical float expression both
+# engines) and the recursive-CTE components fixpoint.
+# Scale shape: at 10^9 vectors the paper's recipe is K ∝ n (so cells
+# stay O(avg_size) and within-cell pairing is O(n · avg_size), never
+# all-pairs); K is a small fixture constant here only so the oracle is
+# exact. Cells co-locate via the equi-join shuffle on cell id; the
+# centroid table stays broadcast-sized by construction.
+_SEMDEDUP_TAU = 0.38  # cosine threshold; synthetic embeddings are
+# near-orthogonal (max pair 0.513 at sf0.01) so this is the analogue of
+# the paper's 0.95+ on real encoder outputs: deep enough in the tail to
+# leave a non-trivial edge set, far from any engine-rounding boundary.
+
+
+@register(
+    "semdedup_keepers",
+    f"""
+    WITH RECURSIVE cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id < 8),
+    vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    assign AS (
+      SELECT vec_id, cid, row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_dot_product(ve, ve)
+                        - 2 * list_dot_product(ve, ce)
+                        + list_dot_product(ce, ce) ASC, cid ASC
+             ) AS crk
+      FROM vecs CROSS JOIN cents),
+    cell_of AS (SELECT vec_id, cid AS cell FROM assign WHERE crk = 1),
+    pairs AS (
+      SELECT ca.vec_id AS ia, cb.vec_id AS ib
+      FROM cell_of ca JOIN cell_of cb
+        ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+      JOIN vecs a ON a.vec_id = ca.vec_id
+      JOIN vecs b ON b.vec_id = cb.vec_id
+      WHERE list_dot_product(a.ve, b.ve)
+            / (sqrt(list_dot_product(a.ve, a.ve))
+               * sqrt(list_dot_product(b.ve, b.ve))) >= {_SEMDEDUP_TAU}),
+    edges AS (SELECT ia AS a, ib AS b FROM pairs
+              UNION SELECT ib, ia FROM pairs),
+    reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+    comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+    labelled AS (
+      SELECT v.vec_id, coalesce(c.comp, v.vec_id) AS sem_cluster
+      FROM vecs v LEFT JOIN comp c ON v.vec_id = c.node),
+    sizes AS (SELECT sem_cluster, count(*) AS n
+              FROM labelled GROUP BY sem_cluster)
+    SELECT l.vec_id, co.cell, l.sem_cluster,
+           s.n AS sem_cluster_size,
+           l.vec_id = l.sem_cluster AS is_keeper
+    FROM labelled l JOIN sizes s USING (sem_cluster)
+                    JOIN cell_of co ON co.vec_id = l.vec_id
+    """,
+)
+def q_semdedup_keepers(spark, sf):
+    from webcollector_spark.operators.components import dedup_clusters
+
+    dot = _arr_dot
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").alias("ve")
+    )
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("ve").alias("ce")
+    )
+    # cell assignment: K broadcast distances per vector (pure map
+    # stage), squared L2 via the dot identity — the same expression the
+    # oracle evaluates, so both engines agree bit-for-bit
+    sqd = (
+        dot(F.col("ve"), F.col("ve"))
+        - 2 * dot(F.col("ve"), F.col("ce"))
+        + dot(F.col("ce"), F.col("ce"))
+    )
+    crk_w = Window.partitionBy("vec_id").orderBy(
+        F.col("sqd").asc(), F.col("cid").asc()
+    )
+    cell_of = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("sqd", sqd)
+        .withColumn("crk", F.row_number().over(crk_w))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", F.col("cid").alias("cell"), "ve")
+    )
+    # within-cell pairing: the equi-join on cell co-locates each cell's
+    # vectors on one reducer; never all-pairs across cells
+    a = cell_of.select(
+        F.col("cell"), F.col("vec_id").alias("ia"), F.col("ve").alias("va")
+    )
+    b = cell_of.select(
+        F.col("cell"), F.col("vec_id").alias("ib"), F.col("ve").alias("vb")
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va")))
+        * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    pairs = (
+        a.join(b, ["cell"])
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(cos >= _SEMDEDUP_TAU)
+        .select("ia", "ib")
+    )
+    clusters = dedup_clusters(
+        pairs, emb.select("vec_id"), id_col="vec_id", src="ia", dst="ib"
+    )
+    return clusters.join(cell_of.select("vec_id", "cell"), "vec_id").select(
+        "vec_id",
+        "cell",
+        F.col("cluster").alias("sem_cluster"),
+        F.col("cluster_size").alias("sem_cluster_size"),
+        "is_keeper",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot ordering. The driver's CORRECTNESS_r{N}.json snapshot
 # covers only the FIRST ~50 queries() entries (observed cap across
@@ -3211,6 +3332,7 @@ _SNAPSHOT_FIRST = [
     "image_decode_verify_jpeg",
     "audio_features_adpcm",
     "image_decode_verify_gif",
+    "semdedup_keepers",
     # caption curation (registered r3 after the snapshot freeze)
     "caption_dedup",
     "caption_spam",
