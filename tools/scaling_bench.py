@@ -45,6 +45,18 @@ CORES = tuple(
 )
 
 
+def _cpu_stat() -> tuple[int, int] | None:
+    """(total jiffies, steal jiffies) — same self-describing-noise trick
+    as bench.py: hypervisor steal is the dominant noise source here
+    (BENCH.md §4), and a scaling pair is only meaningful at matched
+    steal. None when unreadable (unknown must not read as 0%)."""
+    try:
+        vals = list(map(int, open("/proc/stat").readline().split()[1:]))
+        return sum(vals), vals[7]
+    except Exception:
+        return None
+
+
 def run_single(cores: int) -> None:
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
@@ -88,6 +100,7 @@ def run_single(cores: int) -> None:
     fetch_op(warm_gen, bc, cfg).agg(F.count("*")).collect()  # all partitions
 
     # --- timed: fetch-schedule (generate + fetch/decode) --------------
+    stat0 = _cpu_stat()
     t0 = time.monotonic()
     gen = generate_per_host(
         frontier, cfg.per_host_top_k, cfg.max_execute_count,
@@ -108,11 +121,20 @@ def run_single(cores: int) -> None:
     links = discovered_links(fetched)
     n_links = crawler.store.merge(fetched.select(*_CORE_COLS), links)
     t_round = time.monotonic() - t0
+    stat1 = _cpu_stat()
 
     print(
         json.dumps(
             {
                 "cores": cores,
+                # steal during THIS leg, % of all-core CPU time
+                "steal_pct_of_cpu": (
+                    round(
+                        100.0 * (stat1[1] - stat0[1]) / (stat1[0] - stat0[0]), 2
+                    )
+                    if stat0 and stat1 and stat1[0] > stat0[0]
+                    else None
+                ),
                 "n_urls": n_gen,
                 "n_failed": int(n_failed),
                 "n_links": n_links,
