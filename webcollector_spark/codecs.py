@@ -60,9 +60,57 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): nearest of left/up/up-left to
+    the linear estimate a+b-c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Invert PNG scanline filtering (all 5 types, bpp=3). Filters 0-2
+    vectorize (copy / per-lane cumsum / +prev row); 3-4 need the left
+    neighbor so they fall back to a per-byte walk — correct-first: our
+    own encoder emits filter 0 (the hot path stays vectorized), types
+    1-4 appear only in externally-produced PNGs."""
+    out = np.zeros((h, w * 3), dtype=np.uint8)
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:]
+        if ftype == 0:
+            rec = line.copy()
+        elif ftype == 1:  # Sub: cumsum per 3-byte lane, mod 256
+            rec = np.cumsum(
+                line.reshape(w, 3).astype(np.uint64), axis=0
+            ).astype(np.uint8).reshape(-1)
+        elif ftype == 2:  # Up
+            rec = line + prev
+        elif ftype in (3, 4):
+            rec = np.empty(w * 3, dtype=np.uint8)
+            for x in range(w * 3):
+                left = int(rec[x - 3]) if x >= 3 else 0
+                up = int(prev[x])
+                if ftype == 3:  # Average
+                    rec[x] = (int(line[x]) + ((left + up) >> 1)) & 0xFF
+                else:  # Paeth
+                    ul = int(prev[x - 3]) if x >= 3 else 0
+                    rec[x] = (int(line[x]) + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype} on row {y}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> RGB8 HxWx3. Supports what encode_png emits
-    (8-bit RGB, filter 0) — raises on anything else."""
+    """PNG bytes -> RGB8 HxWx3. 8-bit RGB (color type 2),
+    non-interlaced, all five scanline filter types — reads what
+    standard writers emit for truecolor images; other color types /
+    depths / interlace raise."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, w = 8, 0
@@ -74,18 +122,22 @@ def decode_png(data: bytes) -> np.ndarray:
         payload = data[pos + 8 : pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
-            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload[:13]
+            )
             if depth != 8 or ctype != 2:
                 raise ValueError("only 8-bit RGB PNGs supported")
+            if interlace:
+                raise NotImplementedError("interlaced PNG not supported")
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     raw = raw.reshape(h, 1 + w * 3)
-    if (raw[:, 0] != 0).any():
-        raise ValueError("only filter 0 supported")
-    return raw[:, 1:].reshape(h, w, 3).copy()
+    if (raw[:, 0] == 0).all():  # our encoder's shape: fully vectorized
+        return raw[:, 1:].reshape(h, w, 3).copy()
+    return _unfilter(raw, h, w).reshape(h, w, 3)
 
 
 def encode_lossy(pixels: np.ndarray) -> bytes:
