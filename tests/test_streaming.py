@@ -264,3 +264,96 @@ def test_streaming_caption_conflict_cross_batch_once(spark):
         assert rows[0]["cap_other"] in ("a dog", "a bird")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_caption_crosshash_matches_batch_flags(spark):
+    """One-batch drain of the noisy caption corpus through the
+    foreachBatch cross-hash pipeline must flag exactly the clusters the
+    batch `caption_conflict_flags` operator flags (distinct phash of
+    conflicted=True images) — the FULL hamming 0..4 radius, strictly
+    more than the hamming-0 stream covers on this corpus."""
+    from pyspark.sql import functions as F
+
+    from webcollector_spark.operators import captions, images
+
+    corpus = images.caption_corpus_df(spark, 120, 24)
+    d = tempfile.mkdtemp(prefix="wc_xh_")
+    try:
+        corpus.select("image_id", "phash", "caption").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/in")
+        q = P.caption_conflict_crosshash_stream(
+            P.read_caption_stream(spark, f"{d}/in"), f"{d}/work"
+        )
+        q.awaitTermination()
+        got = {
+            r["phash"]
+            for r in spark.read.schema(P.CROSSHASH_FLAGS_SCHEMA)
+            .parquet(f"{d}/work/flags")
+            .collect()
+        }
+        want = {
+            r["phash"]
+            for r in captions.caption_conflict_flags(corpus)
+            .filter("conflicted")
+            .join(
+                corpus.select("image_id", "phash"), "image_id"
+            )
+            .select("phash")
+            .distinct()
+            .collect()
+        }
+        assert got == want and len(want) >= 1
+        # strictly wider than the hamming-0 core: some flagged cluster
+        # is unanimous internally and conflicts only with a neighbor
+        h0 = {
+            r["phash"]
+            for r in corpus.select(
+                "phash", captions.caption_norm().alias("cap")
+            )
+            .filter(F.col("cap").isNotNull())
+            .groupBy("phash")
+            .agg(F.countDistinct("cap").alias("n_caps"))
+            .filter(F.col("n_caps") >= 2)
+            .collect()
+        }
+        assert h0 < got
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_caption_crosshash_cross_batch_hamming2(spark):
+    """A cluster unanimous in batch 1 must flag at the micro-batch
+    where a hamming-2 neighbor with a DISAGREEING caption arrives —
+    both clusters, exactly once, carrying that batch's id. An adjacent
+    all-NULL-caption cluster never flags (nothing to mislabel)."""
+    P_HASH, Q_HASH, R_HASH = 80, 80 ^ 0b11, 80 ^ 0b1  # ham(P,Q)=2, ham(P,R)=1
+    rows_b1 = [("a", P_HASH, "a cat"), ("b", P_HASH, "a cat"), ("n", R_HASH, None)]
+    rows_b2 = [("c", Q_HASH, "a dog")]
+    d = tempfile.mkdtemp(prefix="wc_xh2_")
+    try:
+        for batch in (rows_b1, rows_b2):
+            spark.createDataFrame(batch, P.CAPTION_META_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(f"{d}/in")
+        q = P.caption_conflict_crosshash_stream(
+            P.read_caption_stream(spark, f"{d}/in", max_files_per_trigger=1),
+            f"{d}/work",
+            max_hamming=2,
+        )
+        q.awaitTermination()
+        flags = {
+            r["phash"]: r["batch_id"]
+            for r in spark.read.schema(P.CROSSHASH_FLAGS_SCHEMA)
+            .parquet(f"{d}/work/flags")
+            .collect()
+        }
+        assert flags == {P_HASH: 1, Q_HASH: 1}
+        n_rows = (
+            spark.read.schema(P.CROSSHASH_FLAGS_SCHEMA)
+            .parquet(f"{d}/work/flags")
+            .count()
+        )
+        assert n_rows == 2  # exactly once, no dupes across batches
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

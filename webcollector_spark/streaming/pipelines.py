@@ -384,3 +384,215 @@ def caption_conflict_stream(rows: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-hash streaming caption conflict (hamming 1..k) — foreachBatch
+# ---------------------------------------------------------------------------
+
+CROSSHASH_SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("phash", T.LongType()),
+        T.StructField("multi", T.BooleanType()),
+        T.StructField("cap0", T.StringType()),
+    ]
+)
+CROSSHASH_FLAGS_SCHEMA = T.StructType(
+    [
+        T.StructField("phash", T.LongType()),
+        T.StructField("batch_id", T.LongType()),
+    ]
+)
+
+
+def _read_parquet_or_empty(spark, path, schema):
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
+def caption_conflict_crosshash_stream(
+    rows: DataFrame,
+    work_dir: str,
+    max_hamming: int = 4,
+    query_name: str = "caption_conflict_crosshash",
+):
+    """Full-radius streaming caption-conflict detector: the incremental
+    twin of batch `captions.caption_conflict_flags` at the CLUSTER
+    level, covering hamming 0..max_hamming — not just the hamming-0
+    core that `caption_conflict_stream` handles with per-key state.
+
+    Shape: the cross-hash component is a JOIN across state keys
+    (cluster A's flag depends on neighbor cluster B's captions), which
+    `applyInPandasWithState` cannot express — state there is strictly
+    per-key. So this runs as a `foreachBatch` step over ACCUMULATED
+    per-cluster summaries, exactly as the batch docstring prescribes:
+
+    * per micro-batch, fold the batch into a persistent per-cluster
+      summary store (`{work_dir}/summary/v{batch}` + CURRENT pointer):
+      one row per distinct phash with a SATURATING distinct-caption
+      bit (`multi` — past 2 the exact count stops mattering) and
+      cap0 = min non-null normalized caption. Bounded state: O(distinct
+      hashes), never O(images), the same reason the batch flag operator
+      survives a Zipfian corpus.
+    * run the blocked candidate stage (images._block_combo_keys —
+      Manku block-combination keys, pigeonhole-complete at
+      hamming <= k) INCREMENTALLY: only hashes touched this batch key
+      the probe side; the full store keys the build side with the same
+      `shuffle_hash` hint as batch (the explode-then-broadcast planner
+      trap applies here identically). New flags can only involve a
+      touched cluster or its neighbors, and both appear in the
+      touched x all candidate set, so per-batch join work is
+      O(touched x C(m, m-k)) probe fan-out.
+    * conflict flags are MONOTONE (captions only accumulate; a
+      conflicting pair never un-conflicts), so newly-flagged clusters
+      are appended once to `{work_dir}/flags` (anti-join against the
+      already-emitted set) with the batch id where the evidence first
+      completed — the mid-flight signal a crawl routes to curation.
+
+    All-NULL-caption clusters are never flagged (no captioned member
+    exists to be conflicted — matches the batch per-image
+    `cap IS NOT NULL` mask at cluster granularity).
+
+    At production scale the summary store and flag log live in a table
+    format with MERGE (store.py's LSM / Iceberg seam); the versioned
+    parquet + pointer here is the same last-wins contract with only
+    stdlib dependencies. The build-side key table is recomputed per
+    batch — a deployment would persist it bucketed by (combo, bkey)
+    and append only touched hashes' keys.
+
+    Returns the STARTED StreamingQuery (availableNow trigger drains the
+    backlog in maxFilesPerTrigger-sized micro-batches, then stops);
+    flags accumulate at `{work_dir}/flags` as (phash, batch_id).
+    """
+    import os
+
+    from webcollector_spark.operators.captions import caption_norm
+    from webcollector_spark.operators.images import (
+        _block_combo_keys,
+        _min_intact_combo,
+    )
+
+    m = 8
+    t = m - max_hamming
+    summary_root = os.path.join(work_dir, "summary")
+    pointer = os.path.join(summary_root, "CURRENT")
+    flags_dir = os.path.join(work_dir, "flags")
+    os.makedirs(summary_root, exist_ok=True)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bsum = (
+            batch_df.select("phash", caption_norm("caption").alias("cap"))
+            .groupBy("phash")
+            .agg(
+                (F.countDistinct("cap") >= 2).alias("multi"),
+                F.min("cap").alias("cap0"),
+            )
+        )
+        touched = bsum.select("phash")
+        if os.path.exists(pointer):
+            with open(pointer) as fh:
+                cur = spark.read.schema(CROSSHASH_SUMMARY_SCHEMA).parquet(
+                    os.path.join(summary_root, fh.read().strip())
+                )
+            # saturating merge: multi sticks; two unanimous sides with
+            # different non-null captions become multi (countDistinct
+            # ignores NULLs, so an all-NULL side never manufactures a
+            # second caption)
+            merged = (
+                cur.unionByName(bsum)
+                .groupBy("phash")
+                .agg(
+                    (
+                        F.max(F.col("multi").cast("int")).cast("boolean")
+                        | (F.countDistinct("cap0") >= 2)
+                    ).alias("multi"),
+                    F.min("cap0").alias("cap0"),
+                )
+            )
+        else:
+            merged = bsum
+        vdir = f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(summary_root, vdir)
+        )
+        merged = spark.read.schema(CROSSHASH_SUMMARY_SCHEMA).parquet(
+            os.path.join(summary_root, vdir)
+        )
+
+        # incremental blocked candidate stage: touched (probe) x all
+        probe = _block_combo_keys(
+            merged.join(touched, "phash", "left_semi").select(
+                F.col("phash").alias("ph")
+            ),
+            "_a", "ph_c", max_hamming, m, "ph", "ph",
+        ).drop("_a")
+        build = _block_combo_keys(
+            merged.select(F.col("phash").alias("ph")),
+            "_b", "ph_o", max_hamming, m, "ph", "ph",
+        ).drop("_b")
+        xor = F.col("ph_c").bitwiseXOR(F.col("ph_o"))
+        cand = (
+            probe.hint("shuffle_hash")
+            .join(build, ["combo", "bkey"])
+            .filter(F.col("ph_c") != F.col("ph_o"))
+            .filter(F.bit_count(xor) <= max_hamming)
+            .filter(F.col("combo") == _min_intact_combo(xor, m, t))
+            .select("ph_c", "ph_o")
+            .join(
+                merged.select(
+                    F.col("phash").alias("ph_c"),
+                    F.col("multi").alias("multi_c"),
+                    F.col("cap0").alias("cap0_c"),
+                ),
+                "ph_c",
+            )
+            .join(
+                merged.select(
+                    F.col("phash").alias("ph_o"),
+                    F.col("multi").alias("multi_o"),
+                    F.col("cap0").alias("cap0_o"),
+                ),
+                "ph_o",
+            )
+        )
+        differ = F.col("cap0_c") != F.col("cap0_o")  # NULL-false
+        nbr_flag = (
+            cand.filter(F.col("multi_o") | differ)
+            .select(F.col("ph_c").alias("phash"))
+            .unionAll(
+                cand.filter(F.col("multi_c") | differ).select(
+                    F.col("ph_o").alias("phash")
+                )
+            )
+        )
+        self_flag = (
+            merged.join(touched, "phash", "left_semi")
+            .filter("multi")
+            .select("phash")
+        )
+        flagged_now = (
+            self_flag.unionAll(nbr_flag)
+            .distinct()
+            # a cluster with no captioned member has nothing to mislabel
+            .join(merged.filter(F.col("cap0").isNotNull()), "phash", "left_semi")
+        )
+        emitted = _read_parquet_or_empty(
+            spark, flags_dir, CROSSHASH_FLAGS_SCHEMA
+        ).select("phash")
+        new_flags = flagged_now.join(emitted, "phash", "left_anti").select(
+            "phash", F.lit(batch_id).cast("long").alias("batch_id")
+        )
+        new_flags.write.mode("append").parquet(flags_dir)
+        with open(pointer, "w") as fh:
+            fh.write(vdir)
+
+    return (
+        rows.writeStream.foreachBatch(_process)
+        .queryName(query_name)
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
