@@ -114,6 +114,9 @@ def test_multimodal_oracle_parquet_fresh():
         "audio_features",
         "video_scene_cuts",
         "caption_corpus_meta",
+        "image_meta_sniff",
+        "dhash_neardup",
+        "image_channel_partials",
     }
     for name, pdf in built.items():
         fresh = pa.Table.from_pandas(

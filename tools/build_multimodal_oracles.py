@@ -109,6 +109,34 @@ SCHEMAS = {
             ("delta", pa.float64()),
         ]
     ),
+    "image_meta_sniff": pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("n_bytes", pa.int64()),
+            ("fmt_sniffed", pa.string()),
+            ("w_sniffed", pa.int32()),
+            ("h_sniffed", pa.int32()),
+            ("header_ok", pa.bool_()),
+        ]
+    ),
+    "dhash_neardup": pa.schema(
+        [
+            ("img_a", pa.string()),
+            ("img_b", pa.string()),
+            ("hamming", pa.int32()),
+        ]
+    ),
+    # per-image integer moment partials; the channel-stats oracle is a
+    # DuckDB AGGREGATE over this table (recompute, not stored answers)
+    "image_channel_partials": pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("channel", pa.string()),
+            ("n_px", pa.int64()),
+            ("s", pa.int64()),
+            ("ss", pa.int64()),
+        ]
+    ),
     # NOT a precomputed output: the noisy caption corpus' metadata
     # (everything but bytes). The caption-curation oracles are real SQL
     # that DuckDB RECOMPUTES over this table — a stronger check than
@@ -210,6 +238,73 @@ def build_phash_neardup(pdf: pd.DataFrame, max_hamming: int = 12):
             a, b = ids[i], ids[j]
             if a < b:
                 rows.append({"img_a": a, "img_b": b, "hamming": int(ham[j])})
+    return pd.DataFrame(rows)
+
+
+_FMT_COMPAT = {("jpeg", "qimg")}
+
+
+def build_image_meta_sniff(pdf: pd.DataFrame, prefix: int = 4096):
+    """Straight-line restatement of operators.sniff.sniff_meta — header
+    bytes only, same prefix slice the Spark side takes JVM-side."""
+    rows = []
+    for r in pdf.to_dict("records"):
+        data = bytes(r["bytes"])
+        fmt, w, h = codecs.sniff_header(data[:prefix])
+        fmt_ok = fmt == r["fmt"] or (r["fmt"], fmt) in _FMT_COMPAT
+        rows.append(
+            {
+                "image_id": r["image_id"],
+                "n_bytes": len(data),
+                "fmt_sniffed": fmt,
+                "w_sniffed": w,
+                "h_sniffed": h,
+                "header_ok": bool(fmt_ok and w == r["w"] and h == r["h"]),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def build_dhash_neardup(pdf: pd.DataFrame, max_hamming: int = 4):
+    """Brute-force hamming-ball pairs over the DIFFERENCE hash
+    (codecs.dhash64 recomputed from decoded pixels) — oracle for the
+    blocked dhash path, which must equal this set by pigeonhole."""
+    ids = pdf["image_id"].to_numpy()
+    dh = np.array(
+        [
+            np.uint64(codecs.dhash64(codecs.decode(bytes(r["bytes"]))) & ((1 << 64) - 1))
+            for r in pdf.to_dict("records")
+        ],
+        dtype=np.uint64,
+    )
+    rows = []
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] >= ids[j]:
+                continue
+            ham = bin(int(dh[i] ^ dh[j])).count("1")
+            if ham <= max_hamming:
+                rows.append({"img_a": ids[i], "img_b": ids[j], "hamming": ham})
+    return pd.DataFrame(rows)
+
+
+def build_image_channel_partials(pdf: pd.DataFrame):
+    """Mirror of operators.images.channel_partials, Spark-free."""
+    rows = []
+    for r in pdf.to_dict("records"):
+        px = codecs.decode(bytes(r["bytes"])).astype(np.int64)
+        n = px.shape[0] * px.shape[1]
+        for ci, ch in enumerate("rgb"):
+            lane = px[:, :, ci]
+            rows.append(
+                {
+                    "image_id": r["image_id"],
+                    "channel": ch,
+                    "n_px": int(n),
+                    "s": int(lane.sum()),
+                    "ss": int((lane * lane).sum()),
+                }
+            )
     return pd.DataFrame(rows)
 
 
@@ -383,6 +478,15 @@ def build_all() -> dict[str, pd.DataFrame]:
         ),
         "video_scene_cuts": build_video_scene_cuts(frames2, threshold=1.0),
         "caption_corpus_meta": noisy_meta,
+        # header-only triage over all four container formats
+        "image_meta_sniff": build_image_meta_sniff(
+            pd.concat(
+                [corpus, fixtures.make_corpus_jpeg(120), fixtures.make_corpus_gif(100)],
+                ignore_index=True,
+            )
+        ),
+        "dhash_neardup": build_dhash_neardup(neardups),
+        "image_channel_partials": build_image_channel_partials(corpus),
     }
 
 

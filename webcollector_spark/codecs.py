@@ -183,6 +183,102 @@ def decode(data: bytes) -> np.ndarray:
     raise ValueError("unknown image container")
 
 
+def sniff_header(data: bytes) -> tuple[str, int | None, int | None]:
+    """Container format + dimensions from HEADER BYTES ONLY — no pixel
+    decode, no decompression. Returns (fmt, w, h); fmt "unknown" and
+    None dims when no container matches or the header is truncated.
+
+    This is the 10^9-image scale move: a curation pipeline filters by
+    format/size/aspect BEFORE paying for decode, and the whole decision
+    reads a few dozen bytes per row (JPEG worst-case: a marker walk to
+    the first SOF). All parsers below accept a PREFIX of the payload —
+    callers slice the binary column JVM-side so only ~4 KB per row ever
+    crosses the Arrow boundary.
+
+    Containers: PNG (IHDR), baseline JPEG (marker walk to SOFn), GIF87a/
+    89a (logical screen descriptor), QIMG (the repo's labeled fast lossy
+    stand-in), PPM P6 (ascii header).
+    """
+    if data[:8] == _PNG_SIG and len(data) >= 24 and data[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", data[16:24])
+        return "png", int(w), int(h)
+    if data[:4] == _QIMG_MAGIC and len(data) >= 12:
+        w, h = struct.unpack(">II", data[4:12])
+        return "qimg", int(w), int(h)
+    if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+        w, h = struct.unpack("<HH", data[6:10])
+        return "gif", int(w), int(h)
+    if data[:2] == b"\xff\xd8":
+        # marker walk: skip fill bytes and non-SOF segments until a
+        # start-of-frame carries the dimensions (ITU T.81 B.2.2)
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                break
+            while pos < len(data) and data[pos] == 0xFF:
+                pos += 1  # fill bytes
+            if pos >= len(data):
+                break
+            marker = data[pos]
+            pos += 1
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue  # standalone markers, no length field
+            if pos + 2 > len(data):
+                break
+            (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+            is_sof = 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC)
+            if is_sof and pos + 7 <= len(data):
+                h, w = struct.unpack(">HH", data[pos + 3 : pos + 7])
+                return "jpeg", int(w), int(h)
+            if marker == 0xDA:  # SOS: entropy data follows, SOF was missed
+                break
+            pos += seglen
+        return "jpeg", None, None
+    if data[:2] == b"P6":
+        # ascii header: "P6" <ws> width <ws> height <ws> maxval
+        fields: list[int] = []
+        pos, cur = 2, ""
+        while pos < len(data) and len(fields) < 2:
+            ch = chr(data[pos])
+            if ch == "#":  # comment to end of line
+                while pos < len(data) and data[pos] != 0x0A:
+                    pos += 1
+            elif ch.isdigit():
+                cur += ch
+            elif ch.isspace():
+                if cur:
+                    fields.append(int(cur))
+                    cur = ""
+            else:
+                return "ppm", None, None
+            pos += 1
+        if len(fields) == 2:
+            return "ppm", fields[0], fields[1]
+        return "ppm", None, None
+    return "unknown", None, None
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash (gradient hash): grayscale -> 8x9
+    mean-pooling -> bit per cell where the right neighbor is brighter.
+    Captures local gradient structure where `phash64`'s average hash
+    captures global brightness layout — the two make INDEPENDENT
+    mistakes, so running both through the same blocked hamming-ball
+    machinery (operators/images.py) cuts near-dup false negatives the
+    way an ensemble of LSH families does. Deterministic, vectorized."""
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    th, tw = (h // 8) * 8, (w // 9) * 9
+    if th == 0 or tw == 0:
+        return 0
+    g = gray[:th, :tw].reshape(8, th // 8, 9, tw // 9).mean(axis=(1, 3))
+    bits = (g[:, 1:] > g[:, :-1]).flatten()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB; inf when identical."""
     diff = a.astype(np.float64) - b.astype(np.float64)

@@ -125,6 +125,50 @@ def caption_quality(corpus: DataFrame, min_tokens: int = 3, min_chars: int = 12)
     )
 
 
+def imagetext_filter(
+    corpus: DataFrame,
+    min_edge: int = 64,
+    max_aspect: int = 2,
+    min_tokens: int = 2,
+    min_chars: int = 8,
+) -> DataFrame:
+    """LAION/DataComp-style image+text curation gate — the composite
+    keep/drop rule a multimodal training pipeline applies to every
+    crawled pair before any expensive stage (decode, embedding, dedup):
+
+    * size_ok    — both edges >= min_edge (thumbnails/spacers out);
+    * aspect_ok  — max(w,h) <= max_aspect * min(w,h), kept as an
+      INTEGER comparison so there is no float division to diverge on;
+    * caption_ok — alt text present, and the normalized caption has
+      >= min_tokens tokens and >= min_chars characters;
+    * keep       — all three.
+
+    Pure whole-stage-codegen expressions over the metadata columns —
+    no decode, no Python, no shuffle; composed with `sniff_meta`
+    (operators/sniff.py) this prices the keep/drop decision at a
+    header read per row. Per-rule booleans are emitted alongside
+    `keep` so drop-reason accounting (what fraction died to size vs
+    caption?) is one groupBy away, which is how curation budgets are
+    actually tuned."""
+    size_ok = (F.col("w") >= min_edge) & (F.col("h") >= min_edge)
+    aspect_ok = F.greatest("w", "h") <= F.least("w", "h") * F.lit(max_aspect)
+    norm = caption_norm()
+    n_chars = F.length(norm)
+    n_tokens = F.when(n_chars == 0, F.lit(0)).otherwise(F.size(F.split(norm, " ")))
+    caption_ok = (
+        F.col("caption").isNotNull()
+        & (n_tokens >= min_tokens)
+        & (n_chars >= min_chars)
+    )
+    return corpus.select(
+        "image_id",
+        size_ok.alias("size_ok"),
+        aspect_ok.alias("aspect_ok"),
+        caption_ok.alias("caption_ok"),
+        (size_ok & aspect_ok & caption_ok).alias("keep"),
+    )
+
+
 def caption_conflict_flags(corpus: DataFrame, max_hamming: int = 4) -> DataFrame:
     """Per-image label-noise FLAG — the O(n) consumer of the near-dup
     structure that `caption_conflict`'s pair list cannot be at web

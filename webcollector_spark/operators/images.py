@@ -110,6 +110,18 @@ def corpus_gif_df(spark: SparkSession, n: int = 100) -> DataFrame:
     return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
 
 
+def corpus_mixed_df(spark: SparkSession) -> DataFrame:
+    """All four container formats in one table (PNG + QIMG from the
+    base corpus, real baseline JPEG, real GIF87a) — the input for the
+    header-sniff triage operators, which must dispatch on payload magic
+    rather than trust any declared format column."""
+    return (
+        corpus_df(spark, 200)
+        .unionByName(corpus_jpeg_df(spark, 120))
+        .unionByName(corpus_gif_df(spark, 100))
+    )
+
+
 def caption_corpus_df(
     spark: SparkSession, n: int = 200, dupes: int = 40
 ) -> DataFrame:
@@ -180,6 +192,114 @@ def resize_meanpool(corpus: DataFrame, out: int = 16) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA])
 
     return corpus.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+CHANNEL_PARTIALS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("channel", T.StringType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("s", T.LongType()),
+        T.StructField("ss", T.LongType()),
+    ]
+)
+
+
+def channel_partials(corpus: DataFrame) -> DataFrame:
+    """Per-image, per-channel (count, sum, sum-of-squares) moment
+    partials — exact int64, computed in the decode map stage. This is
+    the map-side half of dataset normalization statistics; keeping the
+    partials integer means the global reduce is EXACT regardless of how
+    many partitions contribute, unlike folding floating means."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                px = codecs.decode(bytes(r["bytes"])).astype(np.int64)
+                n = px.shape[0] * px.shape[1]
+                for ci, ch in enumerate("rgb"):
+                    lane = px[:, :, ci]
+                    rows.append(
+                        {
+                            "image_id": r["image_id"],
+                            "channel": ch,
+                            "n_px": int(n),
+                            "s": int(lane.sum()),
+                            "ss": int((lane * lane).sum()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in CHANNEL_PARTIALS_SCHEMA]
+            )
+
+    return corpus.mapInPandas(run, schema=CHANNEL_PARTIALS_SCHEMA)
+
+
+def channel_stats(corpus: DataFrame) -> DataFrame:
+    """Dataset per-channel mean/std — the normalization constants every
+    vision training run burns a full data pass to compute. Decode map
+    stage -> integer partials -> ONE hash-aggregate (3 groups); the
+    only floating-point ops are the final per-group divisions, so the
+    result is independent of partitioning and bit-reproducible."""
+    agg = (
+        channel_partials(corpus)
+        .groupBy("channel")
+        .agg(
+            F.sum("n_px").alias("n_px"),
+            F.sum("s").alias("s"),
+            F.sum("ss").alias("ss"),
+        )
+    )
+    n = F.col("n_px").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = F.col("ss").cast("double") / n - mean * mean
+    return agg.select(
+        "channel",
+        "n_px",
+        (F.round(mean, 6) + F.lit(0.0)).alias("mean"),
+        (F.round(F.sqrt(var), 6) + F.lit(0.0)).alias("std"),
+    )
+
+
+def with_dhash(corpus: DataFrame) -> DataFrame:
+    """(image_id, dhash) via decode in the Arrow map stage — the
+    gradient-structure twin of the corpus' precomputed average-hash
+    `phash` column (codecs.dhash64: independent mistake profile)."""
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    {
+                        "image_id": r["image_id"],
+                        "dhash": codecs.dhash64(codecs.decode(bytes(r["bytes"]))),
+                    }
+                    for r in pdf.to_dict("records")
+                ],
+                columns=["image_id", "dhash"],
+            )
+
+    return corpus.mapInPandas(run, schema=schema)
+
+
+def dhash_neardup_blocked(corpus: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Hamming-ball near-dup over the DIFFERENCE hash, running through
+    the exact same block-combination machinery as the phash path — the
+    blocking layer is hash-agnostic by construction (it sees only a
+    64-bit column), so adding a second LSH family costs one map stage
+    and zero new join code. Ensemble rationale in codecs.dhash64."""
+    dh = with_dhash(corpus)
+    return phash_neardup_blocked(
+        dh.select("image_id", F.col("dhash").alias("phash")),
+        max_hamming=max_hamming,
+    )
 
 
 def phash_neardup_pairs(corpus: DataFrame, max_hamming: int = 12) -> DataFrame:

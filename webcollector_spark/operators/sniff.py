@@ -1,0 +1,121 @@
+"""Header-only image metadata: format sniff + dimensions WITHOUT decode.
+
+The filter-before-decode stage a 10^9-image pipeline runs first: most
+curation decisions (format allowlist, min size, aspect bounds, broken
+payload triage) need only the container header, and paying a full
+decode — or even shipping the full payload into Python — for them is
+the single biggest avoidable cost in an image crawl.
+
+Scale design:
+* the binary column is sliced JVM-side (`substring(bytes, 1, prefix)`)
+  BEFORE the Arrow boundary, so only ~4 KB/row crosses into the pandas
+  UDF no matter how large payloads get; `octet_length` (the full size)
+  is likewise computed JVM-side on the unsliced column inside the same
+  Project, which Parquet serves without materializing a second copy;
+* the sniff itself (`codecs.sniff_header`) is a pure function over the
+  prefix — a map stage, embarrassingly parallel, no shuffle anywhere;
+* downstream size/aspect/format filters then run as ordinary JVM
+  predicates over the sniffed columns, and only the surviving fraction
+  ever reaches the decode operators (operators/images.py).
+
+Reference anchor: WebCollector stores fetched payloads as opaque bytes
++ a contentType guess from headers (model/Page.java:323-330,
+util/FileUtils MIME sniffing is absent — type comes from HTTP headers,
+crawldb metadata only); this operator is that triage re-expressed over
+the payload bytes themselves, which is what survives when HTTP headers
+lie (a third of real-crawl Content-Types disagree with payload magic).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from webcollector_spark import codecs
+
+SNIFF_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("fmt_sniffed", T.StringType()),
+        T.StructField("w_sniffed", T.IntegerType()),
+        T.StructField("h_sniffed", T.IntegerType()),
+        T.StructField("header_ok", T.BooleanType()),
+    ]
+)
+
+# QIMG is the repo's labeled fast stand-in for JPEG (codecs.py): corpus
+# rows declare fmt="jpeg" for QIMG bytes, so the declared-vs-sniffed
+# check treats the pair as compatible.
+_FMT_COMPAT = {("jpeg", "qimg")}
+
+
+def sniff_meta(corpus: DataFrame, prefix: int = 4096) -> DataFrame:
+    """Per-image header metadata (format, dims, payload size) plus
+    `header_ok` = sniffed container/dims agree with the declared
+    (w, h, fmt) columns — the triage bit separating trustworthy rows
+    from truncated/mislabeled payloads. Header bytes only; see module
+    docstring for the plan shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                fmt, w, h = codecs.sniff_header(bytes(r["prefix"]))
+                fmt_ok = fmt == r["fmt"] or (r["fmt"], fmt) in _FMT_COMPAT
+                rows.append(
+                    {
+                        "image_id": r["image_id"],
+                        "n_bytes": int(r["n_bytes"]),
+                        "fmt_sniffed": fmt,
+                        "w_sniffed": w,
+                        "h_sniffed": h,
+                        "header_ok": bool(
+                            fmt_ok and w == r["w"] and h == r["h"]
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in SNIFF_SCHEMA])
+
+    sliced = corpus.select(
+        "image_id",
+        "w",
+        "h",
+        "fmt",
+        F.octet_length("bytes").cast("long").alias("n_bytes"),
+        F.substring("bytes", 1, prefix).alias("prefix"),
+    )
+    return sliced.mapInPandas(run, schema=SNIFF_SCHEMA)
+
+
+def compression_stats(sniffed: DataFrame) -> DataFrame:
+    """Per-container compression profile over the sniffed metadata: row
+    count, total payload bytes, and bytes-per-RGB8-pixel — the number
+    that tells a storage planner what each format costs at fleet scale.
+    One hash-aggregate (map-side combine) over the sniff map stage;
+    sums stay exact int64, the single division happens once per group
+    at the very end (bit-identical IEEE between Spark and DuckDB)."""
+    px = (F.col("w_sniffed").cast("long") * F.col("h_sniffed")).alias("px")
+    return (
+        sniffed.select("fmt_sniffed", "n_bytes", px)
+        .groupBy("fmt_sniffed")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("px").alias("total_px"),
+        )
+        .select(
+            "fmt_sniffed",
+            "n_images",
+            "total_bytes",
+            (
+                F.col("total_bytes").cast("double")
+                / (F.col("total_px").cast("double") * F.lit(3.0))
+            ).alias("bytes_per_pixel"),
+        )
+    )

@@ -1975,6 +1975,99 @@ def q_phash_neardup_blocked(spark, sf):
 
 
 @register(
+    "image_meta_sniff",
+    _oracle_parquet(
+        "image_meta_sniff",
+        "image_id, n_bytes, fmt_sniffed, w_sniffed, h_sniffed, header_ok",
+    ),
+)
+def q_image_meta_sniff(spark, sf):
+    """Header-only format/dimension sniff over all four container
+    formats (PNG, QIMG, real JPEG, real GIF87a) — the filter-before-
+    decode triage stage (operators/sniff.py): the binary column is
+    sliced to a 4 KB prefix JVM-side before Arrow, so curation
+    decisions never pay for full payload transfer or decode."""
+    from webcollector_spark.operators import images, sniff
+
+    return sniff.sniff_meta(images.corpus_mixed_df(spark))
+
+
+@register(
+    "image_compression_stats",
+    # DuckDB RECOMPUTES the aggregate over the committed sniff table —
+    # exact int64 sums, one final IEEE division per group (bit-identical
+    # between engines; sums cast from DuckDB's HUGEINT back to bigint)
+    f"""
+    SELECT fmt_sniffed,
+           count(*) AS n_images,
+           sum(n_bytes)::bigint AS total_bytes,
+           sum(n_bytes)::double
+             / (sum(w_sniffed::bigint * h_sniffed)::double * 3.0)
+             AS bytes_per_pixel
+    FROM read_parquet('{_ORACLE_DIR / "image_meta_sniff"}.parquet')
+    GROUP BY fmt_sniffed
+    """,
+)
+def q_image_compression_stats(spark, sf):
+    """Per-container storage-cost profile (bytes per RGB8 pixel) over
+    the sniffed metadata: sniff map stage -> ONE hash-aggregate with
+    map-side combine; the division happens once per group at the end."""
+    from webcollector_spark.operators import images, sniff
+
+    return sniff.compression_stats(sniff.sniff_meta(images.corpus_mixed_df(spark)))
+
+
+@register(
+    "dhash_neardup_blocked",
+    _oracle_parquet("dhash_neardup", "img_a, img_b, hamming"),
+)
+def q_dhash_neardup_blocked(spark, sf):
+    """Hamming<=4 near-dup over the DIFFERENCE hash (codecs.dhash64,
+    recomputed from decoded pixels in the Arrow map stage) through the
+    same Manku block-combination machinery as the phash path — a second
+    LSH family with an independent mistake profile costs one map stage
+    and zero new join code. Oracle is the brute-force O(n^2) hamming
+    ball over the same recomputed hashes; the blocked candidate stage is
+    pigeonhole-complete so the sets are identical by construction."""
+    from webcollector_spark.operators import images
+
+    return images.dhash_neardup_blocked(
+        images.corpus_with_neardups(spark), max_hamming=4
+    )
+
+
+@register(
+    "image_channel_stats",
+    # recompute from committed INTEGER partials: the only floats are the
+    # final per-group divisions/sqrt, in the same expression order as the
+    # Spark side, so the result is bit-reproducible across engines
+    f"""
+    WITH g AS (
+      SELECT channel,
+             sum(n_px)::bigint AS n_px,
+             sum(s)::double AS s,
+             sum(ss)::double AS ss
+      FROM read_parquet('{_ORACLE_DIR / "image_channel_partials"}.parquet')
+      GROUP BY channel
+    )
+    SELECT channel, n_px,
+           round(s / n_px::double, 6) + 0.0 AS mean,
+           round(sqrt(ss / n_px::double - (s / n_px::double) * (s / n_px::double)), 6)
+             + 0.0 AS std
+    FROM g
+    """,
+)
+def q_image_channel_stats(spark, sf):
+    """Dataset per-channel mean/std (the normalization constants every
+    vision run burns a full pass to compute): decode map stage -> exact
+    int64 moment partials -> one 3-group hash-aggregate. Independent of
+    partitioning because the partials are integers."""
+    from webcollector_spark.operators import images
+
+    return images.channel_stats(images.corpus_df(spark))
+
+
+@register(
     "video_frame_sample",
     _oracle_parquet(
         "video_frame_sample", "video_id, frame_idx, ts_sec, frame_mean, frame_hash"
@@ -3195,6 +3288,43 @@ def q_caption_conflict_flags(spark, sf):
     return captions.caption_conflict_flags(_caption_corpus(spark), max_hamming=4)
 
 
+@register(
+    "imagetext_filter",
+    # DuckDB RECOMPUTES the composite keep/drop gate over the committed
+    # corpus metadata — integer aspect comparison (no float division to
+    # diverge on), same normalization expression as the other caption
+    # oracles, FALSE AND NULL = FALSE in both engines for null captions
+    f"""
+    WITH m AS (
+      SELECT image_id, w, h, caption, {_CAPTION_NORM_SQL} AS cap
+      FROM {_CAPTION_META}
+    )
+    SELECT image_id,
+           (w >= 64 AND h >= 64) AS size_ok,
+           (greatest(w, h) <= least(w, h) * 2) AS aspect_ok,
+           (caption IS NOT NULL
+            AND (CASE WHEN length(cap) = 0 THEN 0
+                      ELSE len(string_split(cap, ' ')) END) >= 2
+            AND length(cap) >= 8) AS caption_ok,
+           ((w >= 64 AND h >= 64)
+            AND (greatest(w, h) <= least(w, h) * 2)
+            AND (caption IS NOT NULL
+                 AND (CASE WHEN length(cap) = 0 THEN 0
+                           ELSE len(string_split(cap, ' ')) END) >= 2
+                 AND length(cap) >= 8)) AS keep
+    FROM m
+    """,
+)
+def q_imagetext_filter(spark, sf):
+    """LAION/DataComp-style image+text curation gate (size, aspect,
+    caption floors + per-rule drop-reason booleans) — pure whole-stage-
+    codegen metadata expressions, no decode, no Python, no shuffle
+    (operators/captions.py imagetext_filter)."""
+    from webcollector_spark.operators import captions
+
+    return captions.imagetext_filter(_caption_corpus(spark))
+
+
 # SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup over
 # the embedding column — k-means-style cells bound the pair search, a
 # cosine threshold inside each cell defines "semantic duplicate", and
@@ -3333,6 +3463,11 @@ _SNAPSHOT_FIRST = [
     "audio_features_adpcm",
     "image_decode_verify_gif",
     "semdedup_keepers",
+    "image_meta_sniff",
+    "image_compression_stats",
+    "dhash_neardup_blocked",
+    "image_channel_stats",
+    "imagetext_filter",
     # caption curation (registered r3 after the snapshot freeze)
     "caption_dedup",
     "caption_spam",
