@@ -80,6 +80,13 @@ HEADLINE = [
     "image_decode_verify_gif",
     "audio_features_adpcm",
     "semdedup_keepers",
+    # round-4 image-triage + ensemble-dedup additions
+    "image_meta_sniff",
+    "image_compression_stats",
+    "dhash_neardup_blocked",
+    "image_neardup_keepers",
+    "image_channel_stats",
+    "imagetext_filter",
 ]
 
 

@@ -126,6 +126,10 @@ SCHEMAS = {
             ("hamming", pa.int32()),
         ]
     ),
+    # the id universe of the near-dup corpus: the ensemble-keeper oracle
+    # RECOMPUTES components + keeper over the committed (and separately
+    # driver-verified) phash/dhash pair tables joined to this list
+    "image_neardup_ids": pa.schema([("image_id", pa.string())]),
     # per-image integer moment partials; the channel-stats oracle is a
     # DuckDB AGGREGATE over this table (recompute, not stored answers)
     "image_channel_partials": pa.schema(
@@ -486,6 +490,7 @@ def build_all() -> dict[str, pd.DataFrame]:
             )
         ),
         "dhash_neardup": build_dhash_neardup(neardups),
+        "image_neardup_ids": neardups[["image_id"]],
         "image_channel_partials": build_image_channel_partials(corpus),
     }
 

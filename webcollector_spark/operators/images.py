@@ -302,6 +302,42 @@ def dhash_neardup_blocked(corpus: DataFrame, max_hamming: int = 4) -> DataFrame:
     )
 
 
+def image_neardup_keepers(corpus: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """THE dedup decision a 10^9-image pipeline ships: union the phash
+    (global brightness layout) and dhash (local gradient structure)
+    hamming balls — two LSH families with independent mistake profiles,
+    so the union's recall strictly dominates either alone — then
+    connected components over the combined edge set and one
+    deterministic keeper (min image_id) per cluster. Singletons keep
+    themselves. Output: (image_id, cluster, cluster_size, is_keeper).
+
+    Scale shape: both pair generators are the Manku blocked candidate
+    stage (O(candidates), never O(n^2)); components is the BSP
+    min-label loop at O(edges)/round; everything downstream of the
+    pair union is O(n + edges). Reference anchor: WebCollector dedups
+    by exact key only (crawldb merge, `plans/queries.py` O13) — this is
+    the content-level twin the image graft needs."""
+    from webcollector_spark.operators.components import dedup_clusters
+
+    pairs = (
+        phash_neardup_blocked(corpus, max_hamming=max_hamming)
+        .select("img_a", "img_b")
+        .unionByName(
+            dhash_neardup_blocked(corpus, max_hamming=max_hamming).select(
+                "img_a", "img_b"
+            )
+        )
+        .distinct()
+    )
+    return dedup_clusters(
+        pairs,
+        corpus.select("image_id"),
+        id_col="image_id",
+        src="img_a",
+        dst="img_b",
+    )
+
+
 def phash_neardup_pairs(corpus: DataFrame, max_hamming: int = 12) -> DataFrame:
     """Exact perceptual near-dup: pairs with hamming(phash) <= r.
     All-JVM (bit_count/xor in whole-stage codegen). O(n^2) — the

@@ -2037,6 +2037,54 @@ def q_dhash_neardup_blocked(spark, sf):
 
 
 @register(
+    "image_neardup_keepers",
+    # DuckDB RECOMPUTES components + keeper (recursive-CTE min-label
+    # fixpoint, same as the dedup_cluster_keepers oracle) over the union
+    # of the two committed hamming-ball pair tables — each of which is
+    # itself driver-verified by its own registry row (phash_neardup_exact,
+    # dhash_neardup_blocked) — joined to the committed id universe
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT img_a, img_b
+      FROM read_parquet('{_ORACLE_DIR / "phash_neardup"}.parquet')
+      WHERE hamming <= 4
+      UNION
+      SELECT img_a, img_b
+      FROM read_parquet('{_ORACLE_DIR / "dhash_neardup"}.parquet')
+      WHERE hamming <= 4
+    ),
+    edges AS (SELECT img_a AS a, img_b AS b FROM pairs
+              UNION SELECT img_b, img_a FROM pairs),
+    reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+    comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+    ids AS (SELECT image_id
+            FROM read_parquet('{_ORACLE_DIR / "image_neardup_ids"}.parquet')),
+    labelled AS (
+      SELECT i.image_id, coalesce(c.comp, i.image_id) AS cluster
+      FROM ids i LEFT JOIN comp c ON i.image_id = c.node),
+    sizes AS (SELECT cluster, count(*) AS cluster_size
+              FROM labelled GROUP BY cluster)
+    SELECT l.image_id, l.cluster, s.cluster_size,
+           l.image_id = l.cluster AS is_keeper
+    FROM labelled l JOIN sizes s ON l.cluster = s.cluster
+    """,
+)
+def q_image_neardup_keepers(spark, sf):
+    """Ensemble image dedup decision: phash ∪ dhash hamming<=4 pairs
+    (two independent LSH families, both through the blocked candidate
+    stage) -> BSP connected components -> deterministic keeper per
+    cluster (operators/images.py image_neardup_keepers)."""
+    from webcollector_spark.operators import images
+
+    return images.image_neardup_keepers(
+        images.corpus_with_neardups(spark), max_hamming=4
+    )
+
+
+@register(
     "image_channel_stats",
     # recompute from committed INTEGER partials: the only floats are the
     # final per-group divisions/sqrt, in the same expression order as the
@@ -3466,6 +3514,7 @@ _SNAPSHOT_FIRST = [
     "image_meta_sniff",
     "image_compression_stats",
     "dhash_neardup_blocked",
+    "image_neardup_keepers",
     "image_channel_stats",
     "imagetext_filter",
     # caption curation (registered r3 after the snapshot freeze)
