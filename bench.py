@@ -87,6 +87,7 @@ HEADLINE = [
     "image_neardup_keepers",
     "image_channel_stats",
     "imagetext_filter",
+    "aspect_bucket_assign",
 ]
 
 

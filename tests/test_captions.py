@@ -122,3 +122,52 @@ def test_conflict_flags_multi_caption_cluster(spark):
         "i4": False, "i5": False, "i6": False,
         "i7": False,
     }
+
+
+def test_aspect_bucket_assign_vs_python(spark):
+    """Nearest-bucket assignment against a straight-line Python argmin
+    over the same bucket table, on a (w, h) grid that includes exact
+    bucket aspects, squares, and extreme slivers."""
+    import pandas as pd
+
+    from webcollector_spark.operators.captions import (
+        ASPECT_BUCKETS,
+        aspect_bucket_assign,
+    )
+
+    dims = [
+        (512, 512), (448, 576), (576, 448), (384, 640), (640, 384),
+        (100, 100), (99, 100), (300, 400), (400, 300), (160, 90),
+        (90, 160), (1000, 125), (125, 1000), (641, 384), (383, 640),
+        (2, 1), (1, 2), (7, 5), (5, 7), (1, 1),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"g{i:04d}" for i in range(len(dims))],
+            "w": [w for w, _ in dims],
+            "h": [h for _, h in dims],
+        }
+    )
+    got = {
+        r["image_id"]: (r["bucket"], r["target_w"], r["target_h"])
+        for r in aspect_bucket_assign(
+            spark.createDataFrame(pdf)
+        ).collect()
+    }
+
+    def score(w, h, rw, rh):
+        a, b = w * rh, h * rw
+        return max(a, b) / min(a, b)
+
+    for _, r in pdf.iterrows():
+        scores = [
+            (score(r["w"], r["h"], rw, rh), i)
+            for i, (_, rw, rh, _, _) in enumerate(ASPECT_BUCKETS)
+        ]
+        _, best = min(scores)
+        name, _, _, tw, th = ASPECT_BUCKETS[best]
+        assert got[r["image_id"]] == (name, tw, th), (r["w"], r["h"])
+    # exact-aspect rows land in their own bucket
+    assert got["g0000"][0] == "square_1_1"
+    assert got["g0001"][0] == "portrait_3_4"
+    assert got["g0004"][0] == "landscape_16_9"

@@ -169,6 +169,61 @@ def imagetext_filter(
     )
 
 
+# SDXL-style training aspect buckets: (name, reduced aspect rw:rh,
+# target dims). Order matters — it is the deterministic tie-break.
+ASPECT_BUCKETS: tuple[tuple[str, int, int, int, int], ...] = (
+    ("square_1_1", 1, 1, 512, 512),
+    ("portrait_3_4", 3, 4, 448, 576),
+    ("landscape_4_3", 4, 3, 576, 448),
+    ("portrait_9_16", 9, 16, 384, 640),
+    ("landscape_16_9", 16, 9, 640, 384),
+)
+
+
+def aspect_bucket_assign(corpus: DataFrame) -> DataFrame:
+    """Assign every image to the nearest TRAINING ASPECT BUCKET — the
+    bucketed-batching trick (NovelAI/SDXL): batches are formed within a
+    bucket so images resize to the bucket's target dims without
+    destructive cropping, and the bucket column doubles as the
+    repartition key that keeps batch assembly shuffle-local.
+
+    Nearness is the scale-free ratio distance max(w*rh, h*rw) /
+    min(w*rh, h*rw) — monotone with |log-aspect difference|, computed
+    as ONE int64 cross-multiply pair and ONE IEEE division per bucket
+    (division is exactly rounded, so Spark and an oracle engine agree
+    bit-for-bit; no transcendental ln to diverge on). Argmin over the
+    fixed 5-bucket array happens in-row via array_min over (score,
+    idx) structs — no row multiplication, no shuffle, whole-stage
+    codegen end to end. Ties break to the earliest bucket in
+    ASPECT_BUCKETS on both engines."""
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    F.greatest(
+                        F.col("w") * F.lit(rh), F.col("h") * F.lit(rw)
+                    ).cast("double")
+                    / F.least(F.col("w") * F.lit(rh), F.col("h") * F.lit(rw))
+                ).alias("score"),
+                F.lit(i).alias("idx"),
+                F.lit(name).alias("bucket"),
+                F.lit(tw).alias("target_w"),
+                F.lit(th).alias("target_h"),
+            )
+            for i, (name, rw, rh, tw, th) in enumerate(ASPECT_BUCKETS)
+        ]
+    )
+    best = F.array_min(scored)
+    return corpus.select(
+        "image_id",
+        "w",
+        "h",
+        best["bucket"].alias("bucket"),
+        best["target_w"].alias("target_w"),
+        best["target_h"].alias("target_h"),
+    )
+
+
 def caption_conflict_flags(corpus: DataFrame, max_hamming: int = 4) -> DataFrame:
     """Per-image label-noise FLAG — the O(n) consumer of the near-dup
     structure that `caption_conflict`'s pair list cannot be at web

@@ -3373,6 +3373,56 @@ def q_imagetext_filter(spark, sf):
     return captions.imagetext_filter(_caption_corpus(spark))
 
 
+def _aspect_bucket_oracle() -> str:
+    """Oracle generated from the SAME bucket table the operator uses
+    (captions.ASPECT_BUCKETS): per-bucket ratio scores as one int64
+    cross-multiply + one IEEE division (exactly rounded, so the doubles
+    are bit-identical across engines — no ln), then a first-argmin CASE
+    cascade, which ties-breaks to the earliest bucket exactly like the
+    operator's array_min over (score, idx) structs."""
+    from webcollector_spark.operators.captions import ASPECT_BUCKETS
+
+    scores = ",\n        ".join(
+        f"greatest(w*{rh}, h*{rw})::double / least(w*{rh}, h*{rw}) AS s{i}"
+        for i, (_, rw, rh, _, _) in enumerate(ASPECT_BUCKETS)
+    )
+    n = len(ASPECT_BUCKETS)
+
+    def case(col_values):
+        arms = []
+        for i, v in enumerate(col_values[:-1]):
+            conds = " AND ".join(f"s{i} <= s{j}" for j in range(i + 1, n))
+            arms.append(f"WHEN {conds} THEN {v}")
+        return "CASE " + " ".join(arms) + f" ELSE {col_values[-1]} END"
+
+    names = [f"'{b[0]}'" for b in ASPECT_BUCKETS]
+    tws = [str(b[3]) for b in ASPECT_BUCKETS]
+    ths = [str(b[4]) for b in ASPECT_BUCKETS]
+    return f"""
+    WITH s AS (
+      SELECT image_id, w, h,
+        {scores}
+      FROM {_CAPTION_META})
+    SELECT image_id, w, h,
+           {case(names)} AS bucket,
+           {case(tws)} AS target_w,
+           {case(ths)} AS target_h
+    FROM s
+    """
+
+
+@register("aspect_bucket_assign", _aspect_bucket_oracle())
+def q_aspect_bucket_assign(spark, sf):
+    """SDXL-style aspect-bucket assignment: nearest training bucket by
+    scale-free ratio distance, argmin in-row over the fixed bucket
+    array — no shuffle, no Python; the bucket column is the batch
+    repartition key downstream (operators/captions.py
+    aspect_bucket_assign)."""
+    from webcollector_spark.operators import captions
+
+    return captions.aspect_bucket_assign(_caption_corpus(spark))
+
+
 # SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup over
 # the embedding column — k-means-style cells bound the pair search, a
 # cosine threshold inside each cell defines "semantic duplicate", and
@@ -3517,6 +3567,7 @@ _SNAPSHOT_FIRST = [
     "image_neardup_keepers",
     "image_channel_stats",
     "imagetext_filter",
+    "aspect_bucket_assign",
     # caption curation (registered r3 after the snapshot freeze)
     "caption_dedup",
     "caption_spam",
