@@ -180,3 +180,27 @@ def test_imagetext_filter_rules(spark):
             caption_ok,
             keep,
         ), image_id
+
+
+def test_sniff_plan_slices_before_arrow(spark, tmp_path):
+    """Over a REAL parquet scan (not the constant-folding LocalRelation
+    of the in-memory fixture) the payload slice must be a JVM-side
+    substring upstream of the Arrow boundary, with no shuffle anywhere:
+    that is the property that keeps per-row Python transfer at ~4 KB no
+    matter how large payloads get."""
+    import contextlib
+    import io
+
+    path = str(tmp_path / "corpus")
+    images.corpus_df(spark, 20).write.parquet(path)
+    df = sniff.sniff_meta(spark.read.parquet(path))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "substring(bytes" in plan
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    # the slice happens BEFORE the Arrow eval: the substring Project's
+    # node id is smaller (upstream) than MapInPandas' in the tree dump
+    assert plan.index("substring(bytes") > plan.index("MapInPandas")

@@ -67,10 +67,11 @@ CHECKS = {
     # IVFADC composition: probes + LUT broadcast, candidates bounded by
     # the probed cells, all JVM
     "ivfadc_ann_topk": ["BroadcastHashJoin", "!EvalPython"],
-    # SemDeDup: centroid assignment is a broadcast map stage; the
+    # SemDeDup: centroid assignment broadcasts the 8 centroids through
+    # the crossJoin (BroadcastNestedLoopJoin, same as ivf_ann_topk); the
     # within-cell self-join co-locates on cell id (never all-pairs
     # across cells); components iterate JVM-side
-    "semdedup_keepers": ["BroadcastHashJoin", "!EvalPython"],
+    "semdedup_keepers": ["BroadcastNestedLoopJoin", "!EvalPython"],
     # banded simhash: band join fans out on collisions only, no
     # quadratic stage, all JVM
     "simhash_neardup_banded": ["HashAggregate", "!EvalPython"],
@@ -99,6 +100,24 @@ CHECKS = {
     "caption_conflict_flags": ["Join", "Aggregate", "!EvalPython"],
     "phash_neardup_blocked": ["Join", "Aggregate", "!EvalPython"],
     "caption_quality": ["!EvalPython"],
+    # metadata-only curation gates: pure whole-stage codegen, no
+    # Python, and nothing to shuffle
+    "imagetext_filter": ["!EvalPython", "!Exchange"],
+    "aspect_bucket_assign": ["!EvalPython", "!Exchange"],
+    # sniff triage: the pandas UDF is the point (header parse), but the
+    # payload must be SLICED before it — on the in-memory fixture the
+    # substring Project constant-folds INTO the LocalTableScan, so the
+    # plan evidence is the sliced `prefix#` column feeding MapInPandas
+    # (the substring-over-parquet form is pinned by
+    # tests/test_sniff.py::test_sniff_plan_slices_before_arrow)
+    "image_meta_sniff": ["prefix#", "MapInPandas", "!Exchange"],
+    # one hash-aggregate with map-side combine over the sniff stage
+    "image_compression_stats": ["prefix#", "HashAggregate"],
+    "image_channel_stats": ["HashAggregate"],
+    # second LSH family through the same blocked candidate machinery:
+    # dhash is computed in Arrow (decode), everything after is the
+    # phash-blocked join shape
+    "dhash_neardup_blocked": ["Join", "Aggregate", "MapInPandas"],
 }
 
 
