@@ -91,3 +91,140 @@ def test_crawl_then_caption_curation(spark, tmp_path):
         captions.caption_dedup(fetched).agg(F.sum("n_images")).collect()[0][0]
     )
     assert total == len(graph)
+
+
+def test_crawl_to_training_manifest_funnel(spark, tmp_path):
+    """The whole round-4 curation funnel over rows the crawl itself
+    produced: crawl -> fetched history (identity, caption, phash) JOIN
+    the payload table (the input_hint-shaped image+caption store the
+    crawl writes) -> header-sniff triage -> image+text gate -> ensemble
+    near-dup keepers -> aspect buckets -> deterministic split. Every
+    stage's output is cross-checked against a straight-line pandas
+    recompute, so the funnel numbers are asserted, not eyeballed."""
+    from webcollector_spark import codecs
+    from webcollector_spark.operators import images, sniff
+    from webcollector_spark.operators.captions import (
+        ASPECT_BUCKETS,
+        aspect_bucket_assign,
+        imagetext_filter,
+    )
+    from webcollector_spark.schema import CORPUS_SCHEMA
+
+    graph, corpus = _noisy_web(60, 12)
+    hist = str(tmp_path / "fetched_history")
+    req = SyntheticRequester(graph.to_dict("records"), corpus.to_dict("records"))
+    crawler = RamCrawler(
+        spark,
+        req,
+        config=CrawlerConfig(
+            top_n=0, bloom_capacity=10_000, fetched_history_path=hist
+        ),
+    )
+    crawler.add_seed(sorted(graph["url"].tolist()))
+    crawler.start(1)
+
+    # production shape: the history carries crawl identity (key=URL) +
+    # label + phash; payload bytes live in the image table the crawl
+    # populated, reached through the crawl's OWN url->image mapping
+    # (boilerplate captions defeat caption-derived ids on purpose —
+    # see module docstring)
+    payloads = spark.createDataFrame(corpus, schema=CORPUS_SCHEMA).drop(
+        "caption", "phash"
+    )
+    url_to_img = spark.createDataFrame(graph[["url", "image_id"]])
+    crawled = (
+        spark.read.parquet(hist)
+        .filter(F.col("phash").isNotNull())
+        .select(F.col("key").alias("url"), "phash", "caption")
+        .join(url_to_img, "url")
+        .drop("url")
+        .join(payloads, "image_id")
+    )
+    n0 = crawled.count()
+    assert n0 == len(graph)
+
+    # 1. header triage: every crawled payload is intact and correctly
+    # declared, and the sniffed dims equal the table's metadata
+    sniffed = sniff.sniff_meta(crawled)
+    assert sniffed.filter(~F.col("header_ok")).count() == 0
+
+    # 2. metadata gate, recomputed row-by-row in pandas
+    kept = imagetext_filter(crawled).filter(F.col("keep"))
+    survivors = {r["image_id"] for r in kept.select("image_id").collect()}
+
+    def py_gate(r):
+        cap = r["caption"]
+        if cap is None:
+            return False
+        norm = " ".join(str(cap).lower().split())
+        return (
+            r["w"] >= 64
+            and r["h"] >= 64
+            and max(r["w"], r["h"]) <= 2 * min(r["w"], r["h"])
+            and len(norm.split()) >= 2
+            and len(norm) >= 8
+        )
+
+    want_survivors = {
+        r["image_id"] for r in corpus.to_dict("records") if py_gate(r)
+    }
+    assert survivors == want_survivors
+    assert 0 < len(survivors) < n0  # the gate genuinely fires
+
+    # 3. ensemble dedup over the survivor payloads
+    surv_corpus = crawled.filter(F.col("image_id").isin(list(survivors)))
+    decided = images.image_neardup_keepers(surv_corpus, max_hamming=4)
+    keepers = {
+        r["image_id"] for r in decided.filter(F.col("is_keeper")).collect()
+    }
+
+    sc = [r for r in corpus.to_dict("records") if r["image_id"] in survivors]
+    mask = (1 << 64) - 1
+    hashes = []
+    for r in sc:
+        px = codecs.decode(bytes(r["bytes"]))
+        hashes.append((r["image_id"], int(r["phash"]), codecs.dhash64(px)))
+    parent = {i: i for i, _, _ in hashes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, (ia, pa, da) in enumerate(hashes):
+        for ib, pb, db in hashes[i + 1 :]:
+            if (
+                bin((pa ^ pb) & mask).count("1") <= 4
+                or bin((da ^ db) & mask).count("1") <= 4
+            ):
+                ra, rb = find(ia), find(ib)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for i, _, _ in hashes:
+        comps.setdefault(find(i), []).append(i)
+    want_keepers = {min(m) for m in comps.values()}
+    assert keepers == want_keepers
+    assert len(keepers) < len(survivors)  # planted near-dups collapsed
+
+    # 4. aspect buckets over the keepers: total preserved, square rows
+    # (the fixture's w==h cases) land in square_1_1
+    bucketed = aspect_bucket_assign(
+        surv_corpus.filter(F.col("image_id").isin(list(keepers)))
+    )
+    by_bucket = {r["bucket"]: r["n"] for r in
+                 bucketed.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    assert sum(by_bucket.values()) == len(keepers)
+    assert set(by_bucket) <= {b[0] for b in ASPECT_BUCKETS}
+
+    # 5. deterministic identity-hash split: partition, leakage-free,
+    # stable across reruns
+    b = F.pmod(F.xxhash64("image_id"), F.lit(1000))
+    split = F.when(b < 800, "train").when(b < 900, "val").otherwise("test")
+    manifest = bucketed.select("image_id", split.alias("split"))
+    counts1 = sorted(manifest.groupBy("split").count().collect())
+    counts2 = sorted(manifest.groupBy("split").count().collect())
+    assert counts1 == counts2
+    assert manifest.count() == len(keepers)
+    assert manifest.select("image_id").distinct().count() == len(keepers)
