@@ -88,6 +88,10 @@ HEADLINE = [
     "image_channel_stats",
     "imagetext_filter",
     "aspect_bucket_assign",
+    # round-4 training-export tail: shard packing + mixture + blur gate
+    "shard_assign",
+    "source_mixture_weights",
+    "image_sharpness",
 ]
 
 

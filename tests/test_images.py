@@ -118,6 +118,7 @@ def test_multimodal_oracle_parquet_fresh():
         "dhash_neardup",
         "image_neardup_ids",
         "image_channel_partials",
+        "image_sharpness_partials",
     }
     for name, pdf in built.items():
         fresh = pa.Table.from_pandas(

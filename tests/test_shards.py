@@ -1,0 +1,149 @@
+"""Training-export operators: shard packing (distributed prefix-sum),
+source mixture weights, and the Laplacian-variance sharpness gate.
+
+The shard-packing contract is the scale-critical one: the two-level
+scan must reproduce, row for row, what a single global running-sum
+window would have produced — independent of input partitioning — while
+never planning a single-partition window. Reference anchor: the
+count-rotated segment writer (`fetcher/Fetcher.java` segmentWriter)
+made deterministic and cluster-wide.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from webcollector_spark import codecs, fixtures
+from webcollector_spark.operators import images, shards
+
+
+def _naive_offsets(pdf: pd.DataFrame, n_buckets: int, target: int):
+    """Spark-free oracle: global running sum in (bucket, key) order."""
+    d = pdf.copy()
+    d["bucket"] = d["doc_id"] % n_buckets
+    d = d.sort_values(["bucket", "doc_id"]).reset_index(drop=True)
+    d["start_offset"] = d["n_chars"].cumsum().shift(1, fill_value=0)
+    d["shard"] = d["start_offset"] // target
+    return d
+
+
+def _docs_df(spark, n=300, seed=7):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "n_chars": rng.integers(50, 4000, size=n, dtype=np.int64),
+        }
+    )
+    return pdf, spark.createDataFrame(pdf)
+
+
+def test_pack_shards_matches_global_running_sum(spark):
+    pdf, df = _docs_df(spark)
+    got = {
+        r["doc_id"]: (r["bucket"], r["start_offset"], r["shard"])
+        for r in shards.pack_shards(
+            df, key="doc_id", size="n_chars", target_bytes=8192, n_buckets=16
+        ).collect()
+    }
+    want = _naive_offsets(pdf, 16, 8192)
+    assert len(got) == len(want)
+    for r in want.to_dict("records"):
+        assert got[r["doc_id"]] == (
+            r["bucket"],
+            r["start_offset"],
+            r["shard"],
+        )
+
+
+def test_pack_shards_partition_invariant(spark):
+    """Same manifest whether the input arrives in 1 or 13 partitions,
+    shuffled — the determinism clause of the export contract."""
+    pdf, _ = _docs_df(spark, n=257, seed=11)
+    shuffled = pdf.sample(frac=1.0, random_state=3)
+    a = shards.pack_shards(
+        spark.createDataFrame(shuffled).coalesce(1),
+        key="doc_id",
+        size="n_chars",
+        target_bytes=4096,
+        n_buckets=8,
+    )
+    b = shards.pack_shards(
+        spark.createDataFrame(pdf).repartition(13),
+        key="doc_id",
+        size="n_chars",
+        target_bytes=4096,
+        n_buckets=8,
+    )
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b
+
+
+def test_pack_shards_no_single_partition_window(spark):
+    """The physical plan must window-partition by bucket — a global
+    (empty partition spec) running-sum window is the 10^10-row trap."""
+    _, df = _docs_df(spark, n=64)
+    plan = (
+        shards.pack_shards(
+            df, key="doc_id", size="n_chars", target_bytes=1024, n_buckets=4
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan
+    # Spark prints a global window spec as an empty partition list; the
+    # bucketed form carries `partitionBy` over bucket in the spec string
+    assert "bucket" in plan.split("Window")[1][:400]
+
+
+def test_shard_manifest_covers_all_rows(spark):
+    pdf, df = _docs_df(spark, n=200, seed=5)
+    assigned = shards.pack_shards(
+        df, key="doc_id", size="n_chars", target_bytes=8192, n_buckets=16
+    )
+    man = {r["shard"]: r for r in shards.shard_manifest(assigned).collect()}
+    assert sum(r["n_rows"] for r in man.values()) == 200
+    # shards are contiguous 0..max and every byte span sits inside its shard
+    assert sorted(man) == list(range(len(man)))
+    for sid, r in man.items():
+        assert sid * 8192 <= r["first_offset"] <= r["last_offset"]
+
+
+def test_lap_partials_exact_and_degenerate():
+    px = fixtures.ground_truth_pixels("img00000001", 40, 32)
+    n, s, ss = codecs.lap_partials(px)
+    g = (
+        px[:, :, 0].astype(np.int64) * 299
+        + px[:, :, 1].astype(np.int64) * 587
+        + px[:, :, 2].astype(np.int64) * 114
+    )
+    lap = (
+        4 * g[1:-1, 1:-1] - g[:-2, 1:-1] - g[2:, 1:-1] - g[1:-1, :-2] - g[1:-1, 2:]
+    )
+    assert (n, s, ss) == (lap.size, int(lap.sum()), int((lap * lap).sum()))
+    # no interior -> all-zero partials, not an exception
+    assert codecs.lap_partials(px[:2, :, :]) == (0, 0, 0)
+
+
+def test_box_blur_reduces_laplacian_variance():
+    px = fixtures.ground_truth_pixels("img00000002", 48, 48)
+    _, s0, ss0 = codecs.lap_partials(px)
+    n0 = codecs.lap_partials(px)[0]
+    var_sharp = ss0 / n0 - (s0 / n0) ** 2
+    soft = codecs.box_blur(px, k=5)
+    n1, s1, ss1 = codecs.lap_partials(soft)
+    var_blur = ss1 / n1 - (s1 / n1) ** 2
+    assert var_blur < var_sharp / 50
+
+
+def test_image_sharpness_gate_separates_blurred(spark):
+    df = images.image_sharpness(
+        images.corpus_blurgate_df(spark, 60, 20), threshold=10_000.0
+    )
+    rows = {r["image_id"]: r for r in df.collect()}
+    assert len(rows) == 80
+    for iid, r in rows.items():
+        assert r["is_sharp"] == (not iid.startswith("blr")), (iid, r["lap_var"])

@@ -155,6 +155,17 @@ SCHEMAS = {
             ("phash", pa.int64()),
         ]
     ),
+    # per-image integer Laplacian moment partials over the blur-gate
+    # corpus; the sharpness oracle is a DuckDB expression RECOMPUTE of
+    # the variance + gate over this table (same pattern as channel stats)
+    "image_sharpness_partials": pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("n_lap", pa.int64()),
+            ("s_lap", pa.int64()),
+            ("ss_lap", pa.int64()),
+        ]
+    ),
 }
 
 
@@ -289,6 +300,17 @@ def build_dhash_neardup(pdf: pd.DataFrame, max_hamming: int = 4):
             ham = bin(int(dh[i] ^ dh[j])).count("1")
             if ham <= max_hamming:
                 rows.append({"img_a": ids[i], "img_b": ids[j], "hamming": ham})
+    return pd.DataFrame(rows)
+
+
+def build_image_sharpness_partials(pdf: pd.DataFrame):
+    """Mirror of operators.images.sharpness_partials, Spark-free."""
+    rows = []
+    for r in pdf.to_dict("records"):
+        n, s, ss = codecs.lap_partials(codecs.decode(bytes(r["bytes"])))
+        rows.append(
+            {"image_id": r["image_id"], "n_lap": n, "s_lap": s, "ss_lap": ss}
+        )
     return pd.DataFrame(rows)
 
 
@@ -492,6 +514,9 @@ def build_all() -> dict[str, pd.DataFrame]:
         "dhash_neardup": build_dhash_neardup(neardups),
         "image_neardup_ids": neardups[["image_id"]],
         "image_channel_partials": build_image_channel_partials(corpus),
+        "image_sharpness_partials": build_image_sharpness_partials(
+            fixtures.make_corpus_blurgate(200, 40)
+        ),
     }
 
 

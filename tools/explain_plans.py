@@ -118,6 +118,15 @@ CHECKS = {
     # dhash is computed in Arrow (decode), everything after is the
     # phash-blocked join shape
     "dhash_neardup_blocked": ["Join", "Aggregate", "MapInPandas"],
+    # two-level prefix-sum: the running-sum window MUST be bucketed
+    # (a global `sum() OVER (ORDER BY ...)` would plan one partition
+    # owning all rows); the B-row offset table is the broadcast side
+    "shard_assign": ["Window", "BroadcastHashJoin", "!EvalPython"],
+    # one map-side-combined aggregate + a 1-row broadcast normalizer;
+    # never a second scan of documents
+    "source_mixture_weights": ["HashAggregate", "!EvalPython"],
+    # decode map stage -> in-expression variance: zero shuffle
+    "image_sharpness": ["MapInPandas", "!Exchange"],
 }
 
 

@@ -302,3 +302,47 @@ def phash64(pixels: np.ndarray) -> int:
         v = (v << 1) | int(bit)
     # two's-complement into signed int64 range for a LongType column
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def lap_partials(pixels: np.ndarray) -> tuple[int, int, int]:
+    """Integer moment partials of the 4-neighbour Laplacian over the
+    integer luma plane — the sharpness (blur-gate) kernel.
+
+    Luma is the BT.601 integer form (299 R + 587 G + 114 B, i.e. the
+    float weights x1000 with no rounding), so the Laplacian response
+    L = 4 g[i,j] - g[i-1,j] - g[i+1,j] - g[i,j-1] - g[i,j+1] and both
+    moments are EXACT int64 (|L| <= 8*255*1000, ss <= n * L^2 < 2^63 for
+    any image under ~500 Mpx). Exact integer partials make the
+    downstream variance independent of partitioning and bit-reproducible
+    between Spark and the DuckDB oracle — same trick as the channel
+    mean/std partials. Returns (n, sum, sum-of-squares) over interior
+    pixels; (0, 0, 0) when the image has no interior (h < 3 or w < 3).
+    """
+    g = (
+        pixels[:, :, 0].astype(np.int64) * 299
+        + pixels[:, :, 1].astype(np.int64) * 587
+        + pixels[:, :, 2].astype(np.int64) * 114
+    )
+    h, w = g.shape
+    if h < 3 or w < 3:
+        return 0, 0, 0
+    lap = (
+        4 * g[1:-1, 1:-1]
+        - g[:-2, 1:-1]
+        - g[2:, 1:-1]
+        - g[1:-1, :-2]
+        - g[1:-1, 2:]
+    )
+    return int(lap.size), int(lap.sum()), int((lap * lap).sum())
+
+
+def box_blur(pixels: np.ndarray, k: int = 5) -> np.ndarray:
+    """k x k box blur (valid region, integer-rounded back to uint8) —
+    the deterministic low-pass used to synthesize blurred fixtures for
+    the sharpness gate. Summed-area-table form, O(h*w) regardless of k."""
+    px = pixels.astype(np.float64)
+    c = np.cumsum(np.cumsum(px, axis=0), axis=1)
+    cp = np.zeros((px.shape[0] + 1, px.shape[1] + 1, 3))
+    cp[1:, 1:] = c
+    out = (cp[k:, k:] - cp[:-k, k:] - cp[k:, :-k] + cp[:-k, :-k]) / (k * k)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)

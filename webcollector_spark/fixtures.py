@@ -255,3 +255,33 @@ def corpus_with_caption_noise(
             }
         )
     return pd.concat([pdf, pd.DataFrame(dup_rows)], ignore_index=True)
+
+
+def make_corpus_blurgate(
+    n: int = 200, blurred: int = 40, seed: int = SEED
+) -> pd.DataFrame:
+    """Sharpness-gate corpus: the base corpus plus `blurred` 5x5
+    box-blurred re-encodes of its first images under `blr*` ids. The
+    synthetic textures are noise-like (Laplacian variance ~5e4 in luma
+    units), the blurred copies land ~250x lower (~2e2), so a threshold
+    gate has a real decision to make — mirrors a web corpus where
+    thumbnails / soft-focus shots must be dropped before training."""
+    base = make_corpus(n, seed=seed)
+    rows = []
+    for i in range(min(blurred, n)):
+        src = base.iloc[i]
+        px = ground_truth_pixels(src["image_id"], src["w"], src["h"])
+        soft = codecs.box_blur(px, k=5)
+        data = codecs.encode_png(soft)
+        rows.append(
+            {
+                "image_id": f"blr{i:08d}",
+                "bytes": data,
+                "w": int(soft.shape[1]),
+                "h": int(soft.shape[0]),
+                "fmt": "png",
+                "caption": src["caption"],
+                "phash": codecs.phash64(codecs.decode(data)),
+            }
+        )
+    return pd.concat([base, pd.DataFrame(rows)], ignore_index=True)

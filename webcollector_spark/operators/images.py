@@ -576,3 +576,75 @@ def phash_neardup_blocked(
         )
     )
     return within.unionByName(between)
+
+
+SHARPNESS_PARTIALS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("n_lap", T.LongType()),
+        T.StructField("s_lap", T.LongType()),
+        T.StructField("ss_lap", T.LongType()),
+    ]
+)
+
+
+def corpus_blurgate_df(
+    spark: SparkSession, n: int = 200, blurred: int = 40
+) -> DataFrame:
+    """Sharpness-gate corpus (fixtures.make_corpus_blurgate): base
+    corpus + 5x5 box-blurred re-encodes — noise-like texture sits ~250x
+    above the blurred copies in Laplacian variance, so the gate has a
+    real decision boundary."""
+    pdf = fixtures.make_corpus_blurgate(n, blurred)
+    return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+
+
+def sharpness_partials(corpus: DataFrame) -> DataFrame:
+    """Per-image integer moment partials of the 4-neighbour Laplacian
+    over integer luma (codecs.lap_partials) — exact int64, emitted from
+    the decode map stage. Same design as channel_partials: integer
+    partials make the downstream variance partition-independent and
+    bit-reproducible between engines."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                n, s, ss = codecs.lap_partials(codecs.decode(bytes(r["bytes"])))
+                rows.append(
+                    {
+                        "image_id": r["image_id"],
+                        "n_lap": n,
+                        "s_lap": s,
+                        "ss_lap": ss,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SHARPNESS_PARTIALS_SCHEMA]
+            )
+
+    return corpus.mapInPandas(run, schema=SHARPNESS_PARTIALS_SCHEMA)
+
+
+def image_sharpness(corpus: DataFrame, threshold: float = 10_000.0) -> DataFrame:
+    """Blur gate: variance of the Laplacian per image (the classic
+    sharpness score), normalized back to 8-bit-luma^2 units (the
+    integer luma is x1000), rounded to 4 decimals. A training-data
+    curation filter: soft-focus / upscaled thumbnails score orders of
+    magnitude below real texture. Decode map stage -> per-image
+    in-expression variance — embarrassingly parallel, zero shuffle."""
+    p = sharpness_partials(corpus)
+    n = F.col("n_lap").cast("double")
+    mean = F.col("s_lap").cast("double") / n
+    lap_var = (
+        (F.col("ss_lap").cast("double") / n - mean * mean) / F.lit(1_000_000.0)
+    )
+    lap_var = F.round(lap_var, 4) + F.lit(0.0)
+    return p.select(
+        "image_id",
+        "n_lap",
+        F.when(F.col("n_lap") > 0, lap_var).alias("lap_var"),
+        F.when(F.col("n_lap") > 0, lap_var >= F.lit(threshold))
+        .otherwise(F.lit(False))
+        .alias("is_sharp"),
+    )
