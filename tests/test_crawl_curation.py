@@ -228,3 +228,42 @@ def test_crawl_to_training_manifest_funnel(spark, tmp_path):
     assert counts1 == counts2
     assert manifest.count() == len(keepers)
     assert manifest.select("image_id").distinct().count() == len(keepers)
+
+    # 6. shard packing: the kept payloads stream into byte-bounded
+    # export shards; the manifest accounts for every byte the crawl
+    # kept, and the whole chain is rerun-deterministic
+    from webcollector_spark.operators import shards
+
+    export = (
+        surv_corpus.filter(F.col("image_id").isin(list(keepers)))
+        .withColumn("img_key", F.xxhash64("image_id"))
+        .withColumn("n_bytes", F.length("bytes").cast("long"))
+    )
+    target = 16 * 1024
+    packed = shards.pack_shards(
+        export, key="img_key", size="n_bytes", target_bytes=target, n_buckets=8
+    )
+    rows = packed.collect()
+    assert len(rows) == len(keepers)
+    # offsets are the exact global running sum in (bucket, img_key) order
+    sizes = {
+        r["img_key"]: r["n_bytes"]
+        for r in export.select("img_key", "n_bytes").collect()
+    }
+    acc = 0
+    for r in sorted(rows, key=lambda r: (r["bucket"], r["img_key"])):
+        assert r["start_offset"] == acc
+        assert r["shard"] == acc // target
+        acc += sizes[r["img_key"]]
+    assert acc == sum(sizes.values())
+    man = {r["shard"]: r for r in shards.shard_manifest(packed).collect()}
+    assert sum(r["n_rows"] for r in man.values()) == len(keepers)
+    # shard ids ascend with the byte stream; a GAP in ids is legal only
+    # when the preceding row alone overflows the target (an image bigger
+    # than one shard consumes several shard-widths of offset space)
+    ordered = sorted(rows, key=lambda r: r["start_offset"])
+    for prev, cur in zip(ordered, ordered[1:]):
+        jump = cur["shard"] - prev["shard"]
+        assert jump >= 0
+        if jump > 1:
+            assert sizes[prev["img_key"]] > target
