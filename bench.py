@@ -90,6 +90,7 @@ HEADLINE = [
     "aspect_bucket_assign",
     # round-4 training-export tail: shard packing + mixture + blur gate
     "shard_assign",
+    "shard_manifest",
     "source_mixture_weights",
     "image_sharpness",
 ]

@@ -122,6 +122,7 @@ CHECKS = {
     # (a global `sum() OVER (ORDER BY ...)` would plan one partition
     # owning all rows); the B-row offset table is the broadcast side
     "shard_assign": ["Window", "BroadcastHashJoin", "!EvalPython"],
+    "shard_manifest": ["Window", "HashAggregate", "!EvalPython"],
     # one map-side-combined aggregate + a 1-row broadcast normalizer;
     # never a second scan of documents
     "source_mixture_weights": ["HashAggregate", "!EvalPython"],

@@ -3593,6 +3593,45 @@ def q_shard_assign(spark, sf):
 
 
 @register(
+    "shard_manifest",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 16 AS bucket, n_chars FROM documents
+    ),
+    a AS (
+      SELECT doc_id,
+             coalesce(sum(n_chars) OVER (
+               ORDER BY bucket, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+               AS start_offset
+      FROM d
+    )
+    SELECT floor(start_offset / 8192.0)::bigint AS shard,
+           count(*) AS n_rows,
+           min(start_offset) AS first_offset,
+           max(start_offset) AS last_offset
+    FROM a GROUP BY 1
+    """,
+)
+def q_shard_manifest(spark, sf):
+    """Per-shard writer manifest over the packed assignment: row count
+    + byte span per shard — the table the export job hands each writer
+    task. One small hash-aggregate downstream of the two-level
+    prefix-sum (operators/shards.py shard_manifest)."""
+    from webcollector_spark.operators import shards
+
+    return shards.shard_manifest(
+        shards.pack_shards(
+            _t(spark, sf, "documents"),
+            key="doc_id",
+            size="n_chars",
+            target_bytes=8192,
+            n_buckets=16,
+        )
+    )
+
+
+@register(
     "source_mixture_weights",
     """
     WITH s AS (
@@ -3688,6 +3727,7 @@ _SNAPSHOT_FIRST = [
     "imagetext_filter",
     "aspect_bucket_assign",
     "shard_assign",
+    "shard_manifest",
     "source_mixture_weights",
     "image_sharpness",
     # caption curation (registered r3 after the snapshot freeze)
