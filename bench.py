@@ -92,6 +92,7 @@ HEADLINE = [
     "shard_assign",
     "shard_manifest",
     "source_mixture_weights",
+    "image_features_fused",
     "image_sharpness",
 ]
 

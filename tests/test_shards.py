@@ -147,3 +147,32 @@ def test_image_sharpness_gate_separates_blurred(spark):
     assert len(rows) == 80
     for iid, r in rows.items():
         assert r["is_sharp"] == (not iid.startswith("blr")), (iid, r["lap_var"])
+
+
+def test_features_fused_equals_unfused_twins(spark):
+    """The single-decode fused pass must reproduce, column for column,
+    what the separate channel/sharpness/hash operators compute — fusing
+    may only amortize the decode, never change a value."""
+    corpus = images.corpus_df(spark, 40)
+    fused = {r["image_id"]: r for r in images.features_fused(corpus).collect()}
+    assert len(fused) == 40
+
+    ch = images.channel_partials(corpus).collect()
+    for r in ch:
+        f = fused[r["image_id"]]
+        assert f["n_px"] == r["n_px"]
+        assert f[f"s_{r['channel']}"] == r["s"]
+        assert f[f"ss_{r['channel']}"] == r["ss"]
+
+    sh = {r["image_id"]: r for r in images.sharpness_partials(corpus).collect()}
+    base = {r["image_id"]: r for r in corpus.collect()}
+    for iid, f in fused.items():
+        s = sh[iid]
+        assert (f["n_lap"], f["s_lap"], f["ss_lap"]) == (
+            s["n_lap"], s["s_lap"], s["ss_lap"]
+        )
+        b = base[iid]
+        assert (f["w"], f["h"]) == (b["w"], b["h"])
+        assert f["phash"] == b["phash"]
+        px = codecs.decode(bytes(b["bytes"]))
+        assert f["dhash"] == codecs.dhash64(px)

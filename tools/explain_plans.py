@@ -128,6 +128,8 @@ CHECKS = {
     "source_mixture_weights": ["HashAggregate", "!EvalPython"],
     # decode map stage -> in-expression variance: zero shuffle
     "image_sharpness": ["MapInPandas", "!Exchange"],
+    # fused single-decode feature pass: one Arrow map stage, no shuffle
+    "image_features_fused": ["MapInPandas", "!Exchange"],
 }
 
 

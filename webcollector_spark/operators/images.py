@@ -648,3 +648,75 @@ def image_sharpness(corpus: DataFrame, threshold: float = 10_000.0) -> DataFrame
         .otherwise(F.lit(False))
         .alias("is_sharp"),
     )
+
+
+FUSED_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("s_r", T.LongType()),
+        T.StructField("s_g", T.LongType()),
+        T.StructField("s_b", T.LongType()),
+        T.StructField("ss_r", T.LongType()),
+        T.StructField("ss_g", T.LongType()),
+        T.StructField("ss_b", T.LongType()),
+        T.StructField("n_lap", T.LongType()),
+        T.StructField("s_lap", T.LongType()),
+        T.StructField("ss_lap", T.LongType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def features_fused(corpus: DataFrame) -> DataFrame:
+    """Single-decode fused feature extraction: ONE decode per image,
+    every per-image feature off the same pixel buffer — channel moment
+    partials (normalization stats), Laplacian moment partials
+    (sharpness gate), phash + dhash (both near-dup LSH families), and
+    true dimensions. Running channel_partials / sharpness_partials /
+    decode hashing as separate operators decodes every image once PER
+    OPERATOR; fusing amortizes that to one decode. How much that buys
+    depends on the codec (measured, BENCH.md §4i): for compressed
+    formats decode dominates (pure-Python JPEG here: 57 ms/img vs
+    ~1.9 ms for ALL feature kernels combined; libjpeg-turbo in
+    production is ~2-3 ms — still the biggest single term), so k fused
+    consumers approach a k× saving; for the cheap vectorized PNG path
+    (0.23 ms/img) the win is the Arrow transfer + scan dedup instead.
+    All moments stay exact int64, so each
+    downstream reduce remains partition-order independent and
+    bit-reproducible (same contract as the unfused twins)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                px = codecs.decode(bytes(r["bytes"]))
+                lanes = px.astype(np.int64)
+                n_lap, s_lap, ss_lap = codecs.lap_partials(px)
+                rows.append(
+                    {
+                        "image_id": r["image_id"],
+                        "w": int(px.shape[1]),
+                        "h": int(px.shape[0]),
+                        "n_px": int(px.shape[0] * px.shape[1]),
+                        "s_r": int(lanes[:, :, 0].sum()),
+                        "s_g": int(lanes[:, :, 1].sum()),
+                        "s_b": int(lanes[:, :, 2].sum()),
+                        "ss_r": int((lanes[:, :, 0] ** 2).sum()),
+                        "ss_g": int((lanes[:, :, 1] ** 2).sum()),
+                        "ss_b": int((lanes[:, :, 2] ** 2).sum()),
+                        "n_lap": n_lap,
+                        "s_lap": s_lap,
+                        "ss_lap": ss_lap,
+                        "phash": codecs.phash64(px),
+                        "dhash": codecs.dhash64(px),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FUSED_FEATURES_SCHEMA]
+            )
+
+    return corpus.mapInPandas(run, schema=FUSED_FEATURES_SCHEMA)

@@ -3702,6 +3702,56 @@ def q_image_sharpness(spark, sf):
     )
 
 
+@register(
+    "image_features_fused",
+    # the oracle joins THREE independently committed tables — channel
+    # moment partials (pivoted wide), Laplacian partials (base rows of
+    # the blur-gate build), and the corpus meta (dims + phash) — so the
+    # fused single-decode pass is checked against feature values that
+    # were each computed by a separate decode in a separate build
+    f"""
+    WITH ch AS (
+      SELECT image_id,
+             max(n_px) AS n_px,
+             max(CASE WHEN channel = 'r' THEN s END) AS s_r,
+             max(CASE WHEN channel = 'g' THEN s END) AS s_g,
+             max(CASE WHEN channel = 'b' THEN s END) AS s_b,
+             max(CASE WHEN channel = 'r' THEN ss END) AS ss_r,
+             max(CASE WHEN channel = 'g' THEN ss END) AS ss_g,
+             max(CASE WHEN channel = 'b' THEN ss END) AS ss_b
+      FROM read_parquet('{_ORACLE_DIR / "image_channel_partials"}.parquet')
+      GROUP BY image_id
+    ),
+    sh AS (
+      SELECT image_id, n_lap, s_lap, ss_lap
+      FROM read_parquet('{_ORACLE_DIR / "image_sharpness_partials"}.parquet')
+      WHERE image_id LIKE 'img%'
+    ),
+    m AS (
+      SELECT image_id, w, h, phash
+      FROM read_parquet('{_ORACLE_DIR / "caption_corpus_meta"}.parquet')
+      WHERE image_id LIKE 'img%'
+    )
+    SELECT m.image_id, m.w, m.h, ch.n_px,
+           ch.s_r, ch.s_g, ch.s_b, ch.ss_r, ch.ss_g, ch.ss_b,
+           sh.n_lap, sh.s_lap, sh.ss_lap, m.phash
+    FROM m JOIN ch USING (image_id) JOIN sh USING (image_id)
+    """,
+)
+def q_image_features_fused(spark, sf):
+    """Single-decode fused feature extraction: one decode per image
+    emits channel moments + Laplacian moments + phash + dims in the
+    same Arrow batch (operators/images.py features_fused), so k
+    downstream consumers pay one decode instead of k — at 100 TB with
+    compressed payloads the decode is the pipeline's biggest single
+    term (measured, BENCH.md §4i); dhash is also emitted but has no
+    committed per-image oracle, so the registry row projects the
+    oracle-checkable columns."""
+    from webcollector_spark.operators import images
+
+    return images.features_fused(images.corpus_df(spark, 200)).drop("dhash")
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot ordering. The driver's CORRECTNESS_r{N}.json snapshot
 # covers only the FIRST ~50 queries() entries (observed cap across
@@ -3728,6 +3778,7 @@ _SNAPSHOT_FIRST = [
     "aspect_bucket_assign",
     "shard_assign",
     "shard_manifest",
+    "image_features_fused",
     "source_mixture_weights",
     "image_sharpness",
     # caption curation (registered r3 after the snapshot freeze)
