@@ -176,3 +176,41 @@ def test_features_fused_equals_unfused_twins(spark):
         assert f["phash"] == b["phash"]
         px = codecs.decode(bytes(b["bytes"]))
         assert f["dhash"] == codecs.dhash64(px)
+
+
+def test_pack_shards_string_key(spark):
+    """Non-numeric keys (image ids, URLs) bucket by xxhash64 — the
+    offsets must still be the exact global running sum in
+    (bucket, key) order and the manifest must cover every byte."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"img{i:08d}" for i in range(150)],
+            "n_bytes": [(i * 37) % 900 + 100 for i in range(150)],
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(7)
+    packed = shards.pack_shards(
+        df, key="image_id", size="n_bytes", target_bytes=4096, n_buckets=8
+    )
+    rows = packed.collect()
+    assert len(rows) == 150
+    # recompute the oracle locally with the same hash
+    hashes = {
+        r["image_id"]: r["b"]
+        for r in df.select(
+            "image_id", F.pmod(F.xxhash64("image_id"), F.lit(8)).alias("b")
+        ).collect()
+    }
+    sizes = dict(zip(pdf["image_id"], pdf["n_bytes"]))
+    order = sorted(pdf["image_id"], key=lambda i: (hashes[i], i))
+    acc, want = 0, {}
+    for iid in order:
+        want[iid] = (hashes[iid], acc, acc // 4096)
+        acc += int(sizes[iid])
+    got = {
+        r["image_id"]: (r["bucket"], r["start_offset"], r["shard"]) for r in rows
+    }
+    assert got == want

@@ -47,9 +47,17 @@ def pack_shards(
     """Assign each row a shard id so consecutive rows (in (bucket, key)
     order) pack into ~target_bytes shards. Returns the input's key plus
     (bucket, start_offset, shard). Deterministic: same input -> same
-    manifest, independent of partitioning and cluster size."""
+    manifest, independent of partitioning and cluster size.
+
+    Works with any orderable key: numeric keys bucket by `key mod B`
+    (cheap, and the form the DuckDB oracle mirrors); non-numeric keys
+    (image_id strings, URLs) bucket by `xxhash64(key) mod B` — still a
+    pure deterministic expression, no extra shuffle."""
     spark = df.sparkSession
-    b = df.withColumn("bucket", F.pmod(F.col(key), F.lit(n_buckets)))
+    key_type = df.schema[key].dataType.typeName()
+    key_num = key_type in {"byte", "short", "integer", "long", "decimal"}
+    bucket_src = F.col(key) if key_num else F.xxhash64(F.col(key))
+    b = df.withColumn("bucket", F.pmod(bucket_src, F.lit(n_buckets)))
 
     # (2) + (3): per-bucket totals -> exclusive prefix offsets. The
     # collect is HARD-BOUNDED at n_buckets rows (driver holds B longs).
