@@ -234,27 +234,26 @@ def test_crawl_to_training_manifest_funnel(spark, tmp_path):
     # kept, and the whole chain is rerun-deterministic
     from webcollector_spark.operators import shards
 
-    export = (
-        surv_corpus.filter(F.col("image_id").isin(list(keepers)))
-        .withColumn("img_key", F.xxhash64("image_id"))
-        .withColumn("n_bytes", F.length("bytes").cast("long"))
+    export = surv_corpus.filter(F.col("image_id").isin(list(keepers))).withColumn(
+        "n_bytes", F.length("bytes").cast("long")
     )
     target = 16 * 1024
+    # string key: pack_shards buckets by xxhash64(image_id) internally
     packed = shards.pack_shards(
-        export, key="img_key", size="n_bytes", target_bytes=target, n_buckets=8
+        export, key="image_id", size="n_bytes", target_bytes=target, n_buckets=8
     )
     rows = packed.collect()
     assert len(rows) == len(keepers)
-    # offsets are the exact global running sum in (bucket, img_key) order
+    # offsets are the exact global running sum in (bucket, image_id) order
     sizes = {
-        r["img_key"]: r["n_bytes"]
-        for r in export.select("img_key", "n_bytes").collect()
+        r["image_id"]: r["n_bytes"]
+        for r in export.select("image_id", "n_bytes").collect()
     }
     acc = 0
-    for r in sorted(rows, key=lambda r: (r["bucket"], r["img_key"])):
+    for r in sorted(rows, key=lambda r: (r["bucket"], r["image_id"])):
         assert r["start_offset"] == acc
         assert r["shard"] == acc // target
-        acc += sizes[r["img_key"]]
+        acc += sizes[r["image_id"]]
     assert acc == sum(sizes.values())
     man = {r["shard"]: r for r in shards.shard_manifest(packed).collect()}
     assert sum(r["n_rows"] for r in man.values()) == len(keepers)
@@ -266,4 +265,4 @@ def test_crawl_to_training_manifest_funnel(spark, tmp_path):
         jump = cur["shard"] - prev["shard"]
         assert jump >= 0
         if jump > 1:
-            assert sizes[prev["img_key"]] > target
+            assert sizes[prev["image_id"]] > target
