@@ -93,6 +93,7 @@ HEADLINE = [
     "shard_manifest",
     "source_mixture_weights",
     "image_features_fused",
+    "image_neardup_best_keepers",
     "image_sharpness",
 ]
 

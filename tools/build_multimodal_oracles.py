@@ -166,6 +166,15 @@ SCHEMAS = {
             ("ss_lap", pa.int64()),
         ]
     ),
+    # same partials over the NEARDUPS corpus (quality-aware keeper input)
+    "image_sharpness_partials_neardup": pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("n_lap", pa.int64()),
+            ("s_lap", pa.int64()),
+            ("ss_lap", pa.int64()),
+        ]
+    ),
 }
 
 
@@ -516,6 +525,11 @@ def build_all() -> dict[str, pd.DataFrame]:
         "image_channel_partials": build_image_channel_partials(corpus),
         "image_sharpness_partials": build_image_sharpness_partials(
             fixtures.make_corpus_blurgate(200, 40)
+        ),
+        # the quality-aware keeper decision needs per-image sharpness
+        # over the SAME corpus the committed pair tables cover
+        "image_sharpness_partials_neardup": build_image_sharpness_partials(
+            neardups
         ),
     }
 

@@ -130,6 +130,9 @@ CHECKS = {
     "image_sharpness": ["MapInPandas", "!Exchange"],
     # fused single-decode feature pass: one Arrow map stage, no shuffle
     "image_features_fused": ["MapInPandas", "!Exchange"],
+    # quality-aware keeper: blocked candidate joins + one row_number
+    # window partitioned by cluster (never a global window)
+    "image_neardup_best_keepers": ["Join", "Window", "MapInPandas"],
 }
 
 

@@ -29,7 +29,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -720,3 +720,35 @@ def features_fused(corpus: DataFrame) -> DataFrame:
             )
 
     return corpus.mapInPandas(run, schema=FUSED_FEATURES_SCHEMA)
+
+
+def image_neardup_best_keepers(
+    corpus: DataFrame, max_hamming: int = 4
+) -> DataFrame:
+    """Quality-aware dedup decision: same phash ∪ dhash hamming-ball
+    clusters as image_neardup_keepers, but the keeper is the SHARPEST
+    copy (highest variance-of-Laplacian, min image_id tiebreak) instead
+    of the arbitrary min-id — the rule a real curation pipeline wants,
+    since near-dup groups on the web are typically one original plus
+    recompressed/rescaled/soft copies and training should keep the best
+    one. Output: (image_id, cluster, cluster_size, lap_var, is_keeper).
+
+    Scale shape: the cluster machinery is unchanged (blocked candidate
+    joins + BSP components); sharpness comes from the decode map stage
+    (or the fused features pass); keeper selection is one row_number
+    window partitioned by cluster — cluster sizes are duplicate
+    multiplicities, so no partition is meaningfully large. lap_var is
+    rounded to 4 decimals BEFORE ranking so the keeper choice is
+    bit-reproducible across engines."""
+    decided = image_neardup_keepers(corpus, max_hamming=max_hamming).drop(
+        "is_keeper"
+    )
+    sharp = image_sharpness(corpus).select("image_id", "lap_var")
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("lap_var").desc_nulls_last(), F.col("image_id")
+    )
+    return (
+        decided.join(sharp, "image_id")
+        .withColumn("is_keeper", F.row_number().over(w) == 1)
+        .select("image_id", "cluster", "cluster_size", "lap_var", "is_keeper")
+    )

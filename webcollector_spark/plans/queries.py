@@ -3752,6 +3752,69 @@ def q_image_features_fused(spark, sf):
     return images.features_fused(images.corpus_df(spark, 200)).drop("dhash")
 
 
+@register(
+    "image_neardup_best_keepers",
+    # components CTE over the two committed pair tables (same fixpoint
+    # as image_neardup_keepers' oracle) + per-image variance-of-Laplacian
+    # recomputed from the committed INTEGER partials over the SAME
+    # corpus, then the keeper = row_number over (lap_var desc, id)
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT img_a, img_b
+      FROM read_parquet('{_ORACLE_DIR / "phash_neardup"}.parquet')
+      WHERE hamming <= 4
+      UNION
+      SELECT img_a, img_b
+      FROM read_parquet('{_ORACLE_DIR / "dhash_neardup"}.parquet')
+      WHERE hamming <= 4
+    ),
+    edges AS (SELECT img_a AS a, img_b AS b FROM pairs
+              UNION SELECT img_b, img_a FROM pairs),
+    reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+    comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+    ids AS (SELECT image_id
+            FROM read_parquet('{_ORACLE_DIR / "image_neardup_ids"}.parquet')),
+    labelled AS (
+      SELECT i.image_id, coalesce(c.comp, i.image_id) AS cluster
+      FROM ids i LEFT JOIN comp c ON i.image_id = c.node),
+    sizes AS (SELECT cluster, count(*) AS cluster_size
+              FROM labelled GROUP BY cluster),
+    sharp AS (
+      SELECT image_id,
+             CASE WHEN n_lap > 0 THEN
+               round((ss_lap / CAST(n_lap AS double)
+                      - (s_lap / CAST(n_lap AS double))
+                        * (s_lap / CAST(n_lap AS double)))
+                     / 1000000.0, 4) + 0.0
+             END AS lap_var
+      FROM read_parquet('{_ORACLE_DIR / "image_sharpness_partials_neardup"}.parquet')
+    )
+    SELECT l.image_id, l.cluster, s.cluster_size, sh.lap_var,
+           row_number() OVER (
+             PARTITION BY l.cluster
+             ORDER BY sh.lap_var DESC NULLS LAST, l.image_id
+           ) = 1 AS is_keeper
+    FROM labelled l
+    JOIN sizes s ON l.cluster = s.cluster
+    JOIN sharp sh ON l.image_id = sh.image_id
+    """,
+)
+def q_image_neardup_best_keepers(spark, sf):
+    """Quality-aware image dedup: same phash ∪ dhash clusters as
+    image_neardup_keepers, keeper = the SHARPEST copy
+    (variance-of-Laplacian, min-id tiebreak) — keep the original, drop
+    the recompressed/soft copies (operators/images.py
+    image_neardup_best_keepers)."""
+    from webcollector_spark.operators import images
+
+    return images.image_neardup_best_keepers(
+        images.corpus_with_neardups(spark), max_hamming=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver snapshot ordering. The driver's CORRECTNESS_r{N}.json snapshot
 # covers only the FIRST ~50 queries() entries (observed cap across
@@ -3779,6 +3842,7 @@ _SNAPSHOT_FIRST = [
     "shard_assign",
     "shard_manifest",
     "image_features_fused",
+    "image_neardup_best_keepers",
     "source_mixture_weights",
     "image_sharpness",
     # caption curation (registered r3 after the snapshot freeze)
