@@ -70,12 +70,13 @@ def main() -> None:
     n3 = sharp_ids.count()
     print(f"after sharpness gate: {n3}  (-{n2 - n3} blurry)")
 
-    # 4. ensemble near-dup keepers (phash ∪ dhash hamming balls)
+    # 4. quality-aware near-dup keepers (phash ∪ dhash hamming balls;
+    # keeper = the sharpest copy in each cluster, not an arbitrary id)
     kept = corpus.join(sharp_ids, "image_id")
-    decided = images.image_neardup_keepers(kept, max_hamming=4)
+    decided = images.image_neardup_best_keepers(kept, max_hamming=4)
     keepers = decided.filter(F.col("is_keeper")).select("image_id")
     n4 = keepers.count()
-    print(f"after near-dup dedup: {n4}  (-{n3 - n4} dupes)")
+    print(f"after near-dup dedup: {n4}  (-{n3 - n4} dupes, keeping sharpest)")
 
     final = corpus.join(keepers, "image_id")
 
