@@ -196,3 +196,25 @@ def test_image_neardup_best_keepers_rule(spark):
     # every multi-member cluster contains a dup re-encode by construction
     multi = [m for m in by_cluster.values() if len(m) > 1]
     assert multi
+
+
+def test_best_keepers_from_fused_features(spark, tmp_path):
+    """decode-once-decide-anywhere: the full quality-aware dedup
+    decision over a precomputed features_fused table must equal the
+    decode-path result exactly, and its physical plan must contain NO
+    Python stage at all — the decision layer is pure JVM once features
+    exist."""
+    corpus = images.corpus_with_neardups(spark, 100, 20)
+    feats = images.features_fused(corpus)
+    feats.write.mode("overwrite").parquet(str(tmp_path / "feats"))
+    stored = spark.read.parquet(str(tmp_path / "feats"))
+
+    via_decode = {
+        tuple(r) for r in images.image_neardup_best_keepers(corpus, 4).collect()
+    }
+    fused_df = images.image_neardup_best_keepers(corpus, 4, features=stored)
+    via_feats = {tuple(r) for r in fused_df.collect()}
+    assert via_feats == via_decode
+
+    plan = fused_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "EvalPython" not in plan

@@ -302,7 +302,11 @@ def dhash_neardup_blocked(corpus: DataFrame, max_hamming: int = 4) -> DataFrame:
     )
 
 
-def image_neardup_keepers(corpus: DataFrame, max_hamming: int = 4) -> DataFrame:
+def image_neardup_keepers(
+    corpus: DataFrame,
+    max_hamming: int = 4,
+    features: DataFrame | None = None,
+) -> DataFrame:
     """THE dedup decision a 10^9-image pipeline ships: union the phash
     (global brightness layout) and dhash (local gradient structure)
     hamming balls — two LSH families with independent mistake profiles,
@@ -316,17 +320,27 @@ def image_neardup_keepers(corpus: DataFrame, max_hamming: int = 4) -> DataFrame:
     min-label loop at O(edges)/round; everything downstream of the
     pair union is O(n + edges). Reference anchor: WebCollector dedups
     by exact key only (crawldb merge, `plans/queries.py` O13) — this is
-    the content-level twin the image graft needs."""
+    the content-level twin the image graft needs.
+
+    Pass `features` (a features_fused output) to source dhash from the
+    precomputed table instead of re-decoding — the whole decision then
+    runs without touching payload bytes."""
     from webcollector_spark.operators.components import dedup_clusters
 
+    dhash_src = (
+        features.select("image_id", F.col("dhash").alias("phash"))
+        if features is not None
+        else None
+    )
+    dhash_pairs = (
+        phash_neardup_blocked(dhash_src, max_hamming=max_hamming)
+        if dhash_src is not None
+        else dhash_neardup_blocked(corpus, max_hamming=max_hamming)
+    )
     pairs = (
         phash_neardup_blocked(corpus, max_hamming=max_hamming)
         .select("img_a", "img_b")
-        .unionByName(
-            dhash_neardup_blocked(corpus, max_hamming=max_hamming).select(
-                "img_a", "img_b"
-            )
-        )
+        .unionByName(dhash_pairs.select("img_a", "img_b"))
         .distinct()
     )
     return dedup_clusters(
@@ -626,14 +640,26 @@ def sharpness_partials(corpus: DataFrame) -> DataFrame:
     return corpus.mapInPandas(run, schema=SHARPNESS_PARTIALS_SCHEMA)
 
 
-def image_sharpness(corpus: DataFrame, threshold: float = 10_000.0) -> DataFrame:
+def image_sharpness(
+    corpus: DataFrame,
+    threshold: float = 10_000.0,
+    partials: DataFrame | None = None,
+) -> DataFrame:
     """Blur gate: variance of the Laplacian per image (the classic
     sharpness score), normalized back to 8-bit-luma^2 units (the
     integer luma is x1000), rounded to 4 decimals. A training-data
     curation filter: soft-focus / upscaled thumbnails score orders of
     magnitude below real texture. Decode map stage -> per-image
-    in-expression variance — embarrassingly parallel, zero shuffle."""
-    p = sharpness_partials(corpus)
+    in-expression variance — embarrassingly parallel, zero shuffle.
+
+    Pass `partials` (any table with image_id/n_lap/s_lap/ss_lap, e.g.
+    a features_fused output) to skip the decode entirely — the gate
+    then runs pure-JVM over precomputed features."""
+    p = (
+        partials.select("image_id", "n_lap", "s_lap", "ss_lap")
+        if partials is not None
+        else sharpness_partials(corpus)
+    )
     n = F.col("n_lap").cast("double")
     mean = F.col("s_lap").cast("double") / n
     lap_var = (
@@ -723,7 +749,9 @@ def features_fused(corpus: DataFrame) -> DataFrame:
 
 
 def image_neardup_best_keepers(
-    corpus: DataFrame, max_hamming: int = 4
+    corpus: DataFrame,
+    max_hamming: int = 4,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Quality-aware dedup decision: same phash ∪ dhash hamming-ball
     clusters as image_neardup_keepers, but the keeper is the SHARPEST
@@ -739,11 +767,18 @@ def image_neardup_best_keepers(
     window partitioned by cluster — cluster sizes are duplicate
     multiplicities, so no partition is meaningfully large. lap_var is
     rounded to 4 decimals BEFORE ranking so the keeper choice is
-    bit-reproducible across engines."""
-    decided = image_neardup_keepers(corpus, max_hamming=max_hamming).drop(
-        "is_keeper"
+    bit-reproducible across engines.
+
+    Pass `features` (a features_fused output) and the ENTIRE decision —
+    clusters, sharpness, keeper — runs pure-JVM over the precomputed
+    feature table, zero decodes: the decode-once-decide-anywhere shape
+    a 10^9-image pipeline wants."""
+    decided = image_neardup_keepers(
+        corpus, max_hamming=max_hamming, features=features
+    ).drop("is_keeper")
+    sharp = image_sharpness(corpus, partials=features).select(
+        "image_id", "lap_var"
     )
-    sharp = image_sharpness(corpus).select("image_id", "lap_var")
     w = Window.partitionBy("cluster").orderBy(
         F.col("lap_var").desc_nulls_last(), F.col("image_id")
     )
