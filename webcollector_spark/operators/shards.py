@@ -101,3 +101,239 @@ def shard_manifest(assigned: DataFrame) -> DataFrame:
         F.min("start_offset").alias("first_offset"),
         F.max("start_offset").alias("last_offset"),
     )
+
+
+def _shard_path(out_dir: str, shard: int) -> str:
+    import os
+
+    return os.path.join(out_dir, f"shard-{shard:06d}.tar")
+
+
+class _HashingWriter:
+    """Sequential-write file wrapper that tees into sha256 (so the
+    lineage digest costs no second read of the tar)."""
+
+    def __init__(self, f):
+        import hashlib
+
+        self._f = f
+        self.sha = hashlib.sha256()
+        self.n = 0
+
+    def write(self, b):
+        self.sha.update(b)
+        self.n += len(b)
+        return self._f.write(b)
+
+    def close(self):
+        self._f.close()
+
+
+def write_webdataset(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    key: str = "image_id",
+    bytes_col: str = "bytes",
+    caption_col: str = "caption",
+    fmt_col: str = "fmt",
+    shard_col: str = "shard",
+    overwrite: bool = False,
+) -> DataFrame:
+    """Write a shard-assigned corpus as WebDataset-style tar shards and
+    return the per-shard lineage manifest
+    (shard, n_rows, tar_bytes, sha256, path, written).
+
+    The actual byte sink of the crawl->training funnel: `pack_shards`
+    decides WHERE each sample goes; this writes the bytes. Per sample,
+    two tar members with a shared basename (`<id>.<fmt>` payload,
+    `<id>.txt` caption) — the WebDataset sample convention. NULL
+    captions surface as empty .txt members (tar has no null).
+
+    Scale + determinism contract:
+    * one shuffle (`repartition(shard)`) puts every row of a shard in
+      exactly one task — no shard ever spans writers; a task writes
+      its shards sequentially as `sortWithinPartitions(shard, key)`
+      hands them over, so member order is deterministic;
+    * tar bytes are BIT-REPRODUCIBLE across reruns and cluster sizes:
+      USTAR stream mode, zeroed mtime/uid/gid/uname/gname, fixed
+      0o644 mode, sorted members — rerunning an export yields
+      byte-identical shards and therefore identical sha256 lineage;
+    * resume is idempotent: a shard whose final file already exists is
+      skipped (written=false, digest re-read from disk) unless
+      `overwrite=True`; in-flight files use `.inprogress` + atomic
+      os.replace, so a killed export never leaves a truncated shard
+      under the final name (same crash-resume stance as the crawler's
+      rounds manifest; needs a rename-capable FS — on object stores
+      deploy the final-name existence check as a conditional PUT);
+    * the per-row Python here is tar *header assembly* around an
+      I/O-bound byte copy — the sink analogue of the reference's
+      single-node segment writer (fetcher/Fetcher.java segmentWriter),
+      not an expression hot path; everything upstream of the sink
+      stays JVM-side.
+    """
+    import pandas as pd
+
+    out_schema = (
+        "shard bigint, n_rows bigint, tar_bytes bigint, "
+        "sha256 string, path string, written boolean"
+    )
+
+    def write_partition(batches):
+        import io
+        import os
+        import tarfile
+
+        os.makedirs(out_dir, exist_ok=True)
+        state = {}  # shard -> open writer state
+        results = []
+
+        def start(shard):
+            final = _shard_path(out_dir, shard)
+            if os.path.exists(final) and not overwrite:
+                return {"shard": shard, "skip": True, "final": final, "rows": 0}
+            # attempt-unique temp name: concurrent speculative attempts
+            # must never interleave writes into one file; whichever
+            # os.replace lands last wins with a complete tar either way
+            tmp = f"{final}.inprogress.{os.getpid()}"
+            hw = _HashingWriter(open(tmp, "wb"))
+            tar = tarfile.open(
+                fileobj=hw, mode="w|", format=tarfile.USTAR_FORMAT
+            )
+            return {
+                "shard": shard,
+                "skip": False,
+                "final": final,
+                "tmp": tmp,
+                "hw": hw,
+                "tar": tar,
+                "rows": 0,
+            }
+
+        def finish(st):
+            import hashlib
+
+            if st["skip"]:
+                h = hashlib.sha256()
+                with open(st["final"], "rb") as f:
+                    for chunk in iter(lambda: f.read(1 << 20), b""):
+                        h.update(chunk)
+                results.append(
+                    (
+                        st["shard"],
+                        st["rows"],
+                        os.path.getsize(st["final"]),
+                        h.hexdigest(),
+                        st["final"],
+                        False,
+                    )
+                )
+                return
+            st["tar"].close()
+            st["hw"].close()
+            os.replace(st["tmp"], st["final"])
+            results.append(
+                (
+                    st["shard"],
+                    st["rows"],
+                    st["hw"].n,
+                    st["hw"].sha.hexdigest(),
+                    st["final"],
+                    True,
+                )
+            )
+
+        def add_member(tar, name, data):
+            ti = tarfile.TarInfo(name=name)
+            ti.size = len(data)
+            ti.mtime = 0
+            ti.uid = 0
+            ti.gid = 0
+            ti.mode = 0o644
+            ti.uname = ""
+            ti.gname = ""
+            tar.addfile(ti, io.BytesIO(data))
+
+        cur = None
+        for pdf in batches:
+            for sid, k, data, cap, fmt in zip(
+                pdf[shard_col], pdf[key], pdf[bytes_col],
+                pdf[caption_col], pdf[fmt_col],
+            ):
+                sid = int(sid)
+                if cur is None or cur["shard"] != sid:
+                    if cur is not None:
+                        finish(cur)
+                    cur = start(sid)
+                cur["rows"] += 1
+                if cur["skip"]:
+                    continue
+                ext = fmt if fmt else "bin"
+                add_member(cur["tar"], f"{k}.{ext}", bytes(data))
+                cap_b = (cap if cap is not None else "").encode("utf-8")
+                add_member(cur["tar"], f"{k}.txt", cap_b)
+        if cur is not None:
+            finish(cur)
+        if results:
+            yield pd.DataFrame(
+                results,
+                columns=["shard", "n_rows", "tar_bytes", "sha256", "path", "written"],
+            )
+
+    cols = [shard_col, key, bytes_col, caption_col, fmt_col]
+    return (
+        df.select(*cols)
+        .repartition(F.col(shard_col))
+        .sortWithinPartitions(shard_col, key)
+        .mapInPandas(write_partition, schema=out_schema)
+    )
+
+
+def read_webdataset(spark, out_dir: str) -> DataFrame:
+    """Distributed read-back of a `write_webdataset` export: one row per
+    sample (image_id, data binary, caption string, shard bigint).
+
+    `binaryFile` hands each tar to one task whole — the same
+    shard-fits-in-worker-memory contract WebDataset sample loaders
+    assume (target_bytes is the knob that keeps it true) — and the tar
+    member pairing happens in an Arrow-batched pass."""
+    out_schema = "image_id string, data binary, caption string, shard bigint"
+
+    def parse_partition(batches):
+        import io
+        import re
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = re.search(r"shard-(\d+)\.tar$", path)
+                shard = int(m.group(1)) if m else -1
+                payload, caption = {}, {}
+                with tarfile.open(
+                    fileobj=io.BytesIO(bytes(content)), mode="r:"
+                ) as tar:
+                    for ti in tar:
+                        stem, dot, ext = ti.name.rpartition(".")
+                        data = tar.extractfile(ti).read()
+                        if ext == "txt":
+                            caption[stem] = data.decode("utf-8")
+                        else:
+                            payload[stem] = data
+                for stem, data in payload.items():
+                    rows.append((stem, data, caption.get(stem, ""), shard))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "data", "caption", "shard"]
+                )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*.tar")
+        .load(out_dir)
+    )
+    return files.select("path", "content").mapInPandas(
+        parse_partition, schema=out_schema
+    )
