@@ -266,3 +266,20 @@ def test_crawl_to_training_manifest_funnel(spark, tmp_path):
         assert jump >= 0
         if jump > 1:
             assert sizes[prev["image_id"]] > target
+
+    # 7. the byte sink: every kept payload lands in a tar shard, and
+    # reading the export back returns exactly the kept bytes+captions —
+    # the funnel now ends in training-ready files, not just a manifest
+    out = str(tmp_path / "wds")
+    assigned = export.join(packed.select("image_id", "shard"), "image_id")
+    wrote = shards.write_webdataset(assigned, out).collect()
+    assert sum(r["n_rows"] for r in wrote) == len(keepers)
+    back = {
+        r["image_id"]: (r["data"], r["caption"])
+        for r in shards.read_webdataset(spark, out).collect()
+    }
+    orig = {
+        r["image_id"]: (bytes(r["bytes"]), r["caption"] or "")
+        for r in export.select("image_id", "bytes", "caption").collect()
+    }
+    assert back == orig
