@@ -101,3 +101,77 @@ def test_webdataset_member_layout(spark, tmp_path):
         assert stems[1::2] == pair_stems  # .txt follows its payload
         for m in members:
             assert m.mtime == 0 and m.uid == 0 and m.gid == 0
+
+
+def test_member_index_matches_real_tar_bytes(spark, tmp_path):
+    """The byte-offset index is pure arithmetic over member sizes; this
+    pins that arithmetic (512-byte headers, 512-padded data, two
+    members per sample in key order) against the bytes tarfile actually
+    wrote: seek to each indexed offset, check the preceding header
+    names the member, and read back exactly the original payload and
+    caption."""
+    out = str(tmp_path / "wds")
+    assigned = _assigned_corpus(spark, n=45)
+    shards.write_webdataset(assigned, out).collect()
+
+    sized = assigned.select(
+        "image_id",
+        "shard",
+        "fmt",
+        F.length("bytes").cast("long").alias("n_bytes"),
+        F.coalesce(F.octet_length("caption"), F.lit(0))
+        .cast("long")
+        .alias("cap_bytes"),
+    )
+    idx = {
+        r["image_id"]: r
+        for r in shards.member_index(sized, key="image_id").collect()
+    }
+    orig = {
+        r["image_id"]: r
+        for r in assigned.select("image_id", "bytes", "caption", "fmt").collect()
+    }
+    assert idx.keys() == orig.keys()
+    for k, r in idx.items():
+        with open(os.path.join(out, f"shard-{r['shard']:06d}.tar"), "rb") as f:
+            f.seek(r["payload_offset"] - 512)
+            hdr = f.read(512)
+            assert hdr[:100].rstrip(b"\0").decode() == f"{k}.{orig[k]['fmt']}"
+            assert f.read(r["payload_len"]) == bytes(orig[k]["bytes"])
+            f.seek(r["caption_offset"] - 512)
+            assert f.read(512)[:100].rstrip(b"\0").decode() == f"{k}.txt"
+            got_cap = f.read(r["caption_len"]).decode("utf-8")
+            assert got_cap == (orig[k]["caption"] or "")
+
+
+def test_fetch_samples_random_access(spark, tmp_path):
+    """Sparse ranged reads via the index return exactly the original
+    bytes+captions for an arbitrary subset, without read_webdataset's
+    whole-shard streaming."""
+    out = str(tmp_path / "wds")
+    assigned = _assigned_corpus(spark, n=45)
+    shards.write_webdataset(assigned, out).collect()
+
+    sized = assigned.select(
+        "image_id",
+        "shard",
+        F.length("bytes").cast("long").alias("n_bytes"),
+        F.coalesce(F.octet_length("caption"), F.lit(0))
+        .cast("long")
+        .alias("cap_bytes"),
+    )
+    idx = shards.member_index(sized, key="image_id")
+    subset = idx.filter(F.crc32(F.col("image_id")) % 3 == 0)
+    got = {
+        r["image_id"]: r for r in shards.fetch_samples(subset, out).collect()
+    }
+    want = {
+        r["image_id"]: r
+        for r in assigned.select("image_id", "bytes", "caption", "shard").collect()
+        if r["image_id"] in got
+    }
+    assert len(got) == subset.count() > 0
+    for k, r in got.items():
+        assert bytes(r["data"]) == bytes(want[k]["bytes"])
+        assert r["caption"] == (want[k]["caption"] or "")
+        assert r["shard"] == want[k]["shard"]

@@ -3632,6 +3632,73 @@ def q_shard_manifest(spark, sf):
 
 
 @register(
+    "shard_member_index",
+    # recompute the USTAR arithmetic end-to-end in SQL: the packer's
+    # shard (global prefix-sum, same CTE as shard_assign), then the
+    # within-shard member cumsum. (x+511) & -512 is exact 512-padding
+    # in both engines; DuckDB's windowed sum(bigint) is HUGEINT, hence
+    # the ::bigint casts (driver hash compares typed values).
+    """
+    WITH d AS (
+      -- strlen = UTF-8 byte length in DuckDB (its octet_length is
+      -- BLOB-only); mirrors Spark's octet_length(source)
+      SELECT doc_id, doc_id % 16 AS bucket, n_chars,
+             strlen(source) AS meta_len
+      FROM documents
+    ),
+    a AS (
+      SELECT doc_id, n_chars, meta_len,
+             floor(coalesce(sum(n_chars) OVER (
+               ORDER BY bucket, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 8192.0)::bigint AS shard,
+             (1024 + ((n_chars + 511) & -512)
+                   + ((meta_len + 511) & -512))::bigint AS span
+      FROM d
+    )
+    SELECT doc_id, shard,
+           (coalesce(sum(span) OVER (
+              PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + 512)::bigint AS payload_offset,
+           n_chars::bigint AS payload_len,
+           (coalesce(sum(span) OVER (
+              PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + 1024 + ((n_chars + 511) & -512))::bigint AS caption_offset,
+           meta_len::bigint AS caption_len
+    FROM a
+    """,
+)
+def q_shard_member_index(spark, sf):
+    """Per-sample byte-offset index into the export tars (random access
+    into WebDataset shards): because write_webdataset's tars are
+    bit-reproducible USTAR (512-byte headers, 512-padded data, two
+    members per sample in key order per shard), every sample's position
+    is pure arithmetic over member sizes — indexed here as one
+    per-shard window cumsum (partition bounded by target_bytes, whole-
+    stage-codegen expressions, no tar ever re-read). A dataloader then
+    fetches any one sample with a single ranged read
+    (operators/shards.py member_index + fetch_samples; offsets pinned
+    against real tar bytes in tests/test_wds.py)."""
+    from webcollector_spark.operators import shards
+
+    docs = _t(spark, sf, "documents")
+    assigned = shards.pack_shards(
+        docs, key="doc_id", size="n_chars", target_bytes=8192, n_buckets=16
+    )
+    sized = assigned.select("doc_id", "shard").join(
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_bytes"),
+            F.octet_length("source").cast("long").alias("cap_bytes"),
+        ),
+        "doc_id",
+    )
+    return shards.member_index(sized, key="doc_id")
+
+
+@register(
     "source_mixture_weights",
     """
     WITH s AS (
@@ -3841,6 +3908,7 @@ _SNAPSHOT_FIRST = [
     "aspect_bucket_assign",
     "shard_assign",
     "shard_manifest",
+    "shard_member_index",
     "image_features_fused",
     "image_neardup_best_keepers",
     "source_mixture_weights",
