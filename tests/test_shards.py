@@ -214,3 +214,24 @@ def test_pack_shards_string_key(spark):
         r["image_id"]: (r["bucket"], r["start_offset"], r["shard"]) for r in rows
     }
     assert got == want
+
+
+def test_pack_shards_carry_equals_join_form(spark):
+    """carry= rides columns through the packer's own shuffle; the
+    result must be exactly the join-the-assignment-back form it
+    replaces (which costs a second full corpus shuffle at scale)."""
+    from pyspark.sql import functions as F
+
+    pdf, df = _docs_df(spark)
+    sized = df.withColumn("n2", (F.col("n_chars") * 2).cast("long"))
+    carried = shards.pack_shards(
+        sized, key="doc_id", size="n_chars", target_bytes=8192,
+        n_buckets=16, carry=("n2",),
+    )
+    joined = shards.pack_shards(
+        sized, key="doc_id", size="n_chars", target_bytes=8192, n_buckets=16
+    ).join(sized.select("doc_id", "n2"), "doc_id")
+    cols = ["doc_id", "bucket", "start_offset", "shard", "n2"]
+    a = sorted(tuple(r[c] for c in cols) for r in carried.select(*cols).collect())
+    b = sorted(tuple(r[c] for c in cols) for r in joined.select(*cols).collect())
+    assert a == b

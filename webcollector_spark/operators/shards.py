@@ -43,6 +43,7 @@ def pack_shards(
     size: str,
     target_bytes: int,
     n_buckets: int = 32,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each row a shard id so consecutive rows (in (bucket, key)
     order) pack into ~target_bytes shards. Returns the input's key plus
@@ -52,7 +53,15 @@ def pack_shards(
     Works with any orderable key: numeric keys bucket by `key mod B`
     (cheap, and the form the DuckDB oracle mirrors); non-numeric keys
     (image_id strings, URLs) bucket by `xxhash64(key) mod B` — still a
-    pure deterministic expression, no extra shuffle."""
+    pure deterministic expression, no extra shuffle.
+
+    `carry` names input columns to pass through to the output. The
+    bucket window's shuffle already moves every row once, so carrying
+    payload/size columns through it is free — whereas the obvious
+    alternative (join the assignment back to the input on `key`) is a
+    second full shuffle of the corpus at 10^10 rows. Downstream
+    consumers (`write_webdataset`, `member_index`) take the carried
+    form directly."""
     spark = df.sparkSession
     key_type = df.schema[key].dataType.typeName()
     key_num = key_type in {"byte", "short", "integer", "long", "decimal"}
@@ -88,6 +97,7 @@ def pack_shards(
             "bucket",
             "start_offset",
             F.floor(F.col("start_offset") / F.lit(target_bytes)).alias("shard"),
+            *carry,
         )
     )
 

@@ -3683,19 +3683,20 @@ def q_shard_member_index(spark, sf):
     against real tar bytes in tests/test_wds.py)."""
     from webcollector_spark.operators import shards
 
-    docs = _t(spark, sf, "documents")
-    assigned = shards.pack_shards(
-        docs, key="doc_id", size="n_chars", target_bytes=8192, n_buckets=16
-    )
-    sized = assigned.select("doc_id", "shard").join(
-        docs.select(
-            "doc_id",
-            F.col("n_chars").cast("long").alias("n_bytes"),
-            F.octet_length("source").cast("long").alias("cap_bytes"),
-        ),
+    docs = _t(spark, sf, "documents").select(
         "doc_id",
+        "n_chars",
+        F.col("n_chars").cast("long").alias("n_bytes"),
+        F.octet_length("source").cast("long").alias("cap_bytes"),
     )
-    return shards.member_index(sized, key="doc_id")
+    # carry= rides the size columns through the packer's own shuffle —
+    # no join of the assignment back onto the corpus (a second full
+    # shuffle at 10^10 rows)
+    assigned = shards.pack_shards(
+        docs, key="doc_id", size="n_chars", target_bytes=8192,
+        n_buckets=16, carry=("n_bytes", "cap_bytes"),
+    )
+    return shards.member_index(assigned, key="doc_id")
 
 
 @register(
