@@ -357,3 +357,88 @@ def test_streaming_caption_crosshash_cross_batch_hamming2(spark):
         assert n_rows == 2  # exactly once, no dupes across batches
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_export_stream_roundtrip_and_batch_isolation(spark):
+    """Draining a curated corpus through the streaming export must land
+    every row in a tar shard exactly once (read_webdataset union ==
+    input), with shard ids disjoint across micro-batches (the
+    batch_id << 20 offset) and one manifest partition per batch."""
+    from pyspark.sql import functions as F
+
+    from webcollector_spark.operators import images, shards
+
+    corpus = images.corpus_df(spark, 48)
+    d = tempfile.mkdtemp(prefix="wc_exp_")
+    try:
+        # two deterministic micro-batches: one file each, sorted names
+        half = corpus.filter(F.crc32("image_id") % 2 == 0)
+        other = corpus.exceptAll(half)
+        half.coalesce(1).write.mode("overwrite").parquet(f"{d}/in/aaa")
+        other.coalesce(1).write.mode("overwrite").parquet(f"{d}/in/bbb")
+        src = spark.read.parquet(f"{d}/in/*").cache()
+
+        q = P.export_stream(
+            P.read_corpus_stream(spark, f"{d}/in/*", max_files_per_trigger=1),
+            f"{d}/out",
+            target_bytes=20_000,
+            n_buckets=8,
+        )
+        q.awaitTermination()
+
+        back = shards.read_webdataset(spark, f"{d}/out/shards")
+        got = {r["image_id"]: r for r in back.collect()}
+        want = {r["image_id"]: r for r in corpus.collect()}
+        assert got.keys() == want.keys()
+        for k, r in got.items():
+            assert bytes(r["data"]) == bytes(want[k]["bytes"])
+            assert r["caption"] == (want[k]["caption"] or "")
+
+        man = spark.read.parquet(f"{d}/out/manifest")
+        batches = {r["batch_id"] for r in man.select("batch_id").collect()}
+        assert len(batches) >= 2
+        # shard ids carry their batch in the high bits -> disjoint
+        for r in man.collect():
+            assert r["shard"] >> 20 == r["batch_id"]
+            assert r["written"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_export_stream_replay_is_noop(spark):
+    """Replaying the same backlog with a fresh checkpoint (the
+    worst-case recovery: all offsets forgotten) re-derives the same
+    batches -> same shard ids -> the writer skips every existing tar
+    (written=false) and the read-back is unchanged — no duplicated or
+    truncated samples."""
+    from webcollector_spark.operators import images, shards
+
+    corpus = images.corpus_df(spark, 30)
+    d = tempfile.mkdtemp(prefix="wc_exp2_")
+    try:
+        corpus.coalesce(1).write.mode("overwrite").parquet(f"{d}/in")
+
+        def drain(tag):
+            q = P.export_stream(
+                P.read_corpus_stream(spark, f"{d}/in"),
+                f"{d}/out",
+                target_bytes=20_000,
+                n_buckets=8,
+                query_name=f"wds_export_{tag}",
+            )
+            q.awaitTermination()
+
+        drain("first")
+        first = {
+            r["shard"]: r["sha256"]
+            for r in spark.read.parquet(f"{d}/out/manifest").collect()
+        }
+        shutil.rmtree(f"{d}/out/checkpoint")
+        drain("replay")
+        man2 = spark.read.parquet(f"{d}/out/manifest").collect()
+        assert {r["shard"]: r["sha256"] for r in man2} == first
+        assert not any(r["written"] for r in man2)
+        back = shards.read_webdataset(spark, f"{d}/out/shards")
+        assert back.count() == corpus.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -596,3 +596,92 @@ def caption_conflict_crosshash_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming training-data export — foreachBatch over the tar sink
+# ---------------------------------------------------------------------------
+
+
+def read_corpus_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over curated image+caption corpus rows
+    (input_hint shape) — what a continuous crawl's curation stage
+    appends for export."""
+    from webcollector_spark.schema import CORPUS_SCHEMA
+
+    reader = spark.readStream.schema(CORPUS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def export_stream(
+    rows: DataFrame,
+    out_dir: str,
+    *,
+    target_bytes: int = 64 * 1024 * 1024,
+    n_buckets: int = 32,
+    query_name: str = "wds_export",
+):
+    """Incremental twin of the batch export sink: a continuous crawl's
+    curated rows land as WebDataset tar shards as they arrive, so
+    training data is consumable mid-crawl instead of after a terminal
+    batch export.
+
+    Per micro-batch: `pack_shards` packs THIS batch's rows (payloads
+    ride the packer's own shuffle via carry= — no second corpus
+    shuffle), then `write_webdataset` writes them under
+    `{out_dir}/shards`. Batch-local shard ids are offset by
+    `batch_id << 20`, which makes ids globally unique with ZERO
+    cross-batch state — no high-water-mark pointer to persist, fsync,
+    or race on (a batch would need > 2^20 shards ≈ 64 TiB at the
+    default target_bytes to collide).
+
+    Exactly-once story: Structured Streaming's checkpoint fixes each
+    batch's source offsets, so a replayed batch re-derives the SAME
+    rows -> same pack -> same shard ids -> bit-identical tars; the
+    writer's skip-existing + atomic-rename then makes the replay a
+    no-op (written=false), and the per-batch manifest parquet is
+    overwritten in place (`.../manifest/batch_id=N`) — idempotent, not
+    append-duplicated. The batch sink's global-determinism contract
+    narrows to per-batch determinism: WHICH batch a row lands in
+    depends on arrival, but every emitted tar is reproducible from its
+    batch's offsets, and `read_webdataset` over `{out_dir}/shards`
+    sees the union either way.
+
+    Returns the started query (availableNow drains the backlog in
+    micro-batches, then stops).
+    """
+    import os
+
+    from webcollector_spark.operators.shards import pack_shards, write_webdataset
+
+    shards_dir = os.path.join(out_dir, "shards")
+    manifest_root = os.path.join(out_dir, "manifest")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sized = batch_df.withColumn("n_bytes", F.length("bytes").cast("long"))
+        assigned = pack_shards(
+            sized,
+            key="image_id",
+            size="n_bytes",
+            target_bytes=target_bytes,
+            n_buckets=n_buckets,
+            carry=("bytes", "caption", "fmt"),
+        ).withColumn("shard", F.col("shard") + F.lit(int(batch_id) << 20))
+        # the Hive-style dir name supplies batch_id on read-back;
+        # writing it as a data column too would collide with partition
+        # inference (COLUMN_ALREADY_EXISTS)
+        write_webdataset(assigned, shards_dir).write.mode("overwrite").parquet(
+            os.path.join(manifest_root, f"batch_id={batch_id}")
+        )
+
+    return (
+        rows.writeStream.foreachBatch(_process)
+        .queryName(query_name)
+        .option("checkpointLocation", os.path.join(out_dir, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
