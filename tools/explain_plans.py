@@ -123,6 +123,10 @@ CHECKS = {
     # owning all rows); the B-row offset table is the broadcast side
     "shard_assign": ["Window", "BroadcastHashJoin", "!EvalPython"],
     "shard_manifest": ["Window", "HashAggregate", "!EvalPython"],
+    # USTAR arithmetic stays whole-stage codegen; carry= means the only
+    # join is the B-row broadcast offset table (no corpus re-join)
+    "shard_member_index": ["Window", "BroadcastHashJoin", "!EvalPython",
+                           "!SortMergeJoin"],
     # one map-side-combined aggregate + a 1-row broadcast normalizer;
     # never a second scan of documents
     "source_mixture_weights": ["HashAggregate", "!EvalPython"],
