@@ -175,3 +175,91 @@ def test_fetch_samples_random_access(spark, tmp_path):
         assert bytes(r["data"]) == bytes(want[k]["bytes"])
         assert r["caption"] == (want[k]["caption"] or "")
         assert r["shard"] == want[k]["shard"]
+
+
+def test_verify_export_clean_and_each_failure_mode(spark, tmp_path):
+    """verify_export: a clean export audits all-ok (deep and shallow),
+    and each corruption a preemptible-executor export can suffer —
+    deleted shard, orphan file, truncation, bit flip, member loss —
+    maps to its named status. The failing set IS the rewrite plan."""
+    out = str(tmp_path / "wds")
+    assigned = _assigned_corpus(spark, n=45)
+    manifest = shards.write_webdataset(assigned, out)
+    manifest.collect()  # materialize files
+    man = manifest.select("shard", "n_rows", "tar_bytes", "sha256")
+    # cache the manifest values so post-corruption audits compare
+    # against the ORIGINAL digests, not a re-run of the writer
+    man = spark.createDataFrame(man.collect(), man.schema)
+
+    clean = {
+        r["shard"]: r["status"]
+        for r in shards.verify_export(spark, out, man).collect()
+    }
+    assert set(clean.values()) == {"ok"}
+    shallow = {
+        r["shard"]: r["status"]
+        for r in shards.verify_export(spark, out, man, deep=False).collect()
+    }
+    assert shallow == clean
+
+    sids = sorted(clean)
+    assert len(sids) >= 5, "need 5 shards to exercise every failure mode"
+    paths = {s: os.path.join(out, f"shard-{s:06d}.tar") for s in sids}
+
+    # missing: delete one shard
+    os.remove(paths[sids[0]])
+    # orphan: a stray shard file the manifest never wrote
+    with open(os.path.join(out, "shard-999999.tar"), "wb") as f:
+        f.write(b"\0" * 1024)
+    # size_mismatch: truncate
+    with open(paths[sids[1]], "r+b") as f:
+        f.truncate(os.path.getsize(paths[sids[1]]) - 512)
+    # digest_mismatch: flip one payload byte, size unchanged
+    with open(paths[sids[2]], "r+b") as f:
+        f.seek(600)
+        b = f.read(1)
+        f.seek(600)
+        f.write(bytes([b[0] ^ 0xFF]))
+    # rows_mismatch: same byte size, but valid tar with fewer members —
+    # rebuild the shard as one big member padded to the original length
+    orig_len = os.path.getsize(paths[sids[3]])
+    import io as _io
+
+    buf = _io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w|", format=tarfile.USTAR_FORMAT) as t:
+        ti = tarfile.TarInfo(name="x.bin")
+        ti.size = orig_len - 3 * 512 - 1024  # header + eot blocks
+        ti.mtime = 0
+        t.addfile(ti, _io.BytesIO(b"\0" * ti.size))
+    raw = bytearray(buf.getvalue())
+    raw = raw[:orig_len].ljust(orig_len, b"\0")
+    with open(paths[sids[3]], "wb") as f:
+        f.write(raw)
+
+    audit = {
+        r["shard"]: r["status"]
+        for r in shards.verify_export(spark, out, man).collect()
+    }
+    assert audit[sids[0]] == "missing"
+    assert audit[999999] == "orphan"
+    assert audit[sids[1]] == "size_mismatch"
+    assert audit[sids[2]] == "digest_mismatch"
+    assert audit[sids[3]] == "rows_mismatch"
+    for s in sids[4:]:
+        assert audit[s] == "ok"
+
+    # shallow mode sees structure-level failures only
+    audit_shallow = {
+        r["shard"]: r["status"]
+        for r in shards.verify_export(spark, out, man, deep=False).collect()
+    }
+    assert audit_shallow[sids[0]] == "missing"
+    assert audit_shallow[999999] == "orphan"
+    assert audit_shallow[sids[1]] == "size_mismatch"
+    assert audit_shallow[sids[2]] == "ok"  # metadata-only cannot see it
+
+    # the rewrite plan: delete bad files, re-export ONLY those shards
+    bad = sorted(
+        s for s, st in audit.items() if st != "ok" and s != 999999
+    )
+    assert bad == sorted([sids[0], sids[1], sids[2], sids[3]])

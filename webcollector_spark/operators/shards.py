@@ -424,6 +424,147 @@ def write_webdataset(
     )
 
 
+def verify_export(
+    spark,
+    out_dir: str,
+    manifest: DataFrame,
+    *,
+    deep: bool = True,
+) -> DataFrame:
+    """Distributed integrity audit of a `write_webdataset` export
+    against its lineage manifest: one row per shard with a `status`
+    verdict. This is what a resume/backfill runs BEFORE trusting an
+    export — a 10^10-sample training set written across preemptible
+    executors needs corrupt/partial/missing shards surfaced as a
+    queryable table, not discovered by a training job three days in.
+
+    Statuses (first failure wins per shard):
+      * missing         — manifest row, no file on disk;
+      * orphan          — shard-*.tar on disk, no manifest row (a
+                          leftover from an aborted run with a different
+                          packing — never silently trainable);
+      * size_mismatch   — byte length differs from manifest tar_bytes;
+      * rows_mismatch   — tar member pairs != manifest n_rows (deep
+                          only: structurally altered / truncated-but-
+                          valid tar — checked before digest so the
+                          verdict names the actionable failure);
+      * digest_mismatch — sha256 differs with structure intact (deep
+                          only: bit rot, torn write on a non-atomic
+                          store);
+      * ok.
+
+    Scale contract: `deep=False` audits existence + size only — the
+    scan selects just (path, length), and Spark's binaryFile source
+    prunes the `content` column, so the shallow audit reads file
+    METADATA (one listing), not the export's bytes. `deep=True` streams
+    every tar once through sha256 + member count in the same Arrow
+    pass — O(export bytes) but embarrassingly parallel, one task per
+    shard, no shuffle until the (tiny, one-row-per-shard) join against
+    the manifest. The manifest side is #shards rows; the join
+    broadcasts when small and shuffles two O(#shards) tables when not.
+
+    Resume composition: `verify_export(...).filter("status != 'ok'")`
+    is exactly the rewrite set — feed those shard ids back through
+    `write_webdataset(overwrite=True)` after deleting the bad files.
+    Reference anchor: WebCollector trusts BerkeleyDB/RocksDB for
+    segment integrity (crawldb/DbUpdater.java); a distributed export
+    onto a plain object store has to carry its own audit.
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas body below)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*.tar")
+        .load(out_dir)
+    )
+
+    if deep:
+        disk_schema = (
+            "shard bigint, disk_bytes bigint, disk_sha256 string, "
+            "disk_rows bigint"
+        )
+
+        def audit_partition(batches):
+            import hashlib
+            import io
+            import re
+            import tarfile
+
+            import pandas as pd
+
+            for pdf in batches:
+                rows = []
+                for path, content in zip(pdf["path"], pdf["content"]):
+                    m = re.search(r"shard-(\d+)\.tar$", path)
+                    shard = int(m.group(1)) if m else -1
+                    data = bytes(content)
+                    sha = hashlib.sha256(data).hexdigest()
+                    # member count: .txt caption members pair 1:1 with
+                    # payload members, so samples = members / 2
+                    n_members = 0
+                    try:
+                        with tarfile.open(
+                            fileobj=io.BytesIO(data), mode="r:"
+                        ) as tar:
+                            for _ in tar:
+                                n_members += 1
+                        n_samples = n_members // 2
+                    except tarfile.TarError:
+                        n_samples = -1  # unreadable == rows_mismatch
+                    rows.append((shard, len(data), sha, n_samples))
+                if rows:
+                    yield pd.DataFrame(
+                        rows,
+                        columns=[
+                            "shard", "disk_bytes", "disk_sha256", "disk_rows",
+                        ],
+                    )
+
+        disk = files.select("path", "content").mapInPandas(
+            audit_partition, schema=disk_schema
+        )
+    else:
+        # metadata-only: content column pruned away at the source
+        disk = files.select(
+            F.regexp_extract("path", r"shard-(\d+)\.tar$", 1)
+            .cast("bigint")
+            .alias("shard"),
+            F.col("length").alias("disk_bytes"),
+            F.lit(None).cast("string").alias("disk_sha256"),
+            F.lit(None).cast("bigint").alias("disk_rows"),
+        )
+
+    man = manifest.select("shard", "n_rows", "tar_bytes", "sha256")
+    joined = man.join(disk, "shard", "full_outer")
+
+    status = (
+        F.when(F.col("tar_bytes").isNull(), F.lit("orphan"))
+        .when(F.col("disk_bytes").isNull(), F.lit("missing"))
+        .when(F.col("disk_bytes") != F.col("tar_bytes"), F.lit("size_mismatch"))
+        .when(
+            F.col("disk_rows").isNotNull()
+            & (F.col("disk_rows") != F.col("n_rows")),
+            F.lit("rows_mismatch"),
+        )
+        .when(
+            F.col("disk_sha256").isNotNull()
+            & (F.col("disk_sha256") != F.col("sha256")),
+            F.lit("digest_mismatch"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return joined.select(
+        "shard",
+        status.alias("status"),
+        "n_rows",
+        "tar_bytes",
+        "sha256",
+        "disk_bytes",
+        "disk_sha256",
+        "disk_rows",
+    )
+
+
 def read_webdataset(spark, out_dir: str) -> DataFrame:
     """Distributed read-back of a `write_webdataset` export: one row per
     sample (image_id, data binary, caption string, shard bigint).
