@@ -92,6 +92,7 @@ HEADLINE = [
     "shard_assign",
     "shard_manifest",
     "source_mixture_weights",
+    "mixture_interleave",
     "image_features_fused",
     "image_neardup_best_keepers",
     "image_sharpness",

@@ -235,3 +235,46 @@ def test_pack_shards_carry_equals_join_form(spark):
     a = sorted(tuple(r[c] for c in cols) for r in carried.select(*cols).collect())
     b = sorted(tuple(r[c] for c in cols) for r in joined.select(*cols).collect())
     assert a == b
+
+
+def test_mixture_interleave_rates_and_order(spark, tmp_path):
+    """The stride schedule's head must (a) interleave sources at the
+    temperature-weight rates (the contract that makes it a SCHEDULE and
+    not just a sort), (b) emit each source's samples in rank order, and
+    (c) plan as TakeOrderedAndProject over a bucketed window — never a
+    global sort or one-task-per-source window."""
+    import math
+
+    from webcollector_spark.plans.queries import queries
+
+    rows = []
+    for src, n_docs, chars in [("a", 800, 2000), ("b", 300, 900), ("c", 80, 400)]:
+        for i in range(n_docs):
+            rows.append((len(rows), f"text {src} {i}", "en", src, chars))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    q = queries()["mixture_interleave"]
+    df = q(spark, str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    out = df.collect()
+    assert len(out) == 200
+    # (b) within each source, samples appear in rank order 1..k
+    seen = {}
+    for r in sorted(out, key=lambda r: (r["pos"], r["doc_id"])):
+        k = seen.get(r["source"], 0) + 1
+        assert r["rank_in_source"] == k
+        seen[r["source"]] = k
+    # (a) head counts track W_s / sum(W) with only boundary slack
+    W = {
+        src: math.floor((n * chars) ** 0.7 * 1e6)
+        for src, n, chars in [("a", 800, 2000), ("b", 300, 900), ("c", 80, 400)]
+    }
+    z = sum(W.values())
+    for src, w in W.items():
+        expect = 200 * w / z
+        assert abs(seen.get(src, 0) - expect) <= 3, (src, seen.get(src), expect)

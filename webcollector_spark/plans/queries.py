@@ -3736,6 +3736,99 @@ def q_source_mixture_weights(spark, sf):
 
 
 @register(
+    "mixture_interleave",
+    # the oracle's plain per-source window IS the semantics; the Spark
+    # side reproduces it with the two-level prefix-sum so no single
+    # source ever becomes one window task
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || substr(md5(doc_id::varchar), 1, 15))
+                             AS BIGINT),
+                        doc_id
+             ) AS rank_in_source
+      FROM documents
+    ),
+    s AS (
+      SELECT source,
+             CAST(floor(pow(sum(n_chars)::double, 0.7) * 1000000.0) AS BIGINT)
+               AS w
+      FROM documents GROUP BY source
+    )
+    SELECT r.doc_id, r.source, r.rank_in_source,
+           (r.rank_in_source * 1000000000000) // s.w AS pos
+    FROM r JOIN s USING (source)
+    ORDER BY pos, doc_id LIMIT 200
+    """,
+)
+def q_mixture_interleave(spark, sf):
+    """Deterministic weighted-mixture training schedule (stride
+    scheduler): source s with temperature weight w_s ∝ chars_s^0.7
+    emits its rank-r sample at position r/w_s, so reading the output in
+    `pos` order interleaves sources at exactly the alpha-sampling rates
+    of `source_mixture_weights` — the step that turns mixture WEIGHTS
+    into an actual training ORDER without materializing epochs.
+
+    Scale shape: the per-source shuffle rank is the same two-level
+    prefix-sum as `pack_shards` — bucket by the hash's top 7 bits
+    (order-preserving, so (bucket, h) order == h order), ONE tiny
+    (source × 128)-row count aggregate collected (HARD-BOUNDED),
+    exclusive offsets broadcast back, within-bucket row_number. A plain
+    Window partitionBy(source) would hand one ~20-source corpus to ~20
+    tasks — the skew trap at 10^10 rows. Positions are integer-exact
+    (rank * 1e12 div w) so the cross-engine top-K cut is never decided
+    by a float ulp; the head of the schedule returns via
+    TakeOrderedAndProject, no global sort materializes.
+    """
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    bucketed = docs.select(
+        "doc_id", "source", h.alias("h")
+    ).withColumn("b", F.shiftright("h", 53))
+
+    counts = bucketed.groupBy("source", "b").count().collect()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in counts:
+        per[r["source"]].append((r["b"], r["count"]))
+    offs = []
+    for src, lst in per.items():
+        acc = 0
+        for b, c in sorted(lst):
+            offs.append((src, int(b), acc))
+            acc += c
+    off_df = spark.createDataFrame(
+        offs, "source string, b bigint, off bigint"
+    )
+
+    wnd = Window.partitionBy("source", "b").orderBy("h", "doc_id")
+    ranked = bucketed.join(F.broadcast(off_df), ["source", "b"]).withColumn(
+        "rank_in_source",
+        (F.row_number().over(wnd) + F.col("off")).cast("long"),
+    )
+    weights = docs.groupBy("source").agg(
+        F.floor(
+            F.pow(F.sum("n_chars").cast("double"), F.lit(0.7))
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("w")
+    )
+    out = ranked.join(F.broadcast(weights), "source").select(
+        "doc_id",
+        "source",
+        "rank_in_source",
+        F.expr("rank_in_source * 1000000000000 div w").alias("pos"),
+    )
+    return out.orderBy("pos", "doc_id").limit(200)
+
+
+@register(
     "image_sharpness",
     # DuckDB RECOMPUTES variance + gate from the committed INTEGER
     # Laplacian partials, same expression order as the Spark side
@@ -3913,6 +4006,7 @@ _SNAPSHOT_FIRST = [
     "image_features_fused",
     "image_neardup_best_keepers",
     "source_mixture_weights",
+    "mixture_interleave",
     "image_sharpness",
     # caption curation (registered r3 after the snapshot freeze)
     "caption_dedup",
