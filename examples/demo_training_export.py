@@ -111,6 +111,16 @@ def main() -> None:
     n_back = shards.read_webdataset(spark, out_dir).count()
     print(f"read back: {n_back} samples (expected {n4})")
 
+    # 8. integrity audit vs the lineage manifest — what a resume or a
+    # training launch runs before trusting the export. deep=True streams
+    # each tar once (member count + sha256); a 10^10-sample fleet would
+    # run deep=False first (metadata-only listing, zero byte reads).
+    audit = shards.verify_export(spark, out_dir, written)
+    print("export audit:")
+    audit.groupBy("status").count().orderBy("status").show(truncate=False)
+    bad = audit.filter(F.col("status") != "ok").count()
+    print(f"audit verdict: {'CLEAN' if bad == 0 else f'{bad} shards need rewrite'}")
+
 
 if __name__ == "__main__":
     main()
