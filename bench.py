@@ -97,6 +97,10 @@ HEADLINE = [
     "image_neardup_best_keepers",
     "image_sharpness",
 ]
+# HEADLINE is an ordering prefix, not a filter: main() appends every
+# registry entry not named above, so the driver's BENCH_r{N}.json always
+# carries a per-query number for the FULL registry and a new operator
+# can't silently drift out of the recorded suite.
 
 
 def crawl_bench(
@@ -229,7 +233,8 @@ def main() -> None:
     # a burst must now hit 2 of 3 samples to move the median.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    suite = HEADLINE + sorted(n for n in registry if n not in HEADLINE)
+    for name in suite:
         fn = registry[name]
         # Each query is timed SELF-CONTAINED: drop every persisted frame
         # left by earlier queries (e.g. the shared shingle cache) before
@@ -262,9 +267,10 @@ def main() -> None:
     stat1 = _cpu_stat()
     out = {
         "metric": "headline_suite_plus_crawl",
-        # value composition unchanged vs r01-r03 (suite + 24k-crawl
-        # wall) so the cross-round totals stay comparable; the
-        # sustained run's wall is reported separately, not added.
+        # value = full-registry suite + 24k-crawl wall. The suite grows
+        # with the registry each round (r03: 50, r04: 94), so compare
+        # rounds on the per-query map / common entries, not the total;
+        # the sustained run's wall is reported separately, not added.
         "value": round(sum(times.values()) + crawl["crawl_smoke_wall_sec"], 3),
         "unit": "sec",
         "queries": times,

@@ -69,3 +69,37 @@ def test_per_host_topk_ordering(spark):
         want.setdefault(r.host, []).append(r.key)
     for h, keys in by_host.items():
         assert sorted(keys) == sorted(want[h][:2])
+
+
+def test_host_budget_plan(spark):
+    """host_budget_plan: picks cap at k, drain = picks x delay, the
+    binding row IS the global floor, fit_k is exact integer division,
+    and a missing crawl_delay_ms column falls back to the default."""
+    from webcollector_spark.operators.generate import host_budget_plan
+
+    rows = (
+        [("a.test", 500)] * 12      # picks 8 -> drain 4.0 s  (binding)
+        + [("b.test", 100)] * 3     # picks 3 -> drain 0.3 s
+        + [("c.test", None)] * 9    # default 200 -> picks 8 -> 1.6 s
+    )
+    cand = spark.createDataFrame(rows, "host string, crawl_delay_ms long")
+    plan = {
+        r.host: r
+        for r in host_budget_plan(
+            cand, per_host_top_k=8, default_delay_ms=200, target_round_ms=3000
+        ).collect()
+    }
+    assert plan["a.test"].pending == 12 and plan["a.test"].picks == 8
+    assert plan["a.test"].drain_sec == 4.0 and plan["a.test"].binding
+    assert plan["b.test"].picks == 3 and plan["b.test"].drain_sec == 0.3
+    assert not plan["b.test"].binding
+    assert plan["c.test"].delay_ms == 200 and plan["c.test"].drain_sec == 1.6
+    assert all(r.round_floor_sec == 4.0 for r in plan.values())
+    # fit_k: 3000 DIV delay — the k that keeps each host under target
+    assert plan["a.test"].fit_k == 6
+    assert plan["b.test"].fit_k == 30
+    assert plan["c.test"].fit_k == 15
+
+    # no crawl_delay_ms column at all -> every host priced at default
+    bare = host_budget_plan(cand.select("host"), per_host_top_k=8)
+    assert {r.delay_ms for r in bare.collect()} == {200}

@@ -126,3 +126,70 @@ def generate_per_host(
         # Global budget across hosts: cheapest-first by the same order.
         out = out.orderBy("priority", "depth", "key").limit(top_n)
     return out
+
+
+def host_budget_plan(
+    candidates: DataFrame,
+    per_host_top_k: int,
+    default_delay_ms: int = 200,
+    target_round_ms: int | None = None,
+) -> DataFrame:
+    """Politeness-bound capacity plan for the NEXT crawl round — the
+    planning twin of `generate_per_host`. The fetcher serializes
+    requests within a host bucket (crawl-delay politeness,
+    operators/fetch.py), so a round's wall-time has a hard lower bound
+    of max over hosts of picks x delay, no matter how many executors
+    exist: adding cores past that point buys nothing. The reference
+    tunes this blind (fixed topN + a global executeInterval,
+    crawldb/Generator.java:49-78 + util/Config.java); at a 10^10-URL
+    frontier the binding host must be FOUND, not guessed.
+
+    Input: one row per generatable candidate with `host` and optionally
+    a per-host `crawl_delay_ms` (e.g. from the RobotsCache); missing or
+    NULL delay falls back to `default_delay_ms`. Output, one row per
+    host:
+
+    * pending          — generatable URLs on the host;
+    * delay_ms         — the politeness delay the plan priced;
+    * picks            — min(pending, per_host_top_k): what generate
+                         would schedule;
+    * drain_sec        — picks x delay / 1000: the host bucket's serial
+                         drain time;
+    * round_floor_sec  — max(drain_sec): the politeness floor on round
+                         wall-time (same value every row);
+    * binding          — this host IS the floor (the scheduler's skew
+                         answer: lower k or raise parallel host count,
+                         nothing else moves the needle);
+    * fit_k            — only when `target_round_ms` is given: the
+                         largest per-host k that keeps this host's
+                         drain under the target (integer division, so
+                         it is exactly reproducible cross-engine).
+
+    Scale shape: one map-side-combined count per host (#hosts rows out
+    of 10^10 inputs), then a 1-row global-max broadcast join — the same
+    normalizer pattern as source_mixture_weights. Nothing collects to
+    the driver; no window over an unpartitioned set."""
+    delay = (
+        F.coalesce(F.col("crawl_delay_ms"), F.lit(default_delay_ms))
+        if "crawl_delay_ms" in candidates.columns
+        else F.lit(default_delay_ms)
+    )
+    per_host = candidates.groupBy("host").agg(
+        F.count(F.lit(1)).alias("pending"),
+        F.max(delay.cast("long")).alias("delay_ms"),
+    )
+    plan = per_host.select(
+        "host",
+        "pending",
+        "delay_ms",
+        F.least(F.col("pending"), F.lit(per_host_top_k).cast("long")).alias("picks"),
+    ).withColumn("drain_sec", F.col("picks") * F.col("delay_ms") / F.lit(1000.0))
+    floor_row = plan.agg(F.max("drain_sec").alias("round_floor_sec"))
+    out = plan.join(F.broadcast(floor_row)).withColumn(
+        "binding", F.col("drain_sec") == F.col("round_floor_sec")
+    )
+    if target_round_ms is not None:
+        out = out.withColumn(
+            "fit_k", F.expr(f"CAST({int(target_round_ms)} DIV delay_ms AS BIGINT)")
+        )
+    return out

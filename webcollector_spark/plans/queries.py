@@ -3977,6 +3977,56 @@ def q_image_neardup_best_keepers(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# O2 scheduler planning: the politeness floor on round wall-time
+# (generate_per_host's planning twin; reference tunes topN blind,
+# crawldb/Generator.java:49-78 + util/Config.java executeInterval).
+@register(
+    "host_budget_plan",
+    """
+    WITH cand AS (
+      SELECT 'h' || CAST(user_id % 37 AS VARCHAR) AS host,
+             CAST(100 + 50 * ((user_id % 37) % 5) AS BIGINT) AS delay_ms
+      FROM events
+      WHERE event_type <> 'purchase'
+    ), per_host AS (
+      SELECT host, count(*) AS pending, max(delay_ms) AS delay_ms
+      FROM cand GROUP BY host
+    ), plan AS (
+      SELECT host, pending, delay_ms,
+             least(pending, CAST(8 AS BIGINT)) AS picks,
+             least(pending, CAST(8 AS BIGINT)) * delay_ms / 1000.0 AS drain_sec
+      FROM per_host
+    ), m AS (SELECT max(drain_sec) AS round_floor_sec FROM plan)
+    SELECT host, pending, delay_ms, picks, drain_sec, round_floor_sec,
+           drain_sec = round_floor_sec AS binding,
+           CAST(3000 // delay_ms AS BIGINT) AS fit_k
+    FROM plan, m
+    """,
+)
+def q_host_budget_plan(spark, sf):
+    """Per-host politeness capacity plan: pending -> picks -> serial
+    drain seconds, the global round floor, the binding host, and the
+    largest k that fits a 3 s round target
+    (operators/generate.py host_budget_plan). events ≙ frontier:
+    user_id % 37 ≙ host, non-purchase rows ≙ generatable, per-host
+    crawl-delay 100-300 ms ≙ the RobotsCache's Crawl-delay values."""
+    from webcollector_spark.operators.generate import host_budget_plan
+
+    hostno = F.col("user_id") % 37
+    cand = (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type") != "purchase")
+        .select(
+            F.concat(F.lit("h"), hostno.cast("string")).alias("host"),
+            (F.lit(100) + F.lit(50) * (hostno % 5)).cast("long").alias(
+                "crawl_delay_ms"
+            ),
+        )
+    )
+    return host_budget_plan(cand, per_host_top_k=8, target_round_ms=3000)
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot ordering. The driver's CORRECTNESS_r{N}.json snapshot
 # covers only the FIRST ~50 queries() entries (observed cap across
 # r01-r03: the r03 snapshot has exactly 50 rows while the registry held
@@ -3988,6 +4038,7 @@ def q_image_neardup_best_keepers(spark, sf):
 
 _SNAPSHOT_FIRST = [
     # round-4 registrations — need their first driver row
+    "host_budget_plan",
     "caption_conflict_flags",
     "image_decode_verify_jpeg",
     "audio_features_adpcm",
