@@ -71,6 +71,35 @@ def test_per_host_topk_ordering(spark):
         assert sorted(keys) == sorted(want[h][:2])
 
 
+def test_per_host_fit_clamp(spark):
+    """fit_k_by_host: a host's effective budget is min(k, fit_k) —
+    clamped host keeps its TOP rows, a fit above k is a no-op, and a
+    host absent from the table gets the full k. Salting must not
+    change any of that (phase 1 keeps the unclamped superset)."""
+    df = _frontier(spark)
+    fit = spark.createDataFrame(
+        [("h000.test", 1), ("h001.test", 99)], "host string, __fit_k long"
+    )
+    # the row the clamp must keep: h000's true #1 by (priority, depth, key)
+    plain = generate_per_host(df, k_per_host=3, salt_buckets=1).collect()
+    h0_top = min(
+        (r.key for r in plain if r.host == "h000.test"),
+    )
+    for salt in (1, 4):
+        out = generate_per_host(
+            df, k_per_host=3, salt_buckets=salt, fit_k_by_host=fit
+        )
+        rows = out.collect()
+        counts = {}
+        for r in rows:
+            counts[r.host] = counts.get(r.host, 0) + 1
+        assert counts["h000.test"] == 1  # clamped below k
+        assert counts["h001.test"] == 3  # fit above k -> k wins
+        assert counts["h002.test"] == 3  # absent -> full k
+        assert [r.key for r in rows if r.host == "h000.test"] == [h0_top]
+        assert "__fit_k" not in out.columns
+
+
 def test_host_budget_plan(spark):
     """host_budget_plan: picks cap at k, drain = picks x delay, the
     binding row IS the global floor, fit_k is exact integer division,

@@ -412,3 +412,102 @@ Disallow: /page
         rc = self._rc()
         assert rc.allowed("h", "http://h/page")       # Allow: /page$ exact
         assert not rc.allowed("h", "http://h/page2")  # prefix Disallow wins
+
+
+class TestHostBudgetLiveClamp:
+    """config.host_budget_target_ms: round N's observed robots
+    Crawl-delays clamp round N+1's per-host generate budget so no
+    host's serial politeness drain overshoots the wall-time target."""
+
+    def test_learn_folds_max_and_skips_zero(self, spark, small_web):
+        from webcollector_spark.config import CrawlerConfig
+        from webcollector_spark.crawler import BreadthCrawler
+        from webcollector_spark.sources.requester import SyntheticRequester
+
+        graph, corpus = small_web
+        req = SyntheticRequester(
+            graph.to_dict("records"), corpus.to_dict("records")
+        )
+        cfg = CrawlerConfig(host_budget_target_ms=1000)
+        c = BreadthCrawler(spark, req, config=cfg)
+
+        def fetched(rows):
+            return spark.createDataFrame(
+                rows, "host string, robots_delay_ms long"
+            )
+
+        c._learn_host_delays(
+            fetched([("a.test", 500), ("a.test", 200), ("z.test", 0),
+                     ("n.test", None)])
+        )
+        got = {r.host: r.delay_ms for r in c._host_delays.collect()}
+        # per-round max; 0/null rows never enter (DIV-by-zero guard)
+        assert got == {"a.test": 500}
+        # later rounds fold MAX, never last-wins (conservative politeness)
+        c._learn_host_delays(fetched([("a.test", 100), ("b.test", 300)]))
+        got = {r.host: r.delay_ms for r in c._host_delays.collect()}
+        assert got == {"a.test": 500, "b.test": 300}
+
+    def test_configured_gap_is_max_of_rate_and_interval(self, spark, small_web):
+        from webcollector_spark.config import CrawlerConfig
+        from webcollector_spark.crawler import BreadthCrawler
+        from webcollector_spark.sources.requester import SyntheticRequester
+
+        graph, corpus = small_web
+        req = SyntheticRequester(
+            graph.to_dict("records"), corpus.to_dict("records")
+        )
+
+        def gap(**kw):
+            return BreadthCrawler(
+                spark, req, config=CrawlerConfig(**kw)
+            )._configured_gap_ms()
+
+        assert gap() == 0                              # unlimited
+        assert gap(per_host_rate=4.0) == 250           # 1000/rate
+        assert gap(execute_interval_ms=400) == 400
+        assert gap(per_host_rate=4.0, execute_interval_ms=400) == 400
+
+    def test_learned_delay_clamps_next_round(self, spark):
+        """End-to-end: round 1 fetches a Crawl-delay-0.4s host unclamped,
+        round 2's generate hands it only target DIV delay = 2 picks."""
+        from webcollector_spark import fixtures
+        from webcollector_spark.config import CrawlerConfig
+        from webcollector_spark.crawler import RamCrawler
+        from webcollector_spark.sources.requester import SyntheticRequester
+
+        # hand-built single-host chain (make_site_graph is multi-host
+        # even at n_hosts=1): page i links to i+1..i+3
+        host = "slow.test"
+        urls = [f"http://{host}/p/{i:02d}" for i in range(12)]
+        corpus = fixtures.make_corpus(12)
+        graph = [
+            {
+                "url": urls[i],
+                "host": host,
+                "image_id": f"img{i:08d}",
+                "out_links": urls[i + 1 : i + 4],
+                "http_code": 200,
+                "location": None,
+            }
+            for i in range(12)
+        ]
+        robots = {host: "User-agent: *\nCrawl-delay: 0.4"}
+        req = SyntheticRequester(
+            graph, corpus.to_dict("records"), robots=robots
+        )
+        cfg = CrawlerConfig(
+            per_host_top_k=10,
+            host_budget_target_ms=1000,
+            fetch_partitions=2,
+        )
+        c = RamCrawler(spark, req, config=cfg)
+        c.add_seed(urls[:4])
+        c.start(2)
+        # round 1 ran unclamped (no learned delays yet) and learned 400ms
+        assert c.metrics[0].generated == 4
+        got = {r.host: r.delay_ms for r in c._host_delays.collect()}
+        assert got == {host: 400}
+        # round 2: fit_k = 1000 DIV 400 = 2, despite k_per_host=10 and
+        # >2 pending links (pages 04..06 discovered by round 1)
+        assert len(c.metrics) >= 2 and c.metrics[1].generated == 2

@@ -73,6 +73,19 @@ class CrawlerConfig:
     # falls back to the size gate.
     adaptive_salt: bool = False
     hot_host_frac: float = 0.2
+    # Politeness-aware round sizing (graft; the reference tunes topN
+    # blind — a fixed number against a global executeInterval,
+    # crawldb/Generator.java:49-78 + util/Config.java). When > 0 and
+    # per-host top-k mode is on, clamp each host's k so its serial
+    # politeness drain (picks x gap) fits this wall-time target:
+    # a scalar clamp from the CONFIGURED gap (per_host_rate /
+    # execute_interval_ms) up front, plus a per-host clamp from the
+    # robots Crawl-delays the PREVIOUS round's fetch actually honored
+    # (fetched.robots_delay_ms -> host_budget_plan-style fit_k =
+    # target DIV delay). Floor of 1 pick per host: a single fetch pays
+    # no inter-request gap, so it can never overshoot the target, and
+    # a slow host keeps making progress instead of starving forever.
+    host_budget_target_ms: int = 0
     # Cap on the adaptive-salt candidate set (top receivers by link
     # count via TakeOrdered): bounds the driver collect and the next
     # round's broadcast at any link-fan-out. A hot-enough host is

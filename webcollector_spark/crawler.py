@@ -117,6 +117,13 @@ class BreadthCrawler:
         # introspection/tests
         self._link_hosts: list[str] | None = None
         self.salt_history: list[int] = []
+        # host-budget state (config.host_budget_target_ms): per-host
+        # robots Crawl-delays learned from fetch passes so far — a tiny
+        # O(hosts-with-a-directive) frame, localCheckpointed so it
+        # survives the per-round fetched.unpersist(). Advisory: resets
+        # on resume (round 1 after restart runs unclamped until the
+        # first fetch re-learns the delays).
+        self._host_delays: DataFrame | None = None
 
     # -- seeding (Crawler.java:169-284: strings, iterables, typed
     # CrawlDatum/CrawlDatums with meta; forced :72-78) ------------------
@@ -253,9 +260,33 @@ class BreadthCrawler:
                         else 1
                     )
                 self.salt_history.append(salt)
+                # Politeness-aware round sizing: clamp k so no host's
+                # serial drain (picks x gap) overshoots the target —
+                # scalar clamp from the configured gap, per-host clamp
+                # from learned robots Crawl-delays (config.py
+                # host_budget_target_ms; operators/generate.py
+                # host_budget_plan documents the floor math).
+                k = cfg.per_host_top_k
+                fit = None
+                if cfg.host_budget_target_ms > 0:
+                    gap_ms = self._configured_gap_ms()
+                    if gap_ms > 0:
+                        k = max(1, min(k, cfg.host_budget_target_ms // gap_ms))
+                    if self._host_delays is not None:
+                        fit = self._host_delays.select(
+                            "host",
+                            F.greatest(
+                                F.lit(1).cast("long"),
+                                F.expr(
+                                    f"CAST({cfg.host_budget_target_ms}"
+                                    " DIV delay_ms AS BIGINT)"
+                                ),
+                            ).alias("__fit_k"),
+                        )
                 gen = generate_per_host(
-                    frontier, cfg.per_host_top_k, cfg.max_execute_count,
+                    frontier, k, cfg.max_execute_count,
                     cfg.top_n, salt, cfg.generator_filter,
+                    fit_k_by_host=fit,
                 )
             else:
                 gen = generate(
@@ -419,6 +450,14 @@ class BreadthCrawler:
                     .collect()
                 ]
 
+            # host-budget learning: fold this round's observed robots
+            # Crawl-delays into the running per-host max. Opt-in only
+            # (one extra O(hosts-with-a-directive) job per round);
+            # localCheckpoint materializes the tiny frame before
+            # fetched.unpersist() severs its lineage.
+            if cfg.host_budget_target_ms > 0:
+                self._learn_host_delays(fetched)
+
             # O9 merge: one snapshot commit; inserted-links count derived
             # from the frontier row-count delta (no extra count job).
             n_links = self.store.merge(fetched.select(*_CORE_COLS), fresh)
@@ -448,6 +487,42 @@ class BreadthCrawler:
             ):
                 self._reprioritize_from_ranks()
         return self.metrics
+
+    def _configured_gap_ms(self) -> int:
+        """The politeness gap (ms) the fetch token bucket enforces from
+        config alone — per_host_rate and execute_interval_ms, the same
+        max the bucket applies (operators/fetch.py _HostBucket). Robots
+        Crawl-delays tighten it per host on top (learned, not here)."""
+        cfg = self.config
+        gap = 0.0
+        if cfg.per_host_rate > 0:
+            gap = 1000.0 / cfg.per_host_rate
+        if cfg.execute_interval_ms > 0:
+            gap = max(gap, float(cfg.execute_interval_ms))
+        return int(gap)
+
+    def _learn_host_delays(self, fetched: DataFrame) -> None:
+        """Fold this round's observed robots Crawl-delays (ms) into the
+        running per-host max. Max, not last: a host that once declared
+        Crawl-delay 30 stays clamped even if a later robots fetch fails
+        open — the conservative side of politeness. The frame is
+        O(hosts-with-a-directive) rows; eager localCheckpoint both
+        materializes it before fetched.unpersist() and truncates the
+        union-of-unions lineage that would otherwise grow per round."""
+        d = (
+            # > 0, not isNotNull: a sub-millisecond Crawl-delay rounds
+            # to 0 ms and would turn the fit_k division into NULL
+            fetched.filter(F.col("robots_delay_ms") > 0)
+            .groupBy("host")
+            .agg(F.max("robots_delay_ms").alias("delay_ms"))
+        )
+        if self._host_delays is not None:
+            d = (
+                d.unionByName(self._host_delays)
+                .groupBy("host")
+                .agg(F.max("delay_ms").alias("delay_ms"))
+            )
+        self._host_delays = d.localCheckpoint(eager=True)
 
     def _frontier_has_hot_host(self, frontier: DataFrame) -> bool:
         """True when one of last round's link hosts holds more than

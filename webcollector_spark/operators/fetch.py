@@ -88,6 +88,7 @@ def _fetch_one(
     out.update(
         content_type=None, content=None, charset=None, links=None,
         caption=None, image_id=None, phash=None, next_datums=None,
+        robots_delay_ms=None,
     )
 
     # robots_ok: the run loop's pre-gate verdict (it must decide BEFORE
@@ -261,6 +262,7 @@ def fetch(
                 # stall its partition 30 s per never-made request). The
                 # verdict is passed down so the rules scan runs ONCE.
                 ok = robots is None or robots.allowed(row["host"], row["url"])
+                delay = None
                 if ok:
                     # robots Crawl-delay tightens the configured budget
                     delay = (
@@ -269,11 +271,14 @@ def fetch(
                         else None
                     )
                     bucket.wait(row["host"], delay)
-                out_rows.append(
-                    _fetch_one(
-                        row, req, robots, rule, cfg_small, disp, robots_ok=ok
-                    )
+                rec = _fetch_one(
+                    row, req, robots, rule, cfg_small, disp, robots_ok=ok
                 )
+                if delay:
+                    # observed politeness gap — next round's host-budget
+                    # clamp learns from it (crawler._learn_host_delays)
+                    rec["robots_delay_ms"] = int(round(delay * 1000))
+                out_rows.append(rec)
             yield pd.DataFrame(out_rows, columns=cols) if out_rows else pd.DataFrame(
                 columns=cols
             )

@@ -91,6 +91,7 @@ def generate_per_host(
     top_n: int = 0,
     salt_buckets: int = 8,
     generator_filter=None,
+    fit_k_by_host: DataFrame | None = None,
 ) -> DataFrame:
     """Graft scheduler: per-host top-k (priority asc, depth asc, key asc),
     salted two-phase to defuse host skew, optional global topN on top.
@@ -98,9 +99,27 @@ def generate_per_host(
     priority is a double (lower = sooner); the reference has no priority
     so reference-equivalent runs set priority=0 and this degrades to
     per-host key order.
+
+    `fit_k_by_host` (optional, columns `host` + `__fit_k` long): a
+    per-host clamp on k — a host's effective budget is
+    min(k_per_host, its __fit_k); hosts absent from the table get the
+    full k. Fed by `host_budget_plan`-style politeness math in the
+    crawler (a Crawl-delay-30 host must not be handed 100 picks it
+    would drain for 50 minutes). Left-joined on `host` — the same key
+    the ranking windows shuffle on, so AQE co-plans it with phase 2.
     """
     cand = generatable(frontier, max_execute_count, generator_filter)
     order = [F.col("priority").asc(), F.col("depth").asc(), F.col("key").asc()]
+
+    k_eff = F.lit(k_per_host)
+    if fit_k_by_host is not None:
+        cand = cand.join(
+            fit_k_by_host.select("host", "__fit_k"), "host", "left"
+        )
+        k_eff = F.least(
+            F.lit(k_per_host).cast("long"),
+            F.coalesce(F.col("__fit_k"), F.lit(k_per_host).cast("long")),
+        )
 
     if salt_buckets > 1:
         # Phase 1: rank inside (host, salt) — salt from key hash so it is
@@ -116,11 +135,13 @@ def generate_per_host(
         )
 
     # Phase 2: exact top-k per host over <= salt_buckets*k survivors.
+    # (Phase 1 keeps the full k per bucket — a superset of any clamped
+    # budget — so the per-host clamp only needs to bite here.)
     w2 = Window.partitionBy("host").orderBy(*order)
     out = (
         cand.withColumn("__rk", F.row_number().over(w2))
-        .filter(F.col("__rk") <= k_per_host)
-        .drop("__rk")
+        .filter(F.col("__rk") <= k_eff)
+        .drop("__rk", "__fit_k")
     )
     if top_n and top_n > 0:
         # Global budget across hosts: cheapest-first by the same order.

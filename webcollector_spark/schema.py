@@ -107,6 +107,11 @@ FETCHED_SCHEMA = T.StructType(
             ),
             True,
         ),
+        # robots Crawl-delay observed for this row's host (ms) — the
+        # politeness gap the fetch pass actually honored. Feeds the next
+        # round's host-budget clamp (config.host_budget_target_ms); null
+        # when the host declares no Crawl-delay or robots is off.
+        T.StructField("robots_delay_ms", T.LongType(), True),
     ]
 )
 
