@@ -120,6 +120,7 @@ def test_multimodal_oracle_parquet_fresh():
         "image_channel_partials",
         "image_sharpness_partials",
         "image_sharpness_partials_neardup",
+        "image_letterbox",
     }
     for name, pdf in built.items():
         fresh = pa.Table.from_pandas(
@@ -218,3 +219,24 @@ def test_best_keepers_from_fused_features(spark, tmp_path):
 
     plan = fused_df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan and "EvalPython" not in plan
+
+
+def test_border_geometry_kernel():
+    """Each edge scans independently: a uniform line counts only while
+    it matches the edge's first-line color; a non-uniform first line
+    means zero border on that edge."""
+    import numpy as np
+
+    from webcollector_spark.codecs import border_geometry
+
+    img = np.full((10, 8, 3), 200, np.uint8)
+    rng = np.random.default_rng(1)
+    img[3:8, 2:6] = rng.integers(0, 255, (5, 4, 3), np.uint8)
+    assert border_geometry(img) == (3, 2, 2, 2)
+    # fully constant image: every edge runs to the full dimension
+    assert border_geometry(np.full((4, 6, 3), 7, np.uint8)) == (4, 4, 6, 6)
+    # bar color changes mid-run -> the run stops at the change
+    img2 = np.full((6, 4, 3), 0, np.uint8)
+    img2[2:4] = 16
+    img2[4:] = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    assert border_geometry(img2)[0] == 2

@@ -58,6 +58,20 @@ _DECODE_VERIFY_SCHEMA = pa.schema(
 )
 
 SCHEMAS = {
+    "image_letterbox": pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("top", pa.int32()),
+            ("bottom", pa.int32()),
+            ("left", pa.int32()),
+            ("right", pa.int32()),
+            ("content_w", pa.int32()),
+            ("content_h", pa.int32()),
+            ("boxed", pa.bool_()),
+        ]
+    ),
     "image_decode_verify": _DECODE_VERIFY_SCHEMA,
     # same verify shape over the REAL-baseline-JPEG corpus
     "image_decode_verify_jpeg": _DECODE_VERIFY_SCHEMA,
@@ -485,6 +499,31 @@ def audio_corpus_rows(n: int = 24, seed: int = 43) -> list[dict]:
     return rows
 
 
+def build_image_letterbox(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Straight-line recompute of letterbox_geometry: decode each image
+    and run codecs.border_geometry — no Spark, no batching."""
+    rows = []
+    for r in pdf.to_dict("records"):
+        px = codecs.decode(bytes(r["bytes"]))
+        h, w = px.shape[:2]
+        t, b, left, right = codecs.border_geometry(px)
+        rows.append(
+            {
+                "image_id": r["image_id"],
+                "w": w,
+                "h": h,
+                "top": t,
+                "bottom": b,
+                "left": left,
+                "right": right,
+                "content_w": max(0, w - left - right),
+                "content_h": max(0, h - t - b),
+                "boxed": (t + b + left + right) > 0,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def build_all() -> dict[str, pd.DataFrame]:
     corpus = corpus_frames(200)
     neardups = corpus_with_neardups(200, 40)
@@ -530,6 +569,10 @@ def build_all() -> dict[str, pd.DataFrame]:
         # over the SAME corpus the committed pair tables cover
         "image_sharpness_partials_neardup": build_image_sharpness_partials(
             neardups
+        ),
+        # constant-border crop geometry over the padded corpus
+        "image_letterbox": build_image_letterbox(
+            fixtures.make_corpus_letterbox(160)
         ),
     }
 

@@ -346,3 +346,33 @@ def box_blur(pixels: np.ndarray, k: int = 5) -> np.ndarray:
     cp[1:, 1:] = c
     out = (cp[k:, k:] - cp[:-k, k:] - cp[k:, :-k] + cp[:-k, :-k]) / (k * k)
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def border_geometry(pixels: np.ndarray) -> tuple[int, int, int, int]:
+    """Letterbox/pillarbox geometry: consecutive constant-color lines
+    from each edge (top, bottom, left, right). A line counts while it
+    is entirely ONE color and that color equals the edge's first-line
+    color; each edge scans independently and caps at the full
+    dimension. Pure integer, no tolerance — the fixture bars are exact
+    (vision-curation crop step; LAION-style pipelines strip these
+    borders before training)."""
+
+    def run(lines: np.ndarray) -> int:
+        n = 0
+        ref = None
+        for ln in lines:
+            if not (ln == ln[0]).all():
+                break
+            if ref is None:
+                ref = ln[0].copy()
+            elif (ln[0] != ref).any():
+                break
+            n += 1
+        return n
+
+    return (
+        run(pixels),                      # rows top-down
+        run(pixels[::-1]),                # rows bottom-up
+        run(pixels.transpose(1, 0, 2)),   # cols left-right
+        run(pixels[:, ::-1].transpose(1, 0, 2)),  # cols right-left
+    )

@@ -285,3 +285,53 @@ def make_corpus_blurgate(
             }
         )
     return pd.concat([base, pd.DataFrame(rows)], ignore_index=True)
+
+
+def make_corpus_letterbox(
+    n: int = 160, seed: int = SEED, sizes: tuple[int, ...] = (32, 64)
+) -> pd.DataFrame:
+    """input_hint-shaped corpus where a deterministic subset of images
+    carries constant-color letterbox / pillarbox / full-frame borders
+    around ground-truth content (the padding pathology a vision
+    curation pass must crop before training). i%5 picks the variant:
+    0 = letterbox (top+bottom bars), 1 = pillarbox (left+right),
+    2 = full frame, else clean. Bar thickness 2 + i%4; PNG-encoded so
+    geometry survives bit-exactly."""
+    rng = np.random.default_rng(seed + 7)
+    sizes = np.array(sizes)
+    rows = []
+    for i in range(n):
+        image_id = f"box{i:08d}"
+        w = int(sizes[rng.integers(0, len(sizes))])
+        h = int(sizes[rng.integers(0, len(sizes))])
+        content = ground_truth_pixels(image_id, w, h)
+        b = 2 + i % 4
+        variant = i % 5
+        bar = np.array([0, 0, 0] if i % 2 == 0 else [16, 16, 16], np.uint8)
+        if variant == 0:      # letterbox
+            px = np.empty((h + 2 * b, w, 3), np.uint8)
+            px[:] = bar
+            px[b : b + h] = content
+        elif variant == 1:    # pillarbox
+            px = np.empty((h, w + 2 * b, 3), np.uint8)
+            px[:] = bar
+            px[:, b : b + w] = content
+        elif variant == 2:    # full frame
+            px = np.empty((h + 2 * b, w + 2 * b, 3), np.uint8)
+            px[:] = bar
+            px[b : b + h, b : b + w] = content
+        else:
+            px = content
+        data = codecs.encode_png(px)
+        rows.append(
+            {
+                "image_id": image_id,
+                "bytes": data,
+                "w": px.shape[1],
+                "h": px.shape[0],
+                "fmt": "png",
+                "caption": f"caption of {image_id}",
+                "phash": codecs.phash64(px),
+            }
+        )
+    return pd.DataFrame(rows)

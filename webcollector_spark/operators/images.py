@@ -787,3 +787,65 @@ def image_neardup_best_keepers(
         .withColumn("is_keeper", F.row_number().over(w) == 1)
         .select("image_id", "cluster", "cluster_size", "lap_var", "is_keeper")
     )
+
+
+LETTERBOX_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("top", T.IntegerType()),
+        T.StructField("bottom", T.IntegerType()),
+        T.StructField("left", T.IntegerType()),
+        T.StructField("right", T.IntegerType()),
+        T.StructField("content_w", T.IntegerType()),
+        T.StructField("content_h", T.IntegerType()),
+        T.StructField("boxed", T.BooleanType()),
+    ]
+)
+
+
+def corpus_letterbox_df(spark: SparkSession, n: int = 160) -> DataFrame:
+    """Corpus with deterministic letterbox/pillarbox/frame padding
+    (fixtures.make_corpus_letterbox) — input for the border-crop
+    geometry operator."""
+    return spark.createDataFrame(
+        fixtures.make_corpus_letterbox(n), schema=CORPUS_SCHEMA
+    )
+
+
+def letterbox_geometry(corpus: DataFrame) -> DataFrame:
+    """Constant-border crop geometry per image (codecs.border_geometry:
+    consecutive uniform lines from each edge) — the crop step a vision
+    curation pass runs before aspect bucketing, since letterbox bars
+    poison both the aspect ratio and the patch statistics. Decode map
+    stage, pure integers out, zero shuffle — embarrassingly parallel at
+    any corpus size; feed its output to aspect_bucket_assign on
+    (content_w, content_h) instead of the padded (w, h)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                px = codecs.decode(bytes(r["bytes"]))
+                h, w = px.shape[:2]
+                t, b, l, rt = codecs.border_geometry(px)
+                rows.append(
+                    {
+                        "image_id": r["image_id"],
+                        "w": w,
+                        "h": h,
+                        "top": t,
+                        "bottom": b,
+                        "left": l,
+                        "right": rt,
+                        "content_w": max(0, w - l - rt),
+                        "content_h": max(0, h - t - b),
+                        "boxed": (t + b + l + rt) > 0,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in LETTERBOX_SCHEMA.fields]
+            )
+
+    return corpus.mapInPandas(run, schema=LETTERBOX_SCHEMA)

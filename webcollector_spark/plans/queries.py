@@ -2116,6 +2116,25 @@ def q_image_channel_stats(spark, sf):
 
 
 @register(
+    "image_letterbox",
+    _oracle_parquet(
+        "image_letterbox",
+        # left/right are reserved words in DuckDB — quote them
+        'image_id, w, h, top, bottom, "left", "right", content_w, content_h, boxed',
+    ),
+)
+def q_image_letterbox(spark, sf):
+    """Constant-border crop geometry (letterbox/pillarbox/frame) per
+    image — the crop step upstream of aspect bucketing; integers only,
+    decode map stage, zero shuffle (operators/images.py
+    letterbox_geometry; oracle recomputed straight-line by
+    tools/build_multimodal_oracles.py)."""
+    from webcollector_spark.operators import images
+
+    return images.letterbox_geometry(images.corpus_letterbox_df(spark))
+
+
+@register(
     "video_frame_sample",
     _oracle_parquet(
         "video_frame_sample", "video_id, frame_idx, ts_sec, frame_mean, frame_hash"
@@ -3198,6 +3217,165 @@ def q_unigram_logprob(spark, sf):
     )
 
 
+# DSIR importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score each doc by the
+# mean token log-ratio ln p_target(term) - ln p_source(term), where the
+# target distribution is a curated slice (here lang='en') and the
+# source is the full corpus, both add-1 smoothed over the JOINT
+# vocabulary. High scores = docs whose unigram profile looks like the
+# target slice — the standard cheap importance-resampling signal for
+# 100 TB pretraining mixes. Scale shape: one explode, two map-side
+# term counts over it, a left join between the two O(vocab) frames and
+# a shuffle join back onto tokens (web-scale vocabulary is NOT
+# broadcast); the three scalar totals ride in as a 1-row broadcast.
+@register(
+    "dsir_importance",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+      FROM documents
+    ),
+    tgt_toks AS (
+      SELECT t.doc_id, t.term FROM toks t
+      JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+    ),
+    tf AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+    tf_t AS (SELECT term, count(*) AS cnt_t FROM tgt_toks GROUP BY term),
+    v AS (
+      SELECT term, cnt, coalesce(cnt_t, 0) AS cnt_t
+      FROM tf LEFT JOIN tf_t USING (term)
+    ),
+    tot AS (
+      SELECT sum(cnt) AS total, sum(cnt_t) AS total_t, count(*) AS vocab
+      FROM v
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(
+             ln((cnt_t + 1) / CAST(total_t + vocab AS DOUBLE))
+             - ln((cnt + 1) / CAST(total + vocab AS DOUBLE))
+           ), 4) + 0.0 AS dsir_logratio
+    FROM toks JOIN v USING (term), tot
+    GROUP BY doc_id
+    """,
+)
+def q_dsir_importance(spark, sf):
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("term").agg(
+        F.count("*").alias("cnt"),
+        # target slice counted in the SAME pass (conditional agg beats a
+        # second explode + join at any scale)
+        F.sum((F.col("lang") == "en").cast("long")).alias("cnt_t"),
+    )
+    tot = tf.agg(
+        F.sum("cnt").alias("total"),
+        F.sum("cnt_t").alias("total_t"),
+        F.count("*").alias("vocab"),
+    )
+    w = (
+        F.log((F.col("cnt_t") + 1) / (F.col("total_t") + F.col("vocab")).cast("double"))
+        - F.log((F.col("cnt") + 1) / (F.col("total") + F.col("vocab")).cast("double"))
+    )
+    return (
+        # shuffle_hash pin: the planner sizes toks on its PRE-explode
+        # stats and would happily broadcast the exploded token table
+        # (the ×explode trap the standing plan check guards)
+        toks.hint("shuffle_hash")
+        .join(tf, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            # + 0.0 canonicalizes IEEE -0.0 (a doc whose mean ratio
+            # rounds to zero from below) identically in both engines
+            (F.round(F.avg(w), 4) + F.lit(0.0)).alias("dsir_logratio"),
+        )
+    )
+
+
+# Exact chunk-level dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — ExactSubstr at fixed
+# granularity): split each doc into non-overlapping 10-token chunks,
+# keep only the globally-first occurrence of each chunk (first =
+# smallest doc_id, then chunk position), and report per-doc retention.
+# Training pipelines drop or rewrite the removed spans; the per-doc
+# retained_ratio is the curation gate. Scale shape: chunks shuffle on
+# their md5 (fixed-width key, never the chunk string); the
+# first-occurrence fold is a map-side-combinable MIN; output is
+# O(docs). md5 collisions conservatively count as duplicates (standard
+# for this operator). Owner encoding doc_id*1e6+pos caps positions at
+# 1e6 chunks (10M tokens) per doc — a contract, asserted nowhere
+# cheaper than here.
+@register(
+    "chunk_dedup_exact",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i*10+1:i*10+10], ' ')) AS h
+      FROM t, unnest(generate_series(0,
+                 CAST(ceil(len(toks) / 10.0) AS BIGINT) - 1)) AS u(i)
+    ),
+    own AS (SELECT h, min(doc_id * 1000000 + pos) AS owner FROM c GROUP BY h)
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           sum(CASE WHEN doc_id * 1000000 + pos = owner
+                    THEN 1 ELSE 0 END)::bigint AS kept_chunks,
+           round(sum(CASE WHEN doc_id * 1000000 + pos = owner
+                          THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS retained_ratio
+    FROM c JOIN own USING (h)
+    GROUP BY doc_id
+    """,
+)
+def q_chunk_dedup_exact(spark, sf):
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+    n_chunks = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    # guard: Spark sequence(0, -1) DESCENDS — an empty doc must yield an
+    # empty chunk list, not [0, -1]
+    idx = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    c = (
+        _t(spark, sf, "documents")
+        .select("doc_id", toks.alias("toks"), idx.alias("idx"))
+        .select("doc_id", "toks", F.explode("idx").alias("pos"))
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("toks"), F.col("pos") * 10 + 1, 10), " "
+                )
+            ).alias("h"),
+        )
+    )
+    ident = F.col("doc_id") * 1000000 + F.col("pos")
+    own = c.groupBy("h").agg(F.min(ident).alias("owner"))
+    kept = (ident == F.col("owner")).cast("long")
+    return (
+        c.join(own, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(kept).alias("kept_chunks"),
+            F.round(
+                F.sum(kept) / F.count("*").cast("double"), 4
+            ).alias("retained_ratio"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Caption-side curation over the image+caption corpus (the graft's
 # payload table). The corpus is engine-generated
@@ -4096,6 +4274,9 @@ def q_recrawl_due(spark, sf):
 
 _SNAPSHOT_FIRST = [
     # round-4 registrations — need their first driver row
+    "dsir_importance",
+    "chunk_dedup_exact",
+    "image_letterbox",
     "recrawl_due",
     "host_budget_plan",
     "caption_conflict_flags",
