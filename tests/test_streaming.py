@@ -442,3 +442,71 @@ def test_export_stream_replay_is_noop(spark):
         assert back.count() == corpus.count()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_chunk_dedup_matches_batch(spark):
+    """Drain documents through the stateful chunk-dedup stream in one
+    availableNow batch: per-doc kept counts must equal the batch
+    chunk_dedup_exact registry result."""
+    import shutil
+    import tempfile
+
+    from webcollector_spark.plans import queries as q
+
+    d = tempfile.mkdtemp(prefix="wc_docs3_")
+    try:
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(2).write.mode(
+            "overwrite"
+        ).parquet(d)
+        stream = P.chunk_dedup_stream(P.read_docs_stream(spark, d))
+        P.run_to_memory(stream, "chunkdedup_test", output_mode="append")
+        got = {}
+        for r in spark.table("chunkdedup_test").collect():
+            n, k = got.get(r["doc_id"], (0, 0))
+            got[r["doc_id"]] = (n + 1, k + int(r["kept"]))
+        want = {
+            r["doc_id"]: (r["n_chunks"], r["kept_chunks"])
+            for r in q.queries()["chunk_dedup_exact"](spark, SF_DIR).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_chunk_dedup_cross_batch_state(spark):
+    """A chunk arriving in batch 2 that batch 1 already owns must come
+    back kept=False — first-arrival wins across micro-batches."""
+    import shutil
+    import tempfile
+
+    text = " ".join(f"w{i}" for i in range(10))  # exactly one chunk
+    docs = [
+        (7, text, "en", "s", 60),
+        (3, text, "en", "s", 60),  # lower id, but arrives LATER
+    ]
+    d = tempfile.mkdtemp(prefix="wc_docs4_")
+    try:
+        import time as _t
+
+        for row in docs:
+            spark.createDataFrame([row], P.DOCS_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+            _t.sleep(0.2)  # distinct mtimes -> deterministic batch order
+        stream = P.read_docs_stream(spark, d, max_files_per_trigger=1)
+        q2 = (
+            P.chunk_dedup_stream(stream)
+            .writeStream.format("memory")
+            .queryName("chunkdedup_xbatch")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+        got = {
+            r["doc_id"]: r["kept"]
+            for r in spark.table("chunkdedup_xbatch").collect()
+        }
+        assert got == {7: True, 3: False}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

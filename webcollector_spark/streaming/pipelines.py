@@ -685,3 +685,71 @@ def export_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+CHUNK_DEDUP_STATE_SCHEMA = "owner long"
+CHUNK_DEDUP_OUT_SCHEMA = "doc_id long, pos int, kept boolean"
+
+
+def chunk_dedup_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of the batch `chunk_dedup_exact` registry query:
+    row-local 10-token chunking (no aggregation before the stateful
+    operator), then per-chunk-md5 state holding the first owner
+    (doc_id*1e6 + pos). A chunk row is `kept` iff it IS the owner.
+    Within a micro-batch the minimum identity wins — so draining a
+    static directory in one availableNow batch reproduces the batch
+    query's keep set exactly; across batches the earlier batch wins
+    (arrival order), the streaming-native contract. State is one long
+    per distinct chunk — the smallest possible footprint for exact
+    first-occurrence dedup."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+    n_chunks = F.ceil(F.size(F.col("t")) / F.lit(10.0)).cast("int")
+    idx = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = (
+        docs.select("doc_id", toks.alias("t"))
+        .select("doc_id", "t", F.explode(idx).alias("pos"))
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("t"), F.col("pos") * 10 + 1, 10), " "
+                )
+            ).alias("h"),
+        )
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        owner = int(state.get[0]) if state.exists else None
+        rows = []
+        batch = []
+        for pdf in pdfs:
+            batch.extend(
+                (int(r["doc_id"]), int(r["pos"]))
+                for r in pdf.to_dict("records")
+            )
+        # min identity wins within the batch (batch-equivalence)
+        batch.sort(key=lambda t: t[0] * 1_000_000 + t[1])
+        for doc_id, pos in batch:
+            ident = doc_id * 1_000_000 + pos
+            if owner is None:
+                owner = ident
+            rows.append(
+                {"doc_id": doc_id, "pos": pos, "kept": ident == owner}
+            )
+        state.update((owner,))
+        yield pd.DataFrame(rows, columns=["doc_id", "pos", "kept"])
+
+    return chunks.groupBy("h").applyInPandasWithState(
+        fn,
+        outputStructType=CHUNK_DEDUP_OUT_SCHEMA,
+        stateStructType=CHUNK_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
