@@ -241,3 +241,52 @@ def test_rank_ordering_survives_adaptive_salting(spark, tmp_path):
         for r in spark.read.parquet(hist).filter(F.col("round") == 2).collect()
     }
     assert scheduled == {pop, second}
+
+
+def test_hits_star_graph_separates_hub_from_authorities(spark):
+    """Center -> 4 leaves: the center is a pure hub (nobody links to
+    it, auth 0), the leaves are pure equal authorities (no out-edges,
+    hub 0). This star is the HITS fixed point, so 1 and 5 iterations
+    must agree exactly."""
+    from webcollector_spark.operators.rank import hits
+
+    edges = spark.createDataFrame(
+        [("c", f"l{i}") for i in range(4)], "src string, dst string"
+    )
+    for iters in (1, 5):
+        r = {
+            row["node"]: (row["auth"], row["hub"])
+            for row in hits(edges, iters=iters).collect()
+        }
+        assert r["c"] == (0.0, 1.0)
+        for i in range(4):
+            assert r[f"l{i}"] == (0.25, 0.0)
+
+
+def test_hits_hub_mass_follows_authority_of_targets(spark):
+    """Two hubs pointing at the same two pages plus a third hub
+    pointing at only one of them: the 2-outlink hubs accumulate more
+    hub mass, and the doubly-linked pages out-rank the singly-linked
+    structure after the second iteration."""
+    from webcollector_spark.operators.rank import hits
+
+    edges = spark.createDataFrame(
+        [("h1", "p1"), ("h1", "p2"), ("h2", "p1"), ("h2", "p2"), ("h3", "p1")],
+        "src string, dst string",
+    )
+    r = {
+        row["node"]: (row["auth"], row["hub"])
+        for row in hits(edges, iters=3).collect()
+    }
+    assert r["p1"][0] > r["p2"][0] > 0.0      # p1 has the extra in-link
+    assert r["h1"][1] == r["h2"][1] > r["h3"][1] > 0.0
+    assert r["h1"][0] == r["h3"][0] == 0.0    # hubs get no in-links
+
+
+def test_hits_empty_edges_returns_empty(spark):
+    from webcollector_spark.operators.rank import hits
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    out = hits(edges, iters=2)
+    assert out.count() == 0
+    assert set(out.columns) == {"node", "auth", "hub"}

@@ -87,6 +87,91 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Kleinberg HITS hubs/authorities after `iters` synchronous
+    iterations — the second classic frontier-priority source next to
+    `pagerank` (focused crawlers schedule authorities first and mine
+    hubs for outlinks; the reference's Generator orders by nothing,
+    `crawldb/Generator.java:49-78`, so both are graft extensions
+    feeding the same `priority` column).
+
+    One iteration = auth half-step (sum hub scores over in-edges) then
+    hub half-step (sum auth scores over out-edges), each L1-normalized.
+    Returns (node, auth, hub).
+
+    Scale shape: each half-step is ONE shuffle join of an O(nodes)
+    score table to edges plus a groupBy — O(|E|) per iteration, the
+    same BSP pattern as `pagerank`/connected components. The L1
+    normalizer is a 1-row aggregate crossJoined back with an explicit
+    broadcast (genuinely-small side); no O(nodes) table is ever
+    broadcast. Unlike pagerank, every half-step table is consumed
+    TWICE (once by its normalizer, once by the join) — without
+    truncation the recompute/plan tree DOUBLES per half-step
+    (2^(2·iters) blowup, found by the iters=5 unit test hanging), so
+    each half-step is lazily localCheckpointed: one materialization of
+    an O(nodes) table per half-step, which its shuffle would have
+    written anyway. `checkpoint_every` additionally forces an eager
+    cut for deep runs.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    if nodes.count() == 0:
+        # Same contract as pagerank: an empty link graph must not
+        # crash a scheduler wiring hits() in unconditionally.
+        return nodes.withColumn("auth", F.lit(0.0)).withColumn(
+            "hub", F.lit(0.0)
+        )
+    nodes = nodes.localCheckpoint(eager=False)
+    hubs = nodes.withColumn("hub", F.lit(1.0))
+    auths = nodes.withColumn("auth", F.lit(0.0))
+    for i in range(iters):
+        a_raw = (
+            edges.join(hubs.withColumnRenamed("node", src), src)
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum("hub").alias("s"))
+            .localCheckpoint(eager=False)
+        )
+        a_tot = a_raw.agg(F.sum("s").alias("t"))
+        auths = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "node",
+                (F.coalesce("s", F.lit(0.0)) / F.col("t")).alias("auth"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        h_raw = (
+            edges.join(auths.withColumnRenamed("node", dst), dst)
+            .groupBy(F.col(src).alias("node"))
+            .agg(F.sum("auth").alias("s"))
+            .localCheckpoint(eager=False)
+        )
+        h_tot = h_raw.agg(F.sum("s").alias("t"))
+        hubs = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "node",
+                (F.coalesce("s", F.lit(0.0)) / F.col("t")).alias("hub"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+            auths = auths.localCheckpoint(eager=True)
+            hubs = hubs.localCheckpoint(eager=True)
+    return auths.join(hubs, "node")
+
+
 def edges_from_history(hist: DataFrame, canonical: bool = False) -> DataFrame:
     """Link graph (src page -> harvested link key) from the crawler's
     fetched-history table: auto-parse links ride the `links` array,

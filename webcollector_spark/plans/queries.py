@@ -3075,6 +3075,78 @@ SQL["pagerank"] = _pagerank_sql()
 
 
 # ---------------------------------------------------------------------------
+# HITS hubs/authorities (operators/rank.py) — the second classic
+# frontier-priority source (Kleinberg; focused crawlers fetch
+# authorities first and mine hubs for outlinks). Iterative in Spark
+# (two O(|E|)-shuffle half-steps per iteration, 1-row L1 normalizers
+# broadcast); the oracle unrolls the SAME two iterations as DuckDB
+# CTEs so the full iterative computation is value-checked. Same
+# deterministic click edge list as `pagerank`.
+
+_HITS_ITER = """
+    a{i}r AS (
+      SELECT e.dst AS node, sum(h{p}.hub) AS s
+      FROM e JOIN h{p} ON h{p}.node = e.src GROUP BY e.dst
+    ),
+    a{i} AS (
+      SELECT nodes.node,
+             coalesce(a{i}r.s, 0.0) / (SELECT sum(s) FROM a{i}r) AS auth
+      FROM nodes LEFT JOIN a{i}r ON a{i}r.node = nodes.node
+    ),
+    h{i}r AS (
+      SELECT e.src AS node, sum(a{i}.auth) AS s
+      FROM e JOIN a{i} ON a{i}.node = e.dst GROUP BY e.src
+    ),
+    h{i} AS (
+      SELECT nodes.node,
+             coalesce(h{i}r.s, 0.0) / (SELECT sum(s) FROM h{i}r) AS hub
+      FROM nodes LEFT JOIN h{i}r ON h{i}r.node = nodes.node
+    )"""
+
+
+def _hits_sql(iters: int = 2) -> str:
+    steps = ",".join(
+        _HITS_ITER.format(i=i + 1, p=i) for i in range(iters)
+    )
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT user_id AS src, event_id % 50 AS dst
+      FROM events WHERE event_type = 'click'
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    h0 AS (SELECT node, 1.0 AS hub FROM nodes),
+    {steps}
+    SELECT a{iters}.node,
+           round(a{iters}.auth * 1000, 4) + 0 AS auth1k,
+           round(h{iters}.hub * 1000, 4) + 0 AS hub1k
+    FROM a{iters} JOIN h{iters} ON h{iters}.node = a{iters}.node
+    """
+
+
+@register("hits_scores", None)
+def q_hits_scores(spark, sf):
+    from webcollector_spark.operators.rank import hits
+
+    ev = _t(spark, sf, "events")
+    edges = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("src"), (F.col("event_id") % 50).alias("dst")
+        )
+        .distinct()
+    )
+    r = hits(edges, iters=2)
+    return r.select(
+        "node",
+        (F.round(F.col("auth") * 1000, 4) + F.lit(0.0)).alias("auth1k"),
+        (F.round(F.col("hub") * 1000, 4) + F.lit(0.0)).alias("hub1k"),
+    )
+
+
+SQL["hits_scores"] = _hits_sql()
+
+
+# ---------------------------------------------------------------------------
 # HyperLogLog registers (operators/sketch.py) — the transparent,
 # cross-engine-checkable formulation of the estimator family behind
 # the LSM store's fold-free frontier-size estimate. The
@@ -4306,6 +4378,7 @@ _SNAPSHOT_FIRST = [
     "caption_quality",
     # scheduler priority source + text analytics
     "pagerank",
+    "hits_scores",
     "tfidf_top_terms",
     "char_entropy",
     "gopher_repetition",
