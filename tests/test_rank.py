@@ -290,3 +290,36 @@ def test_hits_empty_edges_returns_empty(spark):
     out = hits(edges, iters=2)
     assert out.count() == 0
     assert set(out.columns) == {"node", "auth", "hub"}
+
+
+def test_trustrank_spam_island_gets_zero(spark):
+    """Two components: seeds live in the first, the second (a link-spam
+    island) is unreachable from them — every island node must rank
+    exactly 0 while reachable nodes carry positive trust."""
+    from webcollector_spark.operators.rank import pagerank
+
+    edges = spark.createDataFrame(
+        [("seed", "a"), ("a", "b"), ("spam1", "spam2"), ("spam2", "spam1")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("seed",)], "node string")
+    r = {
+        row["node"]: row["rank"]
+        for row in pagerank(edges, iters=4, seeds=seeds).collect()
+    }
+    assert r["spam1"] == 0.0 and r["spam2"] == 0.0
+    assert r["seed"] > 0 and r["a"] > 0 and r["b"] > 0
+    # trust decays with link distance from the seed
+    assert r["seed"] > r["a"] > r["b"]
+
+
+def test_trustrank_empty_seed_set_returns_zero_ranks(spark):
+    from webcollector_spark.operators.rank import pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([], "node string")
+    r = {
+        row["node"]: row["rank"]
+        for row in pagerank(edges, iters=3, seeds=seeds).collect()
+    }
+    assert r == {"a": 0.0, "b": 0.0}

@@ -28,11 +28,23 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 8,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Ranks after `iters` synchronous iterations from a uniform start.
 
     Nodes = union of srcs and dsts; returns (node, rank). Deterministic
     up to float-sum order (aggregation), as all parallel PageRanks are.
+
+    With `seeds` (a 1-column DataFrame of trusted nodes) this is
+    TrustRank (Gyongyi et al. 2004): the teleport vector is restricted
+    to the seed set — base (1-d)/|S| on seeds, 0 elsewhere, start 1/|S|
+    on seeds — so trust decays with link distance from the seeds and
+    link-spam islands unreachable from them rank 0. The crawl use:
+    demote frontier hosts no trusted page links into. Costs one extra
+    left-semi flag join on the node table before the loop; the
+    per-iteration shape is unchanged. An empty/disjoint seed set
+    returns all-zero ranks (no trusted mass) rather than crashing the
+    scheduler.
 
     Scale shape: out-degree is folded into the node table ONCE before
     the loop, so each iteration is a single shuffle join of ranks to
@@ -55,12 +67,25 @@ def pagerank(
     out_deg = edges.groupBy(src).agg(F.count("*").alias("odeg"))
     # Fold odeg onto the rank table once; dangling nodes get odeg NULL
     # (never divided by — they contribute nothing, per the docstring).
-    nodes = (
-        nodes.join(out_deg.withColumnRenamed(src, "node"), "node", "left")
-        .localCheckpoint(eager=False)
-    )
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    base = (1.0 - damping) / n
+    nodes = nodes.join(out_deg.withColumnRenamed(src, "node"), "node", "left")
+    if seeds is not None:
+        seed_nodes = seeds.toDF("node").distinct()
+        nodes = nodes.join(
+            seed_nodes.withColumn("__seed", F.lit(True)), "node", "left"
+        ).withColumn("__seed", F.coalesce("__seed", F.lit(False)))
+        nodes = nodes.localCheckpoint(eager=False)
+        n_seed = nodes.filter("__seed").count()
+        if n_seed == 0:
+            return nodes.select("node", F.lit(0.0).alias("rank"))
+        start = F.when(F.col("__seed"), F.lit(1.0 / n_seed)).otherwise(0.0)
+        base_col = F.when(
+            F.col("__seed"), F.lit((1.0 - damping) / n_seed)
+        ).otherwise(0.0)
+    else:
+        nodes = nodes.localCheckpoint(eager=False)
+        start = F.lit(1.0 / n)
+        base_col = F.lit((1.0 - damping) / n)
+    ranks = nodes.withColumn("rank", start)
     for i in range(iters):
         contribs = (
             edges.join(ranks.withColumnRenamed("node", src), src)
@@ -77,7 +102,7 @@ def pagerank(
                 "node",
                 "odeg",
                 (
-                    F.lit(base)
+                    base_col
                     + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
                 ).alias("rank"),
             )

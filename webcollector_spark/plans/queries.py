@@ -2350,6 +2350,82 @@ SQL["url_canonicalize"] = _canon_sql_body()
 
 
 # ---------------------------------------------------------------------------
+# Crawl-trap detection by URL templating — the frontier defense the
+# reference lacks entirely (WebCollector bounds traps only via maxDepth,
+# BreadthCrawler.java): calendar pages, session ids, and other
+# infinitely-generated URL spaces are found by collapsing each path to
+# its template (hex runs -> {H} first, then digit runs -> {D}) and
+# flagging templates whose DISTINCT-URL count is both large and ~equal
+# to its fetch count (every fetch a brand-new URL = generated space;
+# real finite pages are re-fetched, n_urls << n_docs). The flag is
+# integer cross-multiplied (n_urls*10 >= 9*n_docs) so no float division
+# can diverge between engines, and scale-free so the same rule holds at
+# 10^10 URLs. Scale shape: one groupBy (host, template) with a
+# distinct-count — two-phase partial agg, output O(templates), no
+# broadcast, no UDF (pure codegen regex). Deterministic synthetic URLs:
+# doc_id%3==0 rows are calendar+session-id trap fetches (URL unique per
+# fetch), the rest rotate over 5 finite /page/ URLs per host.
+
+_TRAP_PATH_SQL = """
+      CASE WHEN doc_id % 3 = 0
+           THEN '/cal/2026/' || (doc_id % 12) || '/' || doc_id ||
+                '?sess=' || md5(doc_id::varchar)
+           ELSE '/page/' || (doc_id % 5) END
+"""
+
+
+@register(
+    "url_trap_templates",
+    f"""
+    WITH u AS (
+      SELECT source || '.com' AS host,
+             'http://' || source || '.com' || ({_TRAP_PATH_SQL}) AS url,
+             regexp_replace(
+               regexp_replace(({_TRAP_PATH_SQL}), '[0-9a-f]{{16,}}', '{{H}}', 'g'),
+               '[0-9]+', '{{D}}', 'g') AS template
+      FROM documents
+    )
+    SELECT host, template,
+           count(*) AS n_docs,
+           count(DISTINCT url) AS n_urls,
+           (count(DISTINCT url) >= 5 AND
+            count(DISTINCT url) * 10 >= 9 * count(*)) AS is_trap
+    FROM u GROUP BY host, template
+    """,
+)
+def q_url_trap_templates(spark, sf):
+    docs = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    path = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit("/cal/2026/"),
+            (did % 12).cast("string"),
+            F.lit("/"),
+            did.cast("string"),
+            F.lit("?sess="),
+            F.md5(did.cast("string")),
+        ),
+    ).otherwise(F.concat(F.lit("/page/"), (did % 5).cast("string")))
+    host = F.concat(F.col("source"), F.lit(".com"))
+    u = docs.select(
+        host.alias("host"),
+        F.concat(F.lit("http://"), host, path).alias("url"),
+        F.regexp_replace(
+            F.regexp_replace(path, r"[0-9a-f]{16,}", "{H}"),
+            r"[0-9]+",
+            "{D}",
+        ).alias("template"),
+    )
+    n_urls = F.countDistinct("url")
+    return u.groupBy("host", "template").agg(
+        F.count("*").alias("n_docs"),
+        n_urls.alias("n_urls"),
+        ((n_urls >= 5) & (n_urls * 10 >= 9 * F.count("*"))).alias("is_trap"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF-flat ANN: the scale path between brute force and LSH. Deterministic
 # seeded centroids (the first k vectors — k-means|| would train these in
 # production; seeding keeps the oracle exact), every vector assigned to its
@@ -3072,6 +3148,77 @@ def q_pagerank(spark, sf):
 
 
 SQL["pagerank"] = _pagerank_sql()
+
+
+# ---------------------------------------------------------------------------
+# TrustRank (operators/rank.py pagerank(seeds=...)) — seeded PageRank
+# (Gyongyi et al. 2004): teleport mass restricted to a trusted seed
+# set, so trust decays with link distance and spam islands unreachable
+# from the seeds rank exactly 0. The crawl use is frontier demotion of
+# untrusted hosts. Same O(|E|)-per-iteration BSP loop as pagerank (the
+# seed flag is folded onto the checkpointed node table once); the
+# oracle unrolls the SAME three iterations as DuckDB CTEs.
+# Deterministic seed set: click-graph nodes divisible by 7.
+
+_TR_STEP = """
+    {cur} AS (
+      SELECT nodes.node,
+             CASE WHEN nodes.node % 7 = 0
+                  THEN 0.15 / (SELECT cnt FROM ns) ELSE 0.0 END +
+             0.85 * coalesce(s.inflow, 0.0) AS rank
+      FROM nodes LEFT JOIN ({inflow}) s ON s.node = nodes.node
+    )"""
+
+
+def _trustrank_sql() -> str:
+    steps = ",".join(
+        _TR_STEP.format(cur=f"r{i+1}", inflow=_PR_INFLOW.format(prev=f"r{i}"))
+        for i in range(3)
+    )
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT user_id AS src, event_id % 50 AS dst
+      FROM events WHERE event_type = 'click'
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    ns AS (SELECT count(*) AS cnt FROM nodes WHERE node % 7 = 0),
+    od AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+    r0 AS (
+      SELECT node,
+             CASE WHEN node % 7 = 0
+                  THEN 1.0 / (SELECT cnt FROM ns) ELSE 0.0 END AS rank
+      FROM nodes
+    ),
+    {steps}
+    SELECT node, round(rank * 1000, 4) + 0 AS trust1k FROM r3
+    """
+
+
+@register("trustrank", None)
+def q_trustrank(spark, sf):
+    from webcollector_spark.operators.rank import pagerank
+
+    ev = _t(spark, sf, "events")
+    edges = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("src"), (F.col("event_id") % 50).alias("dst")
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % 7 == 0)
+    r = pagerank(edges, iters=3, damping=0.85, seeds=seeds)
+    return r.select(
+        "node", (F.round(F.col("rank") * 1000, 4) + F.lit(0.0)).alias("trust1k")
+    )
+
+
+SQL["trustrank"] = _trustrank_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -4379,6 +4526,8 @@ _SNAPSHOT_FIRST = [
     # scheduler priority source + text analytics
     "pagerank",
     "hits_scores",
+    "url_trap_templates",
+    "trustrank",
     "tfidf_top_terms",
     "char_entropy",
     "gopher_repetition",
