@@ -510,3 +510,93 @@ def test_streaming_chunk_dedup_cross_batch_state(spark):
         assert got == {7: True, 3: False}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _drain_trap_stream(spark, src_dir, table, max_files=None):
+    stream = P.url_trap_stream(P.read_docs_stream(spark, src_dir, max_files))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode appends one row per touched key per micro-batch;
+    # n_docs is monotone, so the max-n_docs row is the final state
+    rows = {}
+    for r in spark.table(table).collect():
+        k = (r["host"], r["template"])
+        if k not in rows or r["n_docs"] > rows[k]["n_docs"]:
+            rows[k] = r
+    return rows
+
+
+def test_url_trap_stream_matches_batch(spark):
+    """One-batch drain: per-key fetch counts equal the batch
+    url_trap_templates counts, and the bounded-state HLL estimate
+    equals the deterministic fold of the batch url_trap_hll registers
+    bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from webcollector_spark.operators.sketch import estimate_from_registers
+    from webcollector_spark.plans import queries as q
+
+    d = tempfile.mkdtemp(prefix="wc_trap1_")
+    try:
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(2).write.mode(
+            "overwrite"
+        ).parquet(d)
+        got = _drain_trap_stream(spark, d, "trap_one_batch")
+
+        batch = {
+            (r["host"], r["template"]): r
+            for r in q.queries()["url_trap_templates"](spark, SF_DIR).collect()
+        }
+        regs = {}
+        for r in q.queries()["url_trap_hll"](spark, SF_DIR).collect():
+            regs.setdefault((r["host"], r["template"]), {})[r["bucket"]] = r[
+                "rho_max"
+            ]
+        assert set(got) == set(batch) and len(got) > 0
+        for k, row in got.items():
+            assert row["n_docs"] == batch[k]["n_docs"]
+            est = estimate_from_registers(regs[k], b=10)
+            assert row["n_urls_est"] == est
+            assert row["is_trap"] == (est >= 5 and est * 10 >= 9 * row["n_docs"])
+        # the synthetic corpus must actually discriminate
+        assert any(r["is_trap"] for r in got.values())
+        assert any(not r["is_trap"] for r in got.values())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_url_trap_stream_microbatch_invariance(spark):
+    """File-at-a-time drain ends in the same per-key rows as the
+    one-batch drain: registers max-merge, so the final state cannot
+    depend on how the input was micro-batched."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    d1 = tempfile.mkdtemp(prefix="wc_trap2_")
+    d2 = tempfile.mkdtemp(prefix="wc_trap3_")
+    try:
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        docs.coalesce(1).write.mode("overwrite").parquet(d1)
+        # two files with distinct mtimes -> two deterministic batches
+        a, b = docs.randomSplit([0.5, 0.5], seed=7)
+        a.coalesce(1).write.mode("append").parquet(d2)
+        _t.sleep(0.2)
+        b.coalesce(1).write.mode("append").parquet(d2)
+
+        one = _drain_trap_stream(spark, d1, "trap_whole")
+        split = _drain_trap_stream(spark, d2, "trap_split", max_files=1)
+        assert set(one) == set(split)
+        for k in one:
+            for c in ("n_docs", "n_urls_est", "is_trap"):
+                assert one[k][c] == split[k][c], (k, c)
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)

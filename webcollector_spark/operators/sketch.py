@@ -28,12 +28,20 @@ def _hash60(col: Column) -> Column:
     )
 
 
-def hll_registers(df: DataFrame, col: str = "key", b: int = 10) -> DataFrame:
+def hll_registers(
+    df: DataFrame, col: str = "key", b: int = 10, by: list[str] | None = None
+) -> DataFrame:
     """Occupied HLL registers: (bucket, rho_max). bucket = low b hash
     bits; rho = 1-based position of the first 1-bit in the remaining
     60-b bits (width+1 when they are all zero). Integer-exact end to
     end; the rank width tracks b — a fixed width would inflate or
-    deflate every rho as soon as b moved off the default."""
+    deflate every rho as soon as b moved off the default.
+
+    With `by`, one register table PER GROUP — (by..., bucket, rho_max),
+    the distinct-count-per-group primitive (e.g. distinct URLs per
+    (host, template) for crawl-trap detection) at O(groups x 2^b)
+    bounded output instead of a count(DISTINCT) shuffle of every
+    distinct value."""
     m = 1 << b
     width = 60 - b
     h = _hash60(F.col(col))
@@ -45,26 +53,53 @@ def hll_registers(df: DataFrame, col: str = "key", b: int = 10) -> DataFrame:
         .otherwise(F.instr(bits, "1"))
         .cast("int")
     )
+    keys = list(by or [])
     return (
-        df.select(bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy("bucket")
+        df.select(*keys, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*keys, "bucket")
         .agg(F.max("rho").alias("rho_max"))
     )
 
 
-def hll_estimate(df: DataFrame, col: str = "key", b: int = 10) -> int:
-    """Distinct-count estimate from the registers (standard HLL with the
-    small-range linear-counting correction; the 2^60 hash space makes
-    large-range collisions negligible at crawl scales)."""
+def py_hash60(value: str) -> int:
+    """Driver/UDF-side twin of `_hash60` (md5 hex prefix -> 60-bit int);
+    one definition keeps Python folds bit-identical to the JVM scan."""
+    import hashlib
+
+    return int(hashlib.md5(value.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def py_bucket_rho(h: int, b: int = 10) -> tuple[int, int]:
+    """(bucket, rho) of a 60-bit hash — the Python twin of the column
+    expressions in `hll_registers` (verified register-identical by
+    test_sketch.py)."""
+    width = 60 - b
+    w = h >> b
+    rho = width + 1 if w == 0 else width - w.bit_length() + 1
+    return h & ((1 << b) - 1), rho
+
+
+def estimate_from_registers(regs: dict[int, int], b: int = 10) -> int:
+    """Deterministic HLL estimate from a register table (standard HLL
+    with the small-range linear-counting correction; the 2^60 hash
+    space makes large-range collisions negligible at crawl scales).
+    Registers are an order-free max-fold, and this sums them in fixed
+    bucket order, so the estimate is bit-stable no matter how the
+    input was partitioned or micro-batched."""
     m = 1 << b
-    regs = {r["bucket"]: r["rho_max"] for r in hll_registers(df, col, b).collect()}
     alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else 0.709
     s = sum(2.0 ** -regs.get(j, 0) for j in range(m))
     e = alpha * m * m / s
-    zeros = m - len(regs)
+    zeros = m - sum(1 for v in regs.values() if v > 0)
     if e <= 2.5 * m and zeros > 0:
         e = m * math.log(m / zeros)
     return int(round(e))
+
+
+def hll_estimate(df: DataFrame, col: str = "key", b: int = 10) -> int:
+    """Distinct-count estimate from the registers."""
+    regs = {r["bucket"]: r["rho_max"] for r in hll_registers(df, col, b).collect()}
+    return estimate_from_registers(regs, b)
 
 
 # ---------------------------------------------------------------------------

@@ -2394,7 +2394,20 @@ _TRAP_PATH_SQL = """
     """,
 )
 def q_url_trap_templates(spark, sf):
-    docs = _t(spark, sf, "documents")
+    u = trap_url_rows(_t(spark, sf, "documents"))
+    n_urls = F.countDistinct("url")
+    return u.groupBy("host", "template").agg(
+        F.count("*").alias("n_docs"),
+        n_urls.alias("n_urls"),
+        ((n_urls >= 5) & (n_urls * 10 >= 9 * F.count("*"))).alias("is_trap"),
+    )
+
+
+def trap_url_rows(docs):
+    """(host, url, template) synthetic fetch-log rows from a documents
+    table — ONE definition shared by the batch trap queries and the
+    streaming trap detector (streaming/pipelines.py url_trap_stream),
+    so the engines can never drift on the URL synthesis."""
     did = F.col("doc_id")
     path = F.when(
         did % 3 == 0,
@@ -2408,7 +2421,7 @@ def q_url_trap_templates(spark, sf):
         ),
     ).otherwise(F.concat(F.lit("/page/"), (did % 5).cast("string")))
     host = F.concat(F.col("source"), F.lit(".com"))
-    u = docs.select(
+    return docs.select(
         host.alias("host"),
         F.concat(F.lit("http://"), host, path).alias("url"),
         F.regexp_replace(
@@ -2417,12 +2430,49 @@ def q_url_trap_templates(spark, sf):
             "{D}",
         ).alias("template"),
     )
-    n_urls = F.countDistinct("url")
-    return u.groupBy("host", "template").agg(
-        F.count("*").alias("n_docs"),
-        n_urls.alias("n_urls"),
-        ((n_urls >= 5) & (n_urls * 10 >= 9 * F.count("*"))).alias("is_trap"),
+
+
+# Grouped HLL registers over the same synthetic fetch log — the
+# bounded-state formulation of trap detection: per (host, template) the
+# distinct-URL count lives in 2^b integer registers instead of a
+# count(DISTINCT url) shuffle of every distinct URL, which is what a
+# 10^10-row frontier needs and exactly the state the streaming twin
+# (url_trap_stream) carries per key. Register math is integer-exact
+# (same derivation as hll_registers), so the oracle checks the full
+# sketch bit-for-bit; the estimate is a deterministic fold of these
+# registers (operators/sketch.py estimate_from_registers).
+
+@register(
+    "url_trap_hll",
+    f"""
+    WITH u AS (
+      SELECT source || '.com' AS host,
+             'http://' || source || '.com' || ({_TRAP_PATH_SQL}) AS url,
+             regexp_replace(
+               regexp_replace(({_TRAP_PATH_SQL}), '[0-9a-f]{{16,}}', '{{H}}', 'g'),
+               '[0-9]+', '{{D}}', 'g') AS template
+      FROM documents
+    ),
+    h AS (
+      SELECT host, template,
+             CAST(('0x' || substr(md5(url), 1, 15)) AS BIGINT) AS hv
+      FROM u
+    ),
+    r AS (
+      SELECT host, template, hv & 1023 AS bucket,
+             CASE WHEN (hv >> 10) = 0 THEN 51
+                  ELSE strpos(lpad(bin(hv >> 10), 50, '0'), '1') END AS rho
+      FROM h
     )
+    SELECT host, template, bucket, CAST(max(rho) AS INTEGER) AS rho_max
+    FROM r GROUP BY host, template, bucket
+    """,
+)
+def q_url_trap_hll(spark, sf):
+    from webcollector_spark.operators.sketch import hll_registers
+
+    u = trap_url_rows(_t(spark, sf, "documents"))
+    return hll_registers(u, col="url", b=10, by=["host", "template"])
 
 
 # ---------------------------------------------------------------------------
@@ -4527,6 +4577,7 @@ _SNAPSHOT_FIRST = [
     "pagerank",
     "hits_scores",
     "url_trap_templates",
+    "url_trap_hll",
     "trustrank",
     "tfidf_top_terms",
     "char_entropy",

@@ -753,3 +753,84 @@ def chunk_dedup_stream(docs: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRAP_STATE_SCHEMA = "n_docs long, regs array<int>"
+TRAP_OUT_SCHEMA = (
+    "host string, template string, n_docs long, n_urls_est long, "
+    "is_trap boolean"
+)
+
+
+def url_trap_stream(docs: DataFrame, b: int = 10) -> DataFrame:
+    """Streaming crawl-trap detector — the stateful twin of the batch
+    `url_trap_templates` / `url_trap_hll` pair: per (host, template)
+    state is the fetch count plus 2^b HLL registers, so distinct-URL
+    growth is tracked in BOUNDED state (a calendar trap emitting 10^9
+    unique URLs still costs exactly 2^b ints of state — an exact
+    distinct set would BE the trap's memory blow-up, relocated into the
+    state store). Each micro-batch emits the key's updated
+    (n_docs, n_urls_est, is_trap) row; the trap rule is the same
+    scale-free integer comparison as batch (est >= 5 and
+    est*10 >= 9*n_docs).
+
+    Equivalence contract (pinned in test_streaming.py): registers are
+    an order-free max-fold and the estimate is a deterministic
+    fixed-order fold of them (sketch.estimate_from_registers), so the
+    final per-key row is IDENTICAL however the input is micro-batched —
+    a one-batch drain and a file-at-a-time drain agree bit-for-bit with
+    the batch `url_trap_hll` registers' estimate. The 60-bit hash is
+    computed JVM-side (same expression as the batch scan); the Python
+    state fold touches integers only."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from webcollector_spark.operators.sketch import (
+        _hash60,
+        estimate_from_registers,
+        py_bucket_rho,
+    )
+    from webcollector_spark.plans.queries import trap_url_rows
+
+    rows = trap_url_rows(docs).select(
+        "host", "template", _hash60(F.col("url")).alias("hv")
+    )
+    m = 1 << b
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        host, template = key
+        if state.exists:
+            n_docs, regs_state = state.get
+            regs = list(regs_state)
+        else:
+            n_docs, regs = 0, [0] * m
+        for pdf in pdfs:
+            for hv in pdf["hv"]:
+                n_docs += 1
+                bkt, rho = py_bucket_rho(int(hv), b)
+                if rho > regs[bkt]:
+                    regs[bkt] = rho
+        state.update((n_docs, regs))
+        est = estimate_from_registers(
+            {j: v for j, v in enumerate(regs) if v}, b
+        )
+        yield pd.DataFrame(
+            [
+                {
+                    "host": host,
+                    "template": template,
+                    "n_docs": n_docs,
+                    "n_urls_est": est,
+                    "is_trap": bool(est >= 5 and est * 10 >= 9 * n_docs),
+                }
+            ]
+        )
+
+    return rows.groupBy("host", "template").applyInPandasWithState(
+        fn,
+        outputStructType=TRAP_OUT_SCHEMA,
+        stateStructType=TRAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
