@@ -112,3 +112,43 @@ CANON_SQL_TEMPLATE = """
          ELSE '?' || array_to_string(list_sort(string_split(
                   regexp_extract({u}, '^[^#]*\\?([^#]*)', 1), '&')), '&') END
 """
+
+
+_HEX_RUN = r"[0-9a-f]{16,}"
+_DIGIT_RUN = r"[0-9]+"
+
+
+def url_template_col(url: Column) -> Column:
+    """Path+query template of an absolute URL as a JVM expression:
+    scheme://authority stripped, long hex runs (session ids, digests)
+    collapsed to `{H}` FIRST, then digit runs to `{D}` — the collapse
+    crawl-trap detection groups by (plans/queries.py
+    `url_trap_templates`; Manku-era trap heuristics all reduce to
+    template cardinality). Hex before digits, or every hex run with a
+    digit in it would be shredded into `{D}x{D}...` fragments and the
+    same session-id space would fan out into many templates."""
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+    raw = F.concat(
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )
+    return F.regexp_replace(
+        F.regexp_replace(raw, _HEX_RUN, "{H}"), _DIGIT_RUN, "{D}"
+    )
+
+
+def url_template(url: str) -> str:
+    """Plain-Python twin of `url_template_col` (identical rules) — for
+    the picklable per-link NextFilter seam (operators/traps.py)."""
+    import re
+
+    pm = re.search(_PATH_RE, url)
+    path = pm.group(1) if pm else ""
+    if path == "":
+        path = "/"
+    qm = re.match(_QUERY_RE, url)
+    query = qm.group(1) if qm else ""
+    raw = path + ("?" + query if query else "")
+    return re.sub(_DIGIT_RUN, "{D}", re.sub(_HEX_RUN, "{H}", raw))
