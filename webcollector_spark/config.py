@@ -150,6 +150,14 @@ class CrawlerConfig:
     # star with a principled priority source.
     rank_priorities_every: int = 0
     pagerank_iters: int = 3
+    # TrustRank variant of the same scheduler (operators/rank.py
+    # pagerank(seeds=...)): restrict the teleport set to the crawl's own
+    # seed list — the classic TrustRank bootstrap (the operator hand-
+    # picked trusted pages; a curated seed list IS that set). Pages
+    # unreachable from any seed rank 0 and sink to the back of every
+    # per-host generate, so link-spam islands starve instead of
+    # competing for politeness budget. Needs rank_priorities_every > 0.
+    rank_trusted_only: bool = False
     # Number of partitions for the fetch stage (defaults to `threads`).
     fetch_partitions: int = 0
     # Target generated rows per fetch task: the fetch stage uses

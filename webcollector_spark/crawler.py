@@ -576,7 +576,21 @@ class BreadthCrawler:
         edges = edges_from_history(
             hist, canonical=cfg.canonicalize_link_keys
         )
-        ranks = pagerank(edges, iters=cfg.pagerank_iters)
+        seeds = None
+        if cfg.rank_trusted_only:
+            # the crawl's seed keys, under the same canonicalization the
+            # frontier keys got, so teleport mass lands on real nodes
+            from webcollector_spark.functions.urls import canonical_url_col
+
+            sdf = seed_rows(self.spark, self._seeds + self._forced_seeds)
+            key = F.col("key")
+            if cfg.canonicalize_link_keys:
+                key = F.when(
+                    F.col("key") == F.col("url"),
+                    canonical_url_col(F.col("url")),
+                ).otherwise(F.col("key"))
+            seeds = sdf.select(key.alias("node"))
+        ranks = pagerank(edges, iters=cfg.pagerank_iters, seeds=seeds)
         self.store.inject(
             priorities_from_ranks(self.store.load(), ranks), force=True
         )
