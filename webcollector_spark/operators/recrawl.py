@@ -17,7 +17,7 @@ de-prioritize recrawls, < 0 to prefer them).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from webcollector_spark.schema import STATUS_DB_SUCCESS, STATUS_DB_UNEXECUTED
@@ -29,6 +29,7 @@ def recrawl_candidates(
     min_age_ms: int,
     base_priority: float = 1.0,
     only_success: bool = True,
+    intervals: DataFrame | None = None,
 ) -> DataFrame:
     """Rows due for recrawl, reset to UNEXECUTED.
 
@@ -42,11 +43,26 @@ def recrawl_candidates(
     execute_count is preserved (a recrawl is a new visit of a known
     page, not a retry of a failed one — the retry budget still applies
     on top).
+
+    With `intervals` (the `change_rate_intervals` output), each key is
+    due on its OWN learned interval instead of the global floor —
+    frequently-changing pages cycle fast, static pages back off to
+    their clamp; keys without change history yet fall back to
+    `min_age_ms`. The join is key-to-key on the frontier's primary key
+    (both sides O(frontier)); no broadcast of anything O(keys).
     """
+    due_age = F.lit(min_age_ms).cast("long")
+    if intervals is not None:
+        frontier = frontier.join(
+            intervals.select("key", "interval_ms"), "key", "left"
+        )
+        due_age = F.coalesce(F.col("interval_ms"), due_age)
     cand = frontier.filter(
         F.col("execute_time").isNotNull()
-        & (F.col("execute_time") <= F.lit(now_ms - min_age_ms))
+        & (F.col("execute_time") <= F.lit(now_ms) - due_age)
     )
+    if intervals is not None:
+        cand = cand.drop("interval_ms")
     if only_success:
         cand = cand.filter(F.col("status") == STATUS_DB_SUCCESS)
     # stalest-first within host: rank by execute_time ascending
@@ -81,3 +97,61 @@ def schedule_recrawl(
     if n:
         store.merge(cand, None)
     return n
+
+
+def change_rate_intervals(
+    history: DataFrame,
+    base_ms: int,
+    min_ms: int,
+    max_ms: int,
+    key_col: str = "key",
+    order_col: str = "round",
+    sig_col: str = "phash",
+) -> DataFrame:
+    """Per-key adaptive recrawl interval from observed change rate —
+    the Cho & Garcia-Molina refresh policy (2003, "Effective Page
+    Refresh Policies for Web Crawlers") in its integer-exact form:
+    pages whose content signature changed on most revisits get short
+    intervals, pages that never change drift toward `max_ms`.
+
+    Signature = any per-fetch content column; the crawl's fetched
+    history already carries the image payload's `phash`, so a changed
+    picture IS a changed page. interval_ms = clamp(base_ms *
+    (n_obs - 1) DIV (n_changes + 1), min_ms, max_ms) — all-integer
+    (DIV, no float ratio), so the cross-engine oracle and any rerun cut
+    identical schedules; n_obs < 2 means no change evidence yet and
+    yields the clamped base.
+
+    Scale shape: one window (lag over (key) ordered by round — bounded
+    rows per key = that page's fetch count, so no skewed partition) +
+    one groupBy(key). Output is O(keys) and joins back to the frontier
+    on its primary key; feed it to `recrawl_candidates(intervals=...)`.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col).asc())
+    changed = (
+        F.col(sig_col) != F.lag(sig_col).over(w)
+    ).cast("long")
+    per = (
+        history.select(
+            F.col(key_col).alias("key"),
+            changed.alias("__chg"),
+        )
+        .groupBy("key")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.coalesce(F.sum("__chg"), F.lit(0)).alias("n_changes"),
+        )
+    )
+    raw = F.expr(
+        f"CAST({base_ms} AS BIGINT) * greatest(n_obs - 1, 1)"
+        " DIV (n_changes + 1)"
+    )
+    return per.select(
+        "key",
+        "n_obs",
+        "n_changes",
+        F.least(
+            F.lit(max_ms).cast("long"),
+            F.greatest(F.lit(min_ms).cast("long"), raw),
+        ).alias("interval_ms"),
+    )

@@ -2432,6 +2432,71 @@ def trap_url_rows(docs):
     )
 
 
+# Adaptive recrawl intervals (operators/recrawl.py
+# change_rate_intervals) — the Cho & Garcia-Molina refresh policy over
+# a deterministic 4-round fetch log: doc_id%3==0 pages change every
+# revisit (fast cycle, min-clamped), %3==1 change once (middle), %3==2
+# never change (max-clamped). The signature column is the image phash
+# the fetch stage already records, so a changed picture IS a changed
+# page. interval is all-integer (DIV + greatest/least), so the
+# schedule is bit-identical cross-engine and across reruns.
+
+_RECRAWL_BASE, _RECRAWL_MIN, _RECRAWL_MAX = 3_600_000, 3_000_000, 7_200_000
+
+
+@register(
+    "recrawl_intervals",
+    f"""
+    WITH log AS (
+      SELECT 'k' || doc_id AS key, r.i AS round,
+             doc_id * 10 + CASE doc_id % 3
+               WHEN 0 THEN r.i
+               WHEN 1 THEN CASE WHEN r.i >= 2 THEN 1 ELSE 0 END
+               ELSE 0 END AS phash
+      FROM documents, (SELECT unnest(generate_series(0, 3)) AS i) r
+    ),
+    d AS (
+      SELECT key,
+             CASE WHEN phash <> lag(phash) OVER (PARTITION BY key ORDER BY round)
+                  THEN 1 ELSE 0 END AS chg
+      FROM log
+    ),
+    per AS (
+      SELECT key, count(*) AS n_obs, sum(chg)::bigint AS n_changes
+      FROM d GROUP BY key
+    )
+    SELECT key, n_obs, n_changes,
+           least({_RECRAWL_MAX}::bigint,
+                 greatest({_RECRAWL_MIN}::bigint,
+                          {_RECRAWL_BASE}::bigint
+                          * greatest(n_obs - 1, 1) // (n_changes + 1)))
+             AS interval_ms
+    FROM per
+    """,
+)
+def q_recrawl_intervals(spark, sf):
+    from webcollector_spark.operators.recrawl import change_rate_intervals
+
+    did = F.col("doc_id")
+    chg = (
+        F.when(did % 3 == 0, F.col("r"))
+        .when((did % 3 == 1) & (F.col("r") >= 2), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    log = (
+        _t(spark, sf, "documents")
+        .select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r"))
+        .select(
+            F.concat(F.lit("k"), did.cast("string")).alias("key"),
+            F.col("r").alias("round"),
+            (did * 10 + chg).alias("phash"),
+        )
+    )
+    return change_rate_intervals(
+        log, base_ms=_RECRAWL_BASE, min_ms=_RECRAWL_MIN, max_ms=_RECRAWL_MAX
+    )
+
+
 # Grouped HLL registers over the same synthetic fetch log — the
 # bounded-state formulation of trap detection: per (host, template) the
 # distinct-URL count lives in 2^b integer registers instead of a
