@@ -257,3 +257,18 @@ def test_pair_survives_on_exactly_one_combo(mk, data):
     assert len(survivors) == (1 if ham <= k else 0)
     if ham <= k:
         assert lut[corrupt] in joined  # completeness by pigeonhole
+
+
+@given(_urlish)
+@settings(max_examples=300, deadline=None)
+def test_url_template_collapses_every_digit(u):
+    """No raw digit survives templating (outside the {D}/{H} tokens
+    themselves) and templating is idempotent — a template re-templated
+    is itself, so trap tables never need re-normalizing."""
+    import re
+
+    from webcollector_spark.functions.urls import url_template
+
+    t = url_template(u)
+    assert not re.search(r"[0-9]", re.sub(r"\{[DH]\}", "", t))
+    assert url_template("http://h.test" + t) == t

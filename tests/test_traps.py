@@ -123,3 +123,31 @@ def test_trap_next_filter_blocks_links_in_crawl(spark, tmp_path):
     assert not any("/dead/" in u for u in blocked)
     # the filter is surgical: real pages still got crawled
     assert any("/p/" in u for u in blocked)
+
+
+def test_url_template_twins_agree_on_combinatorial_corpus(spark):
+    """JVM column expression vs Python twin over the full cross product
+    of scheme/host/port/path/query shapes (incl. hex-run and digit-run
+    edge cases) — the two must never drift, or trap flags collected on
+    the driver stop matching templates computed in the scan."""
+    from itertools import product
+
+    urls = [
+        f"{s}://{h}{p}{path}{q}"
+        for s, h, p, path, q in product(
+            ["http", "https"],
+            ["a.test", "A7.test"],
+            ["", ":8080"],
+            ["", "/", "/x/9", "/cal/2026/08/19", "/deadbeef",
+             "/" + "ab12" * 5, "/x%20y"],
+            ["", "?a=1", "?sess=" + "0af" * 11, "?b=2&a=1#frag"],
+        )
+    ]
+    got = (
+        spark.createDataFrame([(u,) for u in urls], "url string")
+        .select("url", url_template_col(F.col("url")).alias("t"))
+        .collect()
+    )
+    assert len(got) == len(urls)
+    for r in got:
+        assert r["t"] == url_template(r["url"]), r["url"]
