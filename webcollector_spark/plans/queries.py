@@ -4644,6 +4644,7 @@ _SNAPSHOT_FIRST = [
     "url_trap_templates",
     "url_trap_hll",
     "trustrank",
+    "recrawl_intervals",
     "tfidf_top_terms",
     "char_entropy",
     "gopher_repetition",
