@@ -3710,6 +3710,121 @@ def q_chunk_dedup_exact(spark, sf):
     )
 
 
+# Exact-substring span dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): per doc, how many token
+# positions are covered by at least one 8-token window whose exact
+# text occurs MORE THAN ONCE in the corpus (intra- or cross-doc).
+# This is the sliding-window (every position, overlapping) complement
+# of chunk_dedup_exact's disjoint 10-token chunks: the paper's
+# suffix-array "any duplicated substring of length >= k" criterion,
+# approximated at granularity k=8 — a duplicated run of length L >= 8
+# is covered exactly (every window inside it repeats), so the measured
+# dup_tokens is the paper's span coverage for spans >= k.
+# Scale shape at 100 TB: the occurrence table is O(total_tokens) rows
+# (same cardinality every shingle operator here already shuffles);
+# duplicate marking is ONE hash-partitioned window (count over h — no
+# join, no broadcast of the exploded side), then interval union is a
+# per-doc ordered window (running max of span ends) + one map-side
+# aggregate. Two shuffles total (by h, by doc_id), nothing all-pairs,
+# nothing driver-side.
+@register(
+    "substring_span_dedup",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i+1:i+8], ' ')) AS h
+      FROM t, unnest(generate_series(0, len(toks) - 8)) AS u(i)
+      WHERE len(toks) >= 8
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM occ
+      ) WHERE c > 1
+    ),
+    cov AS (
+      SELECT doc_id,
+             greatest(0, pos + 8 - greatest(pos,
+               coalesce(max(pos + 8) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), pos))) AS add_tok
+      FROM dup
+    ),
+    agg AS (
+      SELECT doc_id, sum(add_tok)::bigint AS dup_tokens
+      FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(toks)::bigint AS n_tokens,
+           coalesce(agg.dup_tokens, 0)::bigint AS dup_tokens,
+           round(coalesce(agg.dup_tokens, 0)
+                 / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS dup_ratio
+    FROM t LEFT JOIN agg USING (doc_id)
+    """,
+)
+def q_substring_span_dedup(spark, sf):
+    k = 8
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens")
+    )
+    occ = (
+        docs.filter(F.col("n_tokens") >= k)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_tokens") - k)
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.array_join(F.slice("toks", F.col("pos") + 1, k), " ")
+            ).alias("h"),
+        )
+    )
+    dup = (
+        occ.withColumn(
+            "c", F.count("*").over(Window.partitionBy("h"))
+        )
+        .filter(F.col("c") > 1)
+        .select("doc_id", "pos")
+    )
+    prior_end = F.max(F.col("pos") + k).over(
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    add_tok = F.greatest(
+        F.lit(0),
+        F.col("pos")
+        + k
+        - F.greatest(F.col("pos"), F.coalesce(prior_end, F.col("pos"))),
+    )
+    agg = (
+        dup.select("doc_id", add_tok.alias("add_tok"))
+        .groupBy("doc_id")
+        .agg(F.sum("add_tok").alias("dup_tokens"))
+    )
+    dup_tokens = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
+    return docs.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        dup_tokens.alias("dup_tokens"),
+        F.round(
+            dup_tokens
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+            4,
+        ).alias("dup_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Caption-side curation over the image+caption corpus (the graft's
 # payload table). The corpus is engine-generated
