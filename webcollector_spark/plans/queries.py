@@ -4712,6 +4712,120 @@ def q_recrawl_due(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Anchor-text aggregation (operators/anchors.py) — the link-graph label
+# signal the reference extracts but discards (Links.java:98-104 walks
+# the <a> elements whose .text() is the anchor; only the URL survives).
+# Synthetic link graph: src = user_id, dst = event_id % 200, anchor
+# derived from event_type with deterministic casing + whitespace noise
+# so the normalization ladder (lower/trim/collapse) is actually load-
+# bearing in the comparison.
+
+_ANCHOR_EDGES_SQL = """
+    raw AS (
+      SELECT user_id AS src,
+             'p' || CAST(event_id % 200 AS VARCHAR) AS dst,
+             CASE WHEN event_id % 3 = 0
+                  THEN upper(event_type || ' page ' || CAST(event_id % 7 AS VARCHAR))
+                  WHEN event_id % 5 = 0
+                  THEN event_type || '  PAGE  ' || CAST(event_id % 7 AS VARCHAR)
+                  ELSE event_type || ' page ' || CAST(event_id % 7 AS VARCHAR)
+             END AS anchor
+      FROM events
+    ), e AS (
+      SELECT src, dst,
+             regexp_replace(trim(lower(anchor)), '\\s+', ' ', 'g') AS anchor
+      FROM raw
+      WHERE regexp_replace(trim(lower(anchor)), '\\s+', ' ', 'g') <> ''
+    )"""
+
+
+def _anchor_edges(spark, sf):
+    ev = _t(spark, sf, "events")
+    num = (F.col("event_id") % 7).cast("string")
+    base = F.concat(F.col("event_type"), F.lit(" page "), num)
+    noisy = F.concat(F.col("event_type"), F.lit("  PAGE  "), num)
+    anchor = (
+        F.when(F.col("event_id") % 3 == 0, F.upper(base))
+        .when(F.col("event_id") % 5 == 0, noisy)
+        .otherwise(base)
+    )
+    return ev.select(
+        F.col("user_id").alias("src"),
+        F.concat(F.lit("p"), (F.col("event_id") % 200).cast("string")).alias(
+            "dst"
+        ),
+        anchor.alias("anchor"),
+    )
+
+
+@register(
+    "anchor_text_agg",
+    f"""
+    WITH {_ANCHOR_EDGES_SQL},
+    by_anchor AS (
+      SELECT dst, anchor, count(*) AS cnt FROM e GROUP BY dst, anchor
+    ), ranked AS (
+      SELECT dst, anchor, cnt,
+             row_number() OVER (
+               PARTITION BY dst ORDER BY cnt DESC, anchor ASC
+             ) AS rn,
+             count(*) OVER (PARTITION BY dst) AS distinct_anchors,
+             CAST(sum(cnt) OVER (PARTITION BY dst) AS BIGINT) AS inlinks
+      FROM by_anchor
+    ), srcs AS (
+      SELECT dst, count(DISTINCT src) AS distinct_srcs FROM e GROUP BY dst
+    )
+    SELECT r.dst, r.inlinks, s.distinct_srcs, r.distinct_anchors,
+           r.anchor AS top_anchor, r.cnt AS top_anchor_cnt,
+           CAST(r.cnt * 100 // r.inlinks AS BIGINT) AS top_share_pct
+    FROM ranked r JOIN srcs s ON s.dst = r.dst
+    WHERE r.rn = 1
+    """,
+)
+def q_anchor_text_agg(spark, sf):
+    """Per-target anchor-text profile: inlink count, distinct sources,
+    distinct normalized anchors, modal anchor + its integer share —
+    windows run over the (dst, anchor) AGGREGATE, never raw edges, so a
+    10^7-inlink page with 40 distinct anchors costs a 40-row window
+    (operators/anchors.py anchor_text_agg)."""
+    from webcollector_spark.operators.anchors import anchor_text_agg
+
+    return anchor_text_agg(_anchor_edges(spark, sf))
+
+
+@register(
+    "anchor_caption_candidates",
+    f"""
+    WITH {_ANCHOR_EDGES_SQL},
+    votes AS (
+      SELECT dst, anchor, count(DISTINCT src) AS votes
+      FROM e GROUP BY dst, anchor
+    ), ranked AS (
+      SELECT dst, anchor, votes,
+             row_number() OVER (
+               PARTITION BY dst ORDER BY votes DESC, anchor ASC
+             ) AS rank
+      FROM votes WHERE votes >= 2
+    )
+    SELECT dst, rank, anchor, votes FROM ranked WHERE rank <= 3
+    """,
+)
+def q_anchor_caption_candidates(spark, sf):
+    """Alt-text backfill candidates: top-3 anchor strings per target
+    that >= 2 DISTINCT source pages agree on — agreement in sources,
+    not raw edges, so one spammy page repeating a link 10^6 times casts
+    one vote (operators/anchors.py caption_candidates_from_anchors;
+    fills caption_spam's NULL-alt-text group)."""
+    from webcollector_spark.operators.anchors import (
+        caption_candidates_from_anchors,
+    )
+
+    return caption_candidates_from_anchors(
+        _anchor_edges(spark, sf), min_count=2, max_per_dst=3
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot ordering. The driver's CORRECTNESS_r{N}.json snapshot
 # covers only the FIRST ~50 queries() entries (observed cap across
 # r01-r03: the r03 snapshot has exactly 50 rows while the registry held
