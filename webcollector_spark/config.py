@@ -37,6 +37,13 @@ class CrawlerConfig:
     # (crawler/AutoParseCrawler.java).
     auto_parse: bool = True
     auto_detect_img: bool = False
+    # Sitemap ingestion (operators/sitemap.py — NOT in reference): parse
+    # fetched sitemap XML into frontier rows via JVM regex, and harvest
+    # robots.txt "Sitemap:" directives for seed hosts at start(). When
+    # on, the fetch UDF retains content ONLY for sitemap-shaped bodies
+    # (bounded by the protocol's 50k-URL/file limit), so HTML pages
+    # still ship zero payload bytes at keep_content=False.
+    parse_sitemaps: bool = False
     # Keep raw page bytes in the fetched DataFrame. The reference's Page
     # content is transient (model/Page.java:43-61 — never persisted);
     # extraction happens inside the fetch UDF, so the engine defaults to

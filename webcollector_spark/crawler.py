@@ -201,6 +201,29 @@ class BreadthCrawler:
             self.store.inject(_seed_df(self._seeds), force=False)
         if self._forced_seeds:
             self.store.inject(_seed_df(self._forced_seeds), force=True)
+        if cfg.parse_sitemaps and (self._seeds or self._forced_seeds):
+            # robots.txt "Sitemap:" auto-discovery for SEED hosts only —
+            # a driver-side loop bounded by the user's own seed list
+            # (operators/sitemap.py sitemaps_from_robots); discovered
+            # sitemap URLs enter as ordinary seeds and their bodies are
+            # recognized content-side when fetched.
+            from webcollector_spark.datum import CrawlDatum
+            from webcollector_spark.operators.sitemap import (
+                sitemaps_from_robots,
+            )
+
+            def _seed_url(s):
+                if isinstance(s, CrawlDatum):
+                    return s.url()
+                return s if isinstance(s, str) else s[1]
+
+            hosts = {
+                host_of(_seed_url(s))
+                for s in [*self._seeds, *self._forced_seeds]
+            }
+            sm_urls = sitemaps_from_robots(self.requester, hosts)
+            if sm_urls:
+                self.store.inject(_seed_df(sm_urls), force=False)
         if self.store.is_empty():
             return self.metrics  # nothing injected -> zero-generate, done
         start_round = self.store.last_round() + 1  # resume point
@@ -331,6 +354,27 @@ class BreadthCrawler:
                     dedup=False,  # merge dedups
                     canonical_keys=cfg.canonicalize_link_keys,
                 )
+            if cfg.parse_sitemaps:
+                # sitemap-discovered URLs ride the normal link-segment
+                # path (same merge first-wins, same bloom pre-prune);
+                # nested <sitemapindex> children are ordinary frontier
+                # rows — the next round's fetch + content detection is
+                # the recursion (operators/sitemap.py).
+                from webcollector_spark.operators.sitemap import (
+                    sitemap_datums,
+                    sitemap_entries,
+                )
+
+                sm = sitemap_datums(sitemap_entries(fetched))
+                if cfg.canonicalize_link_keys:
+                    from webcollector_spark.functions.urls import (
+                        canonical_url_col,
+                    )
+
+                    sm = sm.withColumn(
+                        "key", canonical_url_col(F.col("url"))
+                    )
+                links = links.unionByName(sm)
             if (
                 0 < cfg.bloom_capacity
                 and approx is not None

@@ -109,7 +109,14 @@ def _fetch_one(
     out["status"] = STATUS_DB_SUCCESS
     out["content_type"] = resp.content_type
     content = resp.content[: cfg.max_receive_size] if resp.content else None
-    if cfg.keep_content:
+    if cfg.keep_content or (
+        cfg.parse_sitemaps
+        and content
+        and (b"<urlset" in content[:4096] or b"<sitemapindex" in content[:4096])
+    ):
+        # sitemap bodies must survive to the JVM-side XML parse
+        # (operators/sitemap.py) even when page content is dropped;
+        # bounded by the protocol's 50k-URL/10MB per-file limits.
         out["content"] = content
     is_html = bool(
         content and resp.content_type and "text/html" in resp.content_type
@@ -239,6 +246,7 @@ def fetch(
         auto_parse=auto[0], auto_detect_img=auto[1],
         max_receive_size=cfg.max_receive_size, regex_rules=rules,
         keep_content=cfg.keep_content, next_filter=cfg.next_filter,
+        parse_sitemaps=cfg.parse_sitemaps,
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

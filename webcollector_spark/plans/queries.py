@@ -4826,6 +4826,106 @@ def q_anchor_caption_candidates(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Sitemap XML extraction (operators/sitemap.py — seed discovery the
+# reference lacks; no `sitemap` match anywhere under src/main/java).
+# The Spark side BUILDS spec-shaped urlset documents from events (one
+# multi-entry doc per synthetic site) and parses them back through the
+# production JVM-regex extractor; the oracle recomputes every field
+# DIRECTLY from the row arithmetic — so the comparison proves
+# build -> parse inverts exactly (loc trim, optional-field defaults,
+# priority cast) rather than testing the regex against itself.
+
+
+@register(
+    "sitemap_extract",
+    """
+    SELECT 'https://s' || CAST(user_id % 50 AS VARCHAR)
+             || '.test/sitemap.xml' AS page_url,
+           'https://s' || CAST(user_id % 50 AS VARCHAR) || '.test/p'
+             || CAST(event_id AS VARCHAR) AS loc,
+           CASE WHEN event_id % 3 = 0
+                THEN '2026-01-0' || CAST(event_id % 9 + 1 AS VARCHAR)
+           END AS lastmod,
+           CASE WHEN event_id % 4 = 0
+                THEN CASE event_id % 3 WHEN 0 THEN 'daily'
+                     WHEN 1 THEN 'weekly' ELSE 'monthly' END
+           END AS changefreq,
+           CAST(CASE WHEN event_id % 5 <> 0
+                     THEN '0.' || CAST(event_id % 10 AS VARCHAR)
+                     ELSE '0.5' END AS DOUBLE) AS sm_priority,
+           FALSE AS is_index
+    FROM events
+    """,
+)
+def q_sitemap_extract(spark, sf):
+    """Round-trip: per-site multi-entry urlset docs built from events,
+    parsed by sitemap_entries' whole-stage-codegen regex — output one
+    row per <url> block with trimmed loc, optional lastmod/changefreq,
+    and the spec's 0.5 default priority."""
+    from webcollector_spark.operators.sitemap import sitemap_entries
+
+    ev = _t(spark, sf, "events")
+    e = F.col("event_id")
+    site = (F.col("user_id") % 50).cast("string")
+    loc = F.concat(F.lit("https://s"), site, F.lit(".test/p"), e.cast("string"))
+    lastmod = F.when(
+        e % 3 == 0,
+        F.concat(
+            F.lit("<lastmod>2026-01-0"),
+            (e % 9 + 1).cast("string"),
+            F.lit("</lastmod>"),
+        ),
+    ).otherwise(F.lit(""))
+    freq_word = (
+        F.when(e % 3 == 0, F.lit("daily"))
+        .when(e % 3 == 1, F.lit("weekly"))
+        .otherwise(F.lit("monthly"))
+    )
+    changefreq = F.when(
+        e % 4 == 0,
+        F.concat(F.lit("<changefreq>"), freq_word, F.lit("</changefreq>")),
+    ).otherwise(F.lit(""))
+    priority = F.when(
+        e % 5 != 0,
+        F.concat(
+            F.lit("<priority>0."),
+            (e % 10).cast("string"),
+            F.lit("</priority>"),
+        ),
+    ).otherwise(F.lit(""))
+    block = F.concat(
+        F.lit("<url><loc> "), loc, F.lit(" </loc>"),
+        lastmod, changefreq, priority, F.lit("</url>"),
+    )
+    docs = (
+        ev.select(site.alias("site"), block.alias("block"))
+        .groupBy("site")
+        .agg(F.concat_ws("\n", F.collect_list("block")).alias("body"))
+        .select(
+            F.concat(
+                F.lit("https://s"), F.col("site"), F.lit(".test/sitemap.xml")
+            ).alias("url"),
+            F.lit(0).alias("depth"),
+            F.lit(0.0).alias("priority"),
+            F.encode(
+                F.concat(
+                    F.lit(
+                        '<?xml version="1.0" encoding="UTF-8"?>\n<urlset '
+                        'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+                    ),
+                    F.col("body"),
+                    F.lit("\n</urlset>"),
+                ),
+                "UTF-8",
+            ).alias("content"),
+        )
+    )
+    return sitemap_entries(docs).select(
+        "page_url", "loc", "lastmod", "changefreq", "sm_priority", "is_index"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot ordering. The driver's CORRECTNESS_r{N}.json snapshot
 # covers only the FIRST ~50 queries() entries (observed cap across
 # r01-r03: the r03 snapshot has exactly 50 rows while the registry held

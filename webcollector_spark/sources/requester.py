@@ -57,16 +57,23 @@ class SyntheticRequester(Requester):
         corpus_rows: list[dict],
         flaky_until: dict[str, int] | None = None,
         robots: dict[str, str] | None = None,
+        raw_pages: dict[str, tuple[str, bytes]] | None = None,
     ):
         self._pages = {r["url"]: r for r in graph_rows}
         self._images = {r["image_id"]: r for r in corpus_rows}
         self._flaky = dict(flaky_until or {})
         self._robots = dict(robots or {})
+        # raw_pages: url -> (content_type, bytes) served verbatim —
+        # non-HTML fixtures (sitemap XML, binary payloads)
+        self._raw = dict(raw_pages or {})
 
     def robots_txt(self, host: str) -> str | None:
         return self._robots.get(host)
 
     def fetch(self, url: str, attempt: int = 1) -> Response:
+        raw = self._raw.get(url)
+        if raw is not None:
+            return Response(code=200, content_type=raw[0], content=raw[1])
         page = self._pages.get(url)
         if page is None:
             return Response(code=-1, error="connect timeout (no such host/page)")
