@@ -121,6 +121,7 @@ def test_multimodal_oracle_parquet_fresh():
         "image_sharpness_partials",
         "image_sharpness_partials_neardup",
         "image_letterbox",
+        "image_exif_meta",
     }
     for name, pdf in built.items():
         fresh = pa.Table.from_pandas(

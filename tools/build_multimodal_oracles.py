@@ -133,6 +133,24 @@ SCHEMAS = {
             ("header_ok", pa.bool_()),
         ]
     ),
+    # EXIF: expected tags recomputed from the FIXTURE ARITHMETIC
+    # (fixtures.exif_fields_for), never by running the parser — the
+    # Spark side must recover them from the real APP1 bytes, so the
+    # comparison proves writer -> parser inverts over a real TIFF stream
+    "image_exif_meta": pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("has_exif", pa.bool_()),
+            ("byte_order", pa.string()),
+            ("orientation", pa.int32()),
+            ("make", pa.string()),
+            ("model", pa.string()),
+            ("datetime", pa.string()),
+            ("description", pa.string()),
+            ("pixel_x", pa.int32()),
+            ("pixel_y", pa.int32()),
+        ]
+    ),
     "dhash_neardup": pa.schema(
         [
             ("img_a", pa.string()),
@@ -298,6 +316,29 @@ def build_image_meta_sniff(pdf: pd.DataFrame, prefix: int = 4096):
                 "w_sniffed": w,
                 "h_sniffed": h,
                 "header_ok": bool(fmt_ok and w == r["w"] and h == r["h"]),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def build_image_exif_meta(pdf: pd.DataFrame):
+    """Expected EXIF rows from the fixture's field arithmetic — no byte
+    parsing anywhere in this builder."""
+    rows = []
+    for i, r in enumerate(pdf.to_dict("records")):
+        f = fixtures.exif_fields_for(i, r["w"], r["h"])
+        rows.append(
+            {
+                "image_id": r["image_id"],
+                "has_exif": bool(f),
+                "byte_order": f.get("byte_order"),
+                "orientation": f.get("orientation"),
+                "make": f.get("make"),
+                "model": f.get("model"),
+                "datetime": f.get("datetime"),
+                "description": f.get("description"),
+                "pixel_x": f.get("pixel_x"),
+                "pixel_y": f.get("pixel_y"),
             }
         )
     return pd.DataFrame(rows)
@@ -558,6 +599,9 @@ def build_all() -> dict[str, pd.DataFrame]:
                 [corpus, fixtures.make_corpus_jpeg(120), fixtures.make_corpus_gif(100)],
                 ignore_index=True,
             )
+        ),
+        "image_exif_meta": build_image_exif_meta(
+            fixtures.make_corpus_exif(120)
         ),
         "dhash_neardup": build_dhash_neardup(neardups),
         "image_neardup_ids": neardups[["image_id"]],

@@ -111,6 +111,52 @@ def make_corpus_jpeg(
     return pd.DataFrame(rows)
 
 
+#: deterministic EXIF field arithmetic shared by the fixture writer and
+#: the oracle recompute (tools/build_multimodal_oracles.py) — the Spark
+#: side must recover these from the REAL APP1 bytes.
+def exif_fields_for(i: int, w: int, h: int) -> dict:
+    if i % 5 == 4:  # every 5th image carries no EXIF at all
+        return {}
+    f = {
+        "byte_order": "II" if i % 2 == 0 else "MM",
+        "orientation": i % 8 + 1,
+        "make": f"Maker{i % 4}",
+        "model": f"Cam-{i % 6}",
+        "datetime": f"2026:0{i % 9 + 1}:1{i % 3} 0{i % 10}:00:00",
+        "pixel_x": w,
+        "pixel_y": h,
+    }
+    if i % 3 == 0:  # some images carry an embedded description/caption
+        f["description"] = f"exif caption {i}"
+    if i % 7 == 6:  # some cameras omit the Exif sub-IFD
+        f.pop("pixel_x")
+        f.pop("pixel_y")
+    return f
+
+
+def make_corpus_exif(
+    n: int = 120, seed: int = SEED, sizes: tuple[int, ...] = (32, 64)
+) -> pd.DataFrame:
+    """The JPEG corpus with real APP1/EXIF segments spliced after SOI:
+    both byte orders, all 8 orientations, optional description and
+    sub-IFD, and a no-EXIF slice — the fixture behind image_exif_meta."""
+    from webcollector_spark.exif import build_exif_app1, insert_app1
+
+    pdf = make_corpus_jpeg(n, seed=seed, sizes=sizes)
+    out_bytes = []
+    for i, r in enumerate(pdf.to_dict("records")):
+        f = exif_fields_for(i, r["w"], r["h"])
+        if not f:
+            out_bytes.append(r["bytes"])
+            continue
+        order = f.pop("byte_order")
+        out_bytes.append(
+            insert_app1(r["bytes"], build_exif_app1(byte_order=order, **f))
+        )
+    pdf["bytes"] = out_bytes
+    return pdf
+
+
 def make_corpus_gif(
     n: int = 100, seed: int = SEED, sizes: tuple[int, ...] = (32, 64)
 ) -> pd.DataFrame:

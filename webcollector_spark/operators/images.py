@@ -110,6 +110,14 @@ def corpus_gif_df(spark: SparkSession, n: int = 100) -> DataFrame:
     return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
 
 
+def corpus_exif_df(spark: SparkSession, n: int = 120) -> DataFrame:
+    """The real-JPEG corpus with APP1/EXIF segments spliced in
+    (fixtures.make_corpus_exif): both byte orders, all 8 orientations,
+    optional description/sub-IFD, and a no-EXIF slice."""
+    pdf = fixtures.make_corpus_exif(n)
+    return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+
+
 def corpus_mixed_df(spark: SparkSession) -> DataFrame:
     """All four container formats in one table (PNG + QIMG from the
     base corpus, real baseline JPEG, real GIF87a) — the input for the

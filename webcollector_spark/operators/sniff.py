@@ -93,6 +93,46 @@ def sniff_meta(corpus: DataFrame, prefix: int = 4096) -> DataFrame:
     return sliced.mapInPandas(run, schema=SNIFF_SCHEMA)
 
 
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("has_exif", T.BooleanType()),
+        T.StructField("byte_order", T.StringType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("make", T.StringType()),
+        T.StructField("model", T.StringType()),
+        T.StructField("datetime", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("pixel_x", T.IntegerType()),
+        T.StructField("pixel_y", T.IntegerType()),
+    ]
+)
+
+
+def exif_meta(corpus: DataFrame, prefix: int = 65536) -> DataFrame:
+    """Per-image EXIF tags (webcollector_spark/exif.py) — header-only
+    like sniff_meta: EXIF must precede image data in the first APP1
+    segment, whose u16 length field caps it at 64 KiB, so the JVM-side
+    prefix slice is lossless by construction and pixel bytes never
+    cross the Arrow boundary. Damaged/absent EXIF yields has_exif=False
+    rather than an error (triage, not validation)."""
+    from webcollector_spark.exif import parse_exif
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                got = parse_exif(bytes(r["prefix"]))
+                got["image_id"] = r["image_id"]
+                rows.append(got)
+            yield pd.DataFrame(rows, columns=[f.name for f in EXIF_SCHEMA])
+
+    sliced = corpus.select(
+        "image_id", F.substring("bytes", 1, prefix).alias("prefix")
+    )
+    return sliced.mapInPandas(run, schema=EXIF_SCHEMA)
+
+
 def compression_stats(sniffed: DataFrame) -> DataFrame:
     """Per-container compression profile over the sniffed metadata: row
     count, total payload bytes, and bytes-per-RGB8-pixel — the number

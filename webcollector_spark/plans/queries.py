@@ -4926,6 +4926,35 @@ def q_sitemap_extract(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# EXIF extraction (webcollector_spark/exif.py + operators/sniff.py
+# exif_meta): header-only TIFF-IFD parse of the JPEG APP1 segment —
+# orientation (tag 0x0112, without which "decoded pixels" trains on
+# sideways images), camera make/model, DateTime, ImageDescription (an
+# embedded caption source), and the Exif-IFD pixel dims. The oracle
+# parquet is recomputed from the FIXTURE ARITHMETIC (never the parser),
+# so the row proves writer -> parser inverts over real TIFF bytes in
+# both byte orders.
+
+
+@register(
+    "image_exif_meta",
+    _oracle_parquet(
+        "image_exif_meta",
+        "image_id, has_exif, byte_order, orientation, make, model, "
+        '"datetime", description, pixel_x, pixel_y',
+    ),
+)
+def q_image_exif_meta(spark, sf):
+    """Per-image EXIF tags over the APP1-spliced real-JPEG corpus; the
+    binary column is sliced to the APP1-bounded 64 KiB prefix JVM-side,
+    so pixel data never crosses the Arrow boundary."""
+    from webcollector_spark.operators import images
+    from webcollector_spark.operators.sniff import exif_meta
+
+    return exif_meta(images.corpus_exif_df(spark))
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot ordering. The driver's CORRECTNESS_r{N}.json snapshot
 # covers only the FIRST ~50 queries() entries (observed cap across
 # r01-r03: the r03 snapshot has exactly 50 rows while the registry held
