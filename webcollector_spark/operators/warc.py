@@ -1,0 +1,286 @@
+"""WARC archive sink + source — the standard web-archive byte format.
+
+WebCollector persists fetched pages only as CrawlDatum metadata in its
+KV store (content is transient, model/Page.java:43-61); real crawl
+infrastructure archives the payload bytes as WARC (ISO 28500), the
+format Common Crawl / Internet Archive tooling consumes. This is the
+archive-side twin of the WebDataset training sink (operators/shards.py):
+same shard assignment (`pack_shards`), same determinism + resume
+contract, different container.
+
+Format (WARC/1.1):
+* a file is a sequence of records: `WARC/1.1\\r\\n` + named headers +
+  `\\r\\n` + Content-Length payload bytes + `\\r\\n\\r\\n`;
+* each file opens with one `warcinfo` record describing the writer;
+  fetched pages are `resource` records (we archive the payload we
+  fetched, not a raw HTTP transaction capture);
+* `.warc.gz` is PER-RECORD gzip members concatenated — the standard's
+  own random-access trick: a (offset, length) index seeks straight to a
+  record and inflates just it, which is what makes a 10^10-record
+  archive on an object store usable with Range GETs.
+
+Determinism contract (same stance as write_webdataset):
+* record order within a shard is sorted by key; WARC-Record-ID is
+  UUIDv5 of the record key (content-derived, not random); WARC-Date
+  comes from the row's own fetch timestamp; gzip members are written
+  with mtime=0 and a fixed level — so re-exporting the same frontier
+  yields BYTE-IDENTICAL .warc.gz shards at any parallelism, and the
+  manifest's sha256 column is stable lineage;
+* resume is idempotent: existing final files are skipped, in-flight
+  files use attempt-unique `.inprogress` names + atomic os.replace.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_GZ_LEVEL = 6
+
+
+def _warc_path(out_dir: str, shard: int) -> str:
+    return f"{out_dir}/part-{shard:06d}.warc.gz"
+
+
+def record_id_for(key: str) -> str:
+    """Deterministic WARC-Record-ID: UUIDv5 over the record key."""
+    return f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, key)}>"
+
+
+def _iso_date(ms) -> str:
+    from datetime import datetime, timezone
+
+    if ms is None:
+        ms = 0
+    return datetime.fromtimestamp(int(ms) / 1000, tz=timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+
+
+def _payload_digest(data: bytes) -> str:
+    import base64
+    import hashlib
+
+    return "sha1:" + base64.b32encode(hashlib.sha1(data).digest()).decode(
+        "ascii"
+    )
+
+
+def _record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
+    head = "".join(f"{k}: {v}\r\n" for k, v in headers)
+    return (
+        b"WARC/1.1\r\n"
+        + head.encode("utf-8")
+        + f"Content-Length: {len(payload)}\r\n\r\n".encode("ascii")
+        + payload
+        + b"\r\n\r\n"
+    )
+
+
+def _gzip_member(raw: bytes) -> bytes:
+    import gzip
+    import io
+
+    buf = io.BytesIO()
+    with gzip.GzipFile(
+        fileobj=buf, mode="wb", compresslevel=_GZ_LEVEL, mtime=0
+    ) as gz:
+        gz.write(raw)
+    return buf.getvalue()
+
+
+def _warcinfo(shard: int, software: str) -> bytes:
+    body = (
+        f"software: {software}\r\nformat: WARC File Format 1.1\r\n"
+    ).encode("utf-8")
+    return _record(
+        [
+            ("WARC-Type", "warcinfo"),
+            ("WARC-Record-ID", record_id_for(f"warcinfo/{shard}")),
+            ("WARC-Date", _iso_date(0)),
+            ("WARC-Filename", f"part-{shard:06d}.warc.gz"),
+            ("Content-Type", "application/warc-fields"),
+        ],
+        body,
+    )
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    key: str = "key",
+    url_col: str = "url",
+    bytes_col: str = "content",
+    content_type_col: str = "content_type",
+    date_ms_col: str = "execute_time",
+    shard_col: str = "shard",
+    software: str = "webcollector-spark",
+    overwrite: bool = False,
+) -> DataFrame:
+    """Write shard-assigned fetched rows as .warc.gz files; returns the
+    per-shard lineage manifest (shard, n_records, warc_bytes, sha256,
+    path, written). One repartition(shard) — no shard spans writers —
+    then per-row Python is header assembly around an I/O-bound copy
+    (the sink seam, not an expression hot path)."""
+    import pandas as pd
+
+    out_schema = (
+        "shard bigint, n_records bigint, warc_bytes bigint, "
+        "sha256 string, path string, written boolean"
+    )
+
+    def write_partition(batches):
+        import hashlib
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        results = []
+
+        def start(shard):
+            final = _warc_path(out_dir, shard)
+            if os.path.exists(final) and not overwrite:
+                return {"shard": shard, "skip": True, "final": final, "rows": 0}
+            tmp = f"{final}.inprogress.{os.getpid()}"
+            f = open(tmp, "wb")
+            sha = hashlib.sha256()
+            head = _gzip_member(_warcinfo(shard, software))
+            f.write(head)
+            sha.update(head)
+            return {
+                "shard": shard, "skip": False, "final": final, "tmp": tmp,
+                "f": f, "sha": sha, "n": len(head), "rows": 0,
+            }
+
+        def finish(st):
+            import hashlib as hl
+
+            if st["skip"]:
+                h = hl.sha256()
+                with open(st["final"], "rb") as f:
+                    for chunk in iter(lambda: f.read(1 << 20), b""):
+                        h.update(chunk)
+                results.append(
+                    (st["shard"], st["rows"], os.path.getsize(st["final"]),
+                     h.hexdigest(), st["final"], False)
+                )
+                return
+            st["f"].close()
+            os.replace(st["tmp"], st["final"])
+            results.append(
+                (st["shard"], st["rows"], st["n"],
+                 st["sha"].hexdigest(), st["final"], True)
+            )
+
+        cur = None
+        for pdf in batches:
+            for sid, k, url, data, ct, ms in zip(
+                pdf[shard_col], pdf[key], pdf[url_col],
+                pdf[bytes_col], pdf[content_type_col], pdf[date_ms_col],
+            ):
+                sid = int(sid)
+                if cur is None or cur["shard"] != sid:
+                    if cur is not None:
+                        finish(cur)
+                    cur = start(sid)
+                cur["rows"] += 1
+                if cur["skip"]:
+                    continue
+                payload = bytes(data) if data is not None else b""
+                rec = _record(
+                    [
+                        ("WARC-Type", "resource"),
+                        ("WARC-Record-ID", record_id_for(str(k))),
+                        ("WARC-Date", _iso_date(ms)),
+                        ("WARC-Target-URI", str(url)),
+                        ("WARC-Payload-Digest", _payload_digest(payload)),
+                        ("Content-Type", str(ct) if ct else "application/octet-stream"),
+                    ],
+                    payload,
+                )
+                member = _gzip_member(rec)
+                cur["f"].write(member)
+                cur["sha"].update(member)
+                cur["n"] += len(member)
+        if cur is not None:
+            finish(cur)
+        if results:
+            yield pd.DataFrame(
+                results,
+                columns=["shard", "n_records", "warc_bytes", "sha256", "path", "written"],
+            )
+
+    cols = [shard_col, key, url_col, bytes_col, content_type_col, date_ms_col]
+    return (
+        df.select(*cols)
+        .repartition(F.col(shard_col))
+        .sortWithinPartitions(shard_col, key)
+        .mapInPandas(write_partition, schema=out_schema)
+    )
+
+
+def read_warc(spark, out_dir: str) -> DataFrame:
+    """Distributed read-back: one task per .warc.gz file (binaryFile
+    source), per-record gzip members inflated in sequence; warcinfo
+    records are surfaced with record_type='warcinfo' so audits see the
+    whole file. digest_ok re-verifies WARC-Payload-Digest per record."""
+    out_schema = (
+        "path string, record_type string, record_id string, url string, "
+        "warc_date string, content_type string, payload binary, "
+        "digest_ok boolean"
+    )
+
+    def parse_partition(batches):
+        import gzip
+        import io
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                stream = io.BytesIO(bytes(blob))
+                # multi-member gzip: GzipFile reads members back-to-back
+                raw = gzip.GzipFile(fileobj=stream).read()
+                pos = 0
+                while pos < len(raw):
+                    if raw[pos : pos + 5] != b"WARC/":
+                        raise ValueError(f"bad record start at {pos} in {path}")
+                    hdr_end = raw.index(b"\r\n\r\n", pos)
+                    headers = {}
+                    for line in raw[pos:hdr_end].split(b"\r\n")[1:]:
+                        hk, _, hv = line.decode("utf-8").partition(":")
+                        headers[hk.strip()] = hv.strip()
+                    n = int(headers["Content-Length"])
+                    payload = raw[hdr_end + 4 : hdr_end + 4 + n]
+                    pos = hdr_end + 4 + n + 4  # skip \r\n\r\n
+                    digest = headers.get("WARC-Payload-Digest")
+                    rows.append(
+                        {
+                            "path": path,
+                            "record_type": headers.get("WARC-Type"),
+                            "record_id": headers.get("WARC-Record-ID"),
+                            "url": headers.get("WARC-Target-URI"),
+                            "warc_date": headers.get("WARC-Date"),
+                            "content_type": headers.get("Content-Type"),
+                            "payload": payload,
+                            "digest_ok": (
+                                digest is None
+                                or digest == _payload_digest(payload)
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "record_type", "record_id", "url",
+                    "warc_date", "content_type", "payload", "digest_ok",
+                ],
+            )
+
+    files = spark.read.format("binaryFile").load(f"{out_dir}/*.warc.gz")
+    return files.select("path", "content").mapInPandas(
+        parse_partition, schema=out_schema
+    )
