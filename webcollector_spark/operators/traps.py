@@ -83,6 +83,77 @@ def trap_filter(
     ).drop("__tmpl")
 
 
+def soft404_hosts(
+    fetched: DataFrame,
+    min_pages: int = 5,
+    min_share_pct: int = 60,
+    host_col: str = "host",
+    fp_col: str = "phash",
+) -> DataFrame:
+    """Per-host soft-404 / parked-domain detection: a host serving the
+    SAME pixels (or content fingerprint) for most of its 200-OK URLs is
+    returning a custom error page, a domain-parking lander, or a paywall
+    interstitial — each a classic training-data poison the HTTP code
+    never reveals. Output one row per host: the modal fingerprint, its
+    page count, total pages, integer share, and the is_soft404 verdict
+    (modal count >= min_pages AND share >= min_share_pct).
+
+    Shape: one map-side-combinable (host, fp) aggregate, then windows
+    over THAT aggregate (O(distinct fingerprints per host) rows, never
+    raw pages) — the same discipline as anchor_text_agg. Share is an
+    integer percent via `div`, so the verdict is bit-reproducible
+    cross-engine. Null fingerprints (undecodable payloads) are excluded
+    from both the modal vote and the denominator."""
+    by_fp = (
+        fetched.filter(F.col(fp_col).isNotNull())
+        .select(F.col(host_col).alias("host"), F.col(fp_col).alias("fp"))
+        .groupBy("host", "fp")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(
+        F.col("cnt").desc(), F.col("fp").asc()
+    )
+    return (
+        by_fp.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "total_pages", F.sum("cnt").over(Window.partitionBy("host"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "host",
+            F.col("fp").alias("modal_fp"),
+            F.col("cnt").alias("modal_pages"),
+            "total_pages",
+            F.expr("cnt * 100 div total_pages").alias("share_pct"),
+            (
+                (F.col("cnt") >= min_pages)
+                & (F.expr("cnt * 100 div total_pages") >= min_share_pct)
+            ).alias("is_soft404"),
+        )
+    )
+
+
+def soft404_filter(
+    pages: DataFrame,
+    flagged: DataFrame,
+    host_col: str = "host",
+    fp_col: str = "phash",
+) -> DataFrame:
+    """Pages minus rows carrying a flagged host's modal fingerprint —
+    the curation consumer: drop the error-page copies, keep the host's
+    real pages. Broadcast LEFT ANTI on (host, modal_fp): the flag table
+    is O(flagged hosts), the page side never shuffles."""
+    f = flagged
+    if "is_soft404" in f.columns:
+        f = f.filter("is_soft404")
+    f = f.select(
+        F.col("host").alias(host_col), F.col("modal_fp").alias(fp_col)
+    ).distinct()
+    return pages.join(F.broadcast(f), [host_col, fp_col], "left_anti")
+
+
 class _TrapNextFilter:
     """Module-level class (not a closure) so STDLIB pickle works too —
     the config contract only needs cloudpickle, but a checkpoint/resume

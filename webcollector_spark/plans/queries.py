@@ -4955,6 +4955,114 @@ def q_image_exif_meta(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Soft-404 / parked-domain detection (operators/traps.py) — a host
+# serving the SAME pixels for most of its 200-OK URLs is returning a
+# custom error page / parking lander / paywall interstitial; the HTTP
+# code never reveals it, the content fingerprint does. Synthetic fetch
+# log: hosts 0-5 are parked (80% of rows share one phash), the rest
+# healthy; every 13th row is an undecodable payload (NULL fingerprint,
+# excluded from vote and denominator).
+
+_SOFT404_LOG_SQL = """
+    f AS (
+      SELECT 'h' || CAST(user_id % 37 AS VARCHAR) AS host,
+             CAST(event_id AS VARCHAR) AS key,
+             CASE WHEN event_id % 13 = 0 THEN NULL
+                  WHEN user_id % 37 < 6 AND event_id % 10 < 8
+                  THEN 777000 + user_id % 37
+                  ELSE event_id % 40 END AS phash
+      FROM events
+    )"""
+
+
+def _soft404_log(spark, sf):
+    ev = _t(spark, sf, "events")
+    hostno = F.col("user_id") % 37
+    fp = (
+        F.when(F.col("event_id") % 13 == 0, F.lit(None).cast("long"))
+        .when(
+            (hostno < 6) & (F.col("event_id") % 10 < 8),
+            (F.lit(777000) + hostno).cast("long"),
+        )
+        .otherwise((F.col("event_id") % 40).cast("long"))
+    )
+    return ev.select(
+        F.concat(F.lit("h"), hostno.cast("string")).alias("host"),
+        F.col("event_id").cast("string").alias("key"),
+        fp.alias("phash"),
+    )
+
+
+@register(
+    "soft404_hosts",
+    f"""
+    WITH {_SOFT404_LOG_SQL},
+    by_fp AS (
+      SELECT host, phash AS fp, count(*) AS cnt
+      FROM f WHERE phash IS NOT NULL GROUP BY host, phash
+    ), ranked AS (
+      SELECT host, fp, cnt,
+             row_number() OVER (
+               PARTITION BY host ORDER BY cnt DESC, fp ASC
+             ) AS rn,
+             CAST(sum(cnt) OVER (PARTITION BY host) AS BIGINT)
+               AS total_pages
+      FROM by_fp
+    )
+    SELECT host, fp AS modal_fp, cnt AS modal_pages, total_pages,
+           CAST(cnt * 100 // total_pages AS BIGINT) AS share_pct,
+           cnt >= 5 AND cnt * 100 // total_pages >= 60 AS is_soft404
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_soft404_hosts(spark, sf):
+    """Per-host modal-fingerprint profile + soft-404 verdict — windows
+    run over the (host, fingerprint) AGGREGATE, never raw pages
+    (operators/traps.py soft404_hosts)."""
+    from webcollector_spark.operators.traps import soft404_hosts
+
+    return soft404_hosts(_soft404_log(spark, sf), min_pages=5, min_share_pct=60)
+
+
+@register(
+    "soft404_filter",
+    f"""
+    WITH {_SOFT404_LOG_SQL},
+    by_fp AS (
+      SELECT host, phash AS fp, count(*) AS cnt
+      FROM f WHERE phash IS NOT NULL GROUP BY host, phash
+    ), ranked AS (
+      SELECT host, fp, cnt,
+             row_number() OVER (
+               PARTITION BY host ORDER BY cnt DESC, fp ASC
+             ) AS rn,
+             CAST(sum(cnt) OVER (PARTITION BY host) AS BIGINT)
+               AS total_pages
+      FROM by_fp
+    ), flagged AS (
+      SELECT host, fp FROM ranked
+      WHERE rn = 1 AND cnt >= 5 AND cnt * 100 // total_pages >= 60
+    )
+    SELECT f.host, f.key, f.phash FROM f
+    WHERE NOT EXISTS (
+      SELECT 1 FROM flagged g
+      WHERE g.host = f.host AND g.fp = f.phash
+    )
+    """,
+)
+def q_soft404_filter(spark, sf):
+    """The curation consumer: drop every page carrying a flagged host's
+    modal fingerprint (broadcast LEFT ANTI on an O(flagged-hosts) flag
+    table; the page side never shuffles). NULL-fingerprint rows are
+    kept — undecodable is a different defect than duplicated."""
+    from webcollector_spark.operators.traps import soft404_filter, soft404_hosts
+
+    log = _soft404_log(spark, sf)
+    flagged = soft404_hosts(log, min_pages=5, min_share_pct=60)
+    return soft404_filter(log, flagged).select("host", "key", "phash")
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot ordering. The driver's CORRECTNESS_r{N}.json snapshot
 # covers only the FIRST ~50 queries() entries (observed cap across
 # r01-r03: the r03 snapshot has exactly 50 rows while the registry held
