@@ -85,6 +85,34 @@ def test_orientation_normalization_inverts_storage_transform():
     assert set(stored) == set(ORIENTATION_OPS)
 
 
+def test_denormalize_inverts_normalize():
+    true = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    from webcollector_spark.exif import denormalize_orientation
+
+    for tag in range(1, 9):
+        stored = denormalize_orientation(true, tag)
+        assert np.array_equal(normalize_orientation(stored, tag), true), tag
+        if tag >= 5:  # quarter-turn family transposes dims
+            assert stored.shape[:2] == (6, 4)
+
+
+def test_spark_exif_upright_decode(spark):
+    from webcollector_spark.operators.images import (
+        corpus_exif_rotated_df,
+        exif_upright_decode,
+    )
+
+    got = exif_upright_decode(corpus_exif_rotated_df(spark, 24)).collect()
+    assert len(got) == 24
+    assert sorted({r.orientation for r in got}) == list(range(1, 9))
+    assert all(r.psnr_ok and r.phash_match for r in got)
+    for r in got:
+        if r.orientation >= 5:
+            assert (r.w_upright, r.h_upright) == (r.h_stored, r.w_stored)
+        else:
+            assert (r.w_upright, r.h_upright) == (r.w_stored, r.h_stored)
+
+
 def test_spark_exif_meta_matches_fixture_arithmetic(spark):
     from webcollector_spark.operators.sniff import exif_meta
 

@@ -122,6 +122,7 @@ def test_multimodal_oracle_parquet_fresh():
         "image_sharpness_partials_neardup",
         "image_letterbox",
         "image_exif_meta",
+        "image_exif_upright",
     }
     for name, pdf in built.items():
         fresh = pa.Table.from_pandas(

@@ -151,6 +151,19 @@ SCHEMAS = {
             ("pixel_y", pa.int32()),
         ]
     ),
+    "image_exif_upright": pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("orientation", pa.int32()),
+            ("w_stored", pa.int32()),
+            ("h_stored", pa.int32()),
+            ("w_upright", pa.int32()),
+            ("h_upright", pa.int32()),
+            ("psnr_db", pa.float64()),
+            ("psnr_ok", pa.bool_()),
+            ("phash_match", pa.bool_()),
+        ]
+    ),
     "dhash_neardup": pa.schema(
         [
             ("img_a", pa.string()),
@@ -339,6 +352,36 @@ def build_image_exif_meta(pdf: pd.DataFrame):
                 "description": f.get("description"),
                 "pixel_x": f.get("pixel_x"),
                 "pixel_y": f.get("pixel_y"),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def build_image_exif_upright(pdf: pd.DataFrame, psnr_gate_db: float = 40.0):
+    """Straight-line restatement of images.exif_upright_decode over the
+    camera-rotated corpus."""
+    from webcollector_spark.exif import normalize_orientation, parse_exif
+
+    rows = []
+    for r in pdf.to_dict("records"):
+        data = bytes(r["bytes"])
+        tag = parse_exif(data)["orientation"]
+        stored = codecs.decode(data)
+        upright = normalize_orientation(stored, tag)
+        uh, uw = upright.shape[:2]
+        truth = fixtures.ground_truth_pixels(r["image_id"], uw, uh)
+        psnr = codecs.psnr_db(upright, truth)
+        rows.append(
+            {
+                "image_id": r["image_id"],
+                "orientation": tag,
+                "w_stored": stored.shape[1],
+                "h_stored": stored.shape[0],
+                "w_upright": uw,
+                "h_upright": uh,
+                "psnr_db": float(min(psnr, 1e9)),
+                "psnr_ok": bool(psnr >= psnr_gate_db),
+                "phash_match": codecs.phash64(upright) == int(r["phash"]),
             }
         )
     return pd.DataFrame(rows)
@@ -602,6 +645,9 @@ def build_all() -> dict[str, pd.DataFrame]:
         ),
         "image_exif_meta": build_image_exif_meta(
             fixtures.make_corpus_exif(120)
+        ),
+        "image_exif_upright": build_image_exif_upright(
+            fixtures.make_corpus_exif_rotated(80)
         ),
         "dhash_neardup": build_dhash_neardup(neardups),
         "image_neardup_ids": neardups[["image_id"]],

@@ -267,6 +267,32 @@ ORIENTATION_OPS = {
 }
 
 
+def denormalize_orientation(px, orientation: int | None):
+    """Inverse of normalize_orientation: produce the STORED pixel layout
+    an upright image takes under the given orientation tag (fixture /
+    camera side). normalize(denormalize(x, t), t) == x for every tag."""
+    import numpy as np
+
+    o = orientation or 1
+    if o == 1:
+        return px
+    if o == 2:
+        return px[:, ::-1]
+    if o == 3:
+        return px[::-1, ::-1]
+    if o == 4:
+        return px[::-1, :]
+    if o == 5:
+        return px.transpose(1, 0, 2)
+    if o == 6:
+        return np.rot90(px, k=1)  # stored = upright rotated 90 CCW
+    if o == 7:
+        return px.transpose(1, 0, 2)[::-1, ::-1]
+    if o == 8:
+        return np.rot90(px, k=-1)
+    return px
+
+
 def normalize_orientation(px, orientation: int | None):
     """Apply the EXIF orientation to an (h, w, c) ndarray so downstream
     phash/resize/training see upright pixels."""

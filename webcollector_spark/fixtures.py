@@ -157,6 +157,59 @@ def make_corpus_exif(
     return pdf
 
 
+def make_corpus_exif_rotated(
+    n: int = 80, seed: int = SEED, sizes: tuple[int, ...] = (32, 64)
+) -> pd.DataFrame:
+    """Camera-rotated corpus: pixels are STORED under every EXIF
+    orientation tag (cycling 1..8) with the tag in APP1, so a decoder
+    that ignores tag 0x0112 trains on sideways/mirrored images. Row
+    (w, h) are the STORED dims (transposed for tags 5-8); `phash` is
+    the UPRIGHT image's hash — the dedup identity a pipeline must
+    recover after orientation correction."""
+    from webcollector_spark import jpeg
+    from webcollector_spark.exif import (
+        build_exif_app1,
+        denormalize_orientation,
+        insert_app1,
+        normalize_orientation,
+    )
+
+    rng = np.random.default_rng(seed + 7)
+    sizes = np.array(sizes)
+    rows = []
+    for i in range(n):
+        image_id = f"rot{i:08d}"
+        uw = int(sizes[rng.integers(0, len(sizes))])
+        uh = int(sizes[rng.integers(0, len(sizes))])
+        tag = i % 8 + 1
+        upright = ground_truth_pixels(image_id, uw, uh)
+        stored = np.ascontiguousarray(denormalize_orientation(upright, tag))
+        data = jpeg.encode_baseline(stored, quality=98)
+        data = insert_app1(
+            data,
+            build_exif_app1(
+                orientation=tag, byte_order="II" if i % 2 == 0 else "MM"
+            ),
+        )
+        # corpus convention (same as make_corpus_jpeg): phash is the
+        # identity of the DECODED artifact — here decoded-then-uprighted,
+        # so a pipeline that misapplies tag 0x0112 misses by ~32 bits;
+        # fidelity vs the pre-encode truth is pinned separately by PSNR
+        upright_decoded = normalize_orientation(codecs.decode(data), tag)
+        rows.append(
+            {
+                "image_id": image_id,
+                "bytes": data,
+                "w": stored.shape[1],
+                "h": stored.shape[0],
+                "fmt": "jpeg",
+                "caption": f"caption of {image_id}",
+                "phash": codecs.phash64(upright_decoded),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def make_corpus_gif(
     n: int = 100, seed: int = SEED, sizes: tuple[int, ...] = (32, 64)
 ) -> pd.DataFrame:

@@ -118,6 +118,13 @@ def corpus_exif_df(spark: SparkSession, n: int = 120) -> DataFrame:
     return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
 
 
+def corpus_exif_rotated_df(spark: SparkSession, n: int = 80) -> DataFrame:
+    """Camera-rotated corpus (fixtures.make_corpus_exif_rotated): pixels
+    stored under all 8 orientation tags, upright phash as identity."""
+    pdf = fixtures.make_corpus_exif_rotated(n)
+    return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+
+
 def corpus_mixed_df(spark: SparkSession) -> DataFrame:
     """All four container formats in one table (PNG + QIMG from the
     base corpus, real baseline JPEG, real GIF87a) — the input for the
@@ -166,6 +173,63 @@ def decode_verify(corpus: DataFrame, psnr_gate_db: float = 40.0) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in DECODE_META_SCHEMA])
 
     return corpus.mapInPandas(run, schema=DECODE_META_SCHEMA)
+
+
+UPRIGHT_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("orientation", T.IntegerType()),
+        T.StructField("w_stored", T.IntegerType()),
+        T.StructField("h_stored", T.IntegerType()),
+        T.StructField("w_upright", T.IntegerType()),
+        T.StructField("h_upright", T.IntegerType()),
+        T.StructField("psnr_db", T.DoubleType()),
+        T.StructField("psnr_ok", T.BooleanType()),
+        T.StructField("phash_match", T.BooleanType()),
+    ]
+)
+
+
+def exif_upright_decode(
+    corpus: DataFrame, psnr_gate_db: float = 40.0
+) -> DataFrame:
+    """Orientation-aware decode: decode the stored pixels, read EXIF tag
+    0x0112 from the same bytes, apply the 8-way flip/rotate correction
+    (exif.normalize_orientation), and verify the UPRIGHT result against
+    recomputed ground truth (PSNR >= 40 dB) and the upright phash — the
+    per-row invariant that proves the pipeline's dedup identity and
+    training pixels are orientation-independent. Same map-stage shape as
+    decode_verify: one Arrow pass, no shuffle."""
+    from webcollector_spark.exif import normalize_orientation, parse_exif
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                data = bytes(r["bytes"])
+                tag = parse_exif(data)["orientation"]
+                stored = codecs.decode(data)
+                upright = normalize_orientation(stored, tag)
+                uh, uw = upright.shape[:2]
+                truth = fixtures.ground_truth_pixels(r["image_id"], uw, uh)
+                psnr = codecs.psnr_db(upright, truth)
+                rows.append(
+                    {
+                        "image_id": r["image_id"],
+                        "orientation": tag,
+                        "w_stored": stored.shape[1],
+                        "h_stored": stored.shape[0],
+                        "w_upright": uw,
+                        "h_upright": uh,
+                        "psnr_db": float(min(psnr, 1e9)),
+                        "psnr_ok": bool(psnr >= psnr_gate_db),
+                        "phash_match": codecs.phash64(upright)
+                        == int(r["phash"]),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in UPRIGHT_SCHEMA])
+
+    return corpus.mapInPandas(run, schema=UPRIGHT_SCHEMA)
 
 
 def resize_meanpool(corpus: DataFrame, out: int = 16) -> DataFrame:

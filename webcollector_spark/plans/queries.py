@@ -4954,6 +4954,26 @@ def q_image_exif_meta(spark, sf):
     return exif_meta(images.corpus_exif_df(spark))
 
 
+@register(
+    "image_exif_upright",
+    _oracle_parquet(
+        "image_exif_upright",
+        "image_id, orientation, w_stored, h_stored, w_upright, h_upright, "
+        "psnr_db, psnr_ok, phash_match",
+    ),
+)
+def q_image_exif_upright(spark, sf):
+    """Orientation-aware decode over the camera-rotated corpus (pixels
+    stored under all 8 tags): decode -> read tag 0x0112 -> 8-way
+    flip/rotate correction -> verify upright PSNR >= 40 dB vs recomputed
+    ground truth + upright-phash identity. A pipeline that skips the
+    correction trains on sideways images and misses dedup identities by
+    ~32 phash bits (operators/images.py exif_upright_decode)."""
+    from webcollector_spark.operators import images
+
+    return images.exif_upright_decode(images.corpus_exif_rotated_df(spark))
+
+
 # ---------------------------------------------------------------------------
 # Soft-404 / parked-domain detection (operators/traps.py) — a host
 # serving the SAME pixels for most of its 200-OK URLs is returning a
