@@ -5083,6 +5083,153 @@ def q_soft404_filter(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Frontier snapshot diff + backlog (operators/delta.py) — the crawl-ops
+# queries over two synthetic round states: old excludes every 17th key
+# (-> 'added'), new excludes every 19th (-> 'removed'), every 11th
+# non-purchase key flips to SUCCESS (-> 'status_changed'), every 7th
+# bumps execute_count (-> 'refetched' when status held).
+
+_DELTA_OLD_SQL = """
+    old AS (
+      SELECT 'k' || CAST(event_id AS VARCHAR) AS key,
+             CASE WHEN event_type = 'purchase' THEN 5 ELSE 0 END AS status,
+             CAST(event_id % 3 AS INT) AS execute_count
+      FROM events WHERE event_id % 17 <> 3
+    )"""
+_DELTA_NEW_SQL = """
+    new AS (
+      SELECT 'k' || CAST(event_id AS VARCHAR) AS key,
+             CASE WHEN event_type = 'purchase' THEN 5
+                  WHEN event_id % 11 = 0 THEN 5 ELSE 0 END AS status,
+             CAST(event_id % 3
+                  + CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS INT)
+               AS execute_count
+      FROM events WHERE event_id % 19 <> 4
+    )"""
+_DELTA_JOIN_SQL = f"""
+    WITH {_DELTA_OLD_SQL}, {_DELTA_NEW_SQL},
+    d AS (
+      SELECT coalesce(old.key, new.key) AS key,
+             CASE WHEN old.key IS NULL THEN 'added'
+                  WHEN new.key IS NULL THEN 'removed'
+                  WHEN old.status <> new.status THEN 'status_changed'
+                  WHEN new.execute_count > old.execute_count
+                    THEN 'refetched'
+                  ELSE 'unchanged' END AS change,
+             old.status AS old_status, new.status AS new_status,
+             old.execute_count AS old_execute_count,
+             new.execute_count AS new_execute_count
+      FROM old FULL OUTER JOIN new ON old.key = new.key
+    )"""
+
+
+def _delta_frames(spark, sf):
+    ev = _t(spark, sf, "events")
+    e = F.col("event_id")
+    old = ev.filter(e % 17 != 3).select(
+        F.concat(F.lit("k"), e.cast("string")).alias("key"),
+        F.when(F.col("event_type") == "purchase", F.lit(5))
+        .otherwise(F.lit(0))
+        .alias("status"),
+        (e % 3).cast("int").alias("execute_count"),
+    )
+    new = ev.filter(e % 19 != 4).select(
+        F.concat(F.lit("k"), e.cast("string")).alias("key"),
+        F.when(F.col("event_type") == "purchase", F.lit(5))
+        .when(e % 11 == 0, F.lit(5))
+        .otherwise(F.lit(0))
+        .alias("status"),
+        (e % 3 + F.when(e % 7 == 0, F.lit(1)).otherwise(F.lit(0)))
+        .cast("int")
+        .alias("execute_count"),
+    )
+    return old, new
+
+
+@register(
+    "frontier_delta",
+    _DELTA_JOIN_SQL + "\n    SELECT * FROM d",
+)
+def q_frontier_delta(spark, sf):
+    """Per-key change classification between two round snapshots — one
+    full-outer join on the frontier's own merge key (co-partitioned for
+    two snapshots of the same store), classification in pure codegen
+    CASE (operators/delta.py frontier_delta)."""
+    from webcollector_spark.operators.delta import frontier_delta
+
+    old, new = _delta_frames(spark, sf)
+    return frontier_delta(old, new)
+
+
+@register(
+    "frontier_delta_summary",
+    _DELTA_JOIN_SQL
+    + """
+    SELECT change, CAST(count(*) AS BIGINT) AS n,
+           CAST(coalesce(sum(CASE WHEN new_status = 5 THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_now_success
+    FROM d GROUP BY change
+    """,
+)
+def q_frontier_delta_summary(spark, sf):
+    """O(kinds) rollup of the diff: rows per change kind + how many
+    ended SUCCESS — 'what did this round actually do' in five rows."""
+    from webcollector_spark.operators.delta import delta_summary, frontier_delta
+
+    old, new = _delta_frames(spark, sf)
+    return delta_summary(frontier_delta(old, new))
+
+
+@register(
+    "frontier_backlog",
+    """
+    WITH f AS (
+      SELECT 'h' || CAST(user_id % 37 AS VARCHAR) AS host,
+             CASE WHEN event_type = 'purchase' THEN 5
+                  WHEN event_id % 9 = 0 THEN 1 ELSE 0 END AS status,
+             CAST(event_id % 13 AS INT) AS execute_count,
+             CAST((event_id % 1000) * 3600000 AS BIGINT) AS execute_time
+      FROM events
+    )
+    SELECT host,
+           CAST(sum(CASE WHEN status <> 5 AND execute_count <= 10
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
+           CAST(sum(CASE WHEN status = 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_success,
+           CAST(sum(CASE WHEN status <> 5 AND execute_count > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_failed_tried,
+           CAST(sum(CASE WHEN status <> 5 AND execute_count > 10
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_exhausted,
+           min(CASE WHEN status <> 5 AND execute_count <= 10
+               THEN execute_time END) AS oldest_pending_ms,
+           max(execute_count) AS max_tries
+    FROM f GROUP BY host
+    """,
+)
+def q_frontier_backlog(spark, sf):
+    """Per-host queue health (pending/success/failed/exhausted counts,
+    oldest pending execute_time, worst retry depth) — one map-side-
+    combinable aggregate, O(hosts) output (operators/delta.py
+    frontier_backlog)."""
+    from webcollector_spark.operators.delta import frontier_backlog
+
+    ev = _t(spark, sf, "events")
+    e = F.col("event_id")
+    f = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 37).cast("string")).alias(
+            "host"
+        ),
+        F.when(F.col("event_type") == "purchase", F.lit(5))
+        .when(e % 9 == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("status"),
+        (e % 13).cast("int").alias("execute_count"),
+        ((e % 1000) * 3600000).cast("long").alias("execute_time"),
+    )
+    return frontier_backlog(f, max_execute_count=10)
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot ordering. The driver's CORRECTNESS_r{N}.json snapshot
 # covers only the FIRST ~50 queries() entries (observed cap across
 # r01-r03: the r03 snapshot has exactly 50 rows while the registry held
