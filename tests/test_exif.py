@@ -113,6 +113,64 @@ def test_spark_exif_upright_decode(spark):
             assert (r.w_upright, r.h_upright) == (r.w_stored, r.h_stored)
 
 
+def test_rotated_copies_dedup_only_after_upright(spark):
+    """8 stored variants of ONE image (every orientation tag) must
+    collapse to a single dedup identity after orientation correction —
+    and provably do NOT collapse on raw stored-pixel phash, which is
+    the mistake the operator exists to prevent."""
+    import pandas as pd
+
+    from webcollector_spark import codecs, jpeg
+    from webcollector_spark.exif import denormalize_orientation
+
+    truth = fixtures.ground_truth_pixels("img00000777", 64, 64)
+    rows = []
+    for tag in range(1, 9):
+        stored = np.ascontiguousarray(denormalize_orientation(truth, tag))
+        data = insert_app1(
+            jpeg.encode_baseline(stored, quality=98),
+            build_exif_app1(orientation=tag),
+        )
+        rows.append(
+            {
+                "image_id": f"var{tag}",
+                "bytes": data,
+                "stored_phash": codecs.phash64(codecs.decode(data)),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+
+    def max_ham(hashes):
+        hs = list(hashes)
+        mask = (1 << 64) - 1
+        return max(
+            bin((a ^ b) & mask).count("1")
+            for i, a in enumerate(hs)
+            for b in hs[i + 1 :]
+        )
+
+    # raw stored-pixel hashes are FAR apart: rotation destroys the
+    # identity, no hamming-ball dedup radius can bridge it
+    assert max_ham(pdf["stored_phash"]) > 8
+
+    from webcollector_spark.exif import normalize_orientation
+    from webcollector_spark.operators.sniff import exif_meta
+
+    sdf = spark.createDataFrame(pdf[["image_id", "bytes"]])
+    tags = {r.image_id: r.orientation for r in exif_meta(sdf).collect()}
+    upright_hashes = []
+    for r in pdf.to_dict("records"):
+        up = normalize_orientation(
+            codecs.decode(bytes(r["bytes"])), tags[r["image_id"]]
+        )
+        upright_hashes.append(codecs.phash64(up))
+    # after correction all 8 variants sit inside the standard dedup
+    # radius (JPEG quantizes each rotation slightly differently, so
+    # bit-equality is not the contract — hamming-ball membership is,
+    # exactly how phash_neardup_* consumes these hashes)
+    assert max_ham(upright_hashes) <= 2
+
+
 def test_spark_exif_meta_matches_fixture_arithmetic(spark):
     from webcollector_spark.operators.sniff import exif_meta
 
