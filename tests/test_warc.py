@@ -97,6 +97,40 @@ def test_resume_rewrites_only_missing(spark, tmp_path):
             assert not m.written and m.sha256 == m1[s].sha256
 
 
+def test_index_covers_every_byte_and_fetch_is_exact(spark, tmp_path):
+    from webcollector_spark.operators.warc import fetch_warc_records, index_warc
+
+    out = str(tmp_path / "warc")
+    df = _fetched(spark, 40)
+    _export(spark, df, out)
+
+    idx = index_warc(spark, out)
+    rows = idx.collect()
+    # members tile each file exactly: contiguous offsets, lengths sum to
+    # the file size
+    by_path = {}
+    for r in rows:
+        by_path.setdefault(r.path, []).append(r)
+    for path, members in by_path.items():
+        members.sort(key=lambda r: r.offset)
+        pos = 0
+        for m in members:
+            assert m.offset == pos
+            pos += m.length
+        local = path[len("file:") :] if path.startswith("file:") else path
+        assert pos == os.path.getsize(local)
+        assert members[0].record_type == "warcinfo"
+
+    # random access: fetch a sparse sample, payloads must equal source
+    want = {r.key: bytes(r.content) for r in df.collect()}
+    sample = idx.filter("record_type = 'resource'").orderBy("url").limit(7)
+    got = fetch_warc_records(sample).collect()
+    assert len(got) == 7
+    for g in got:
+        assert bytes(g.payload) == want[g.url]
+        assert g.record_id == record_id_for(g.url)
+
+
 def test_stdlib_gzip_reads_members(spark, tmp_path):
     """The .warc.gz layout must be plain concatenated gzip members —
     consumable by tooling that knows nothing of our writer."""

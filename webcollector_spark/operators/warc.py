@@ -221,6 +221,115 @@ def write_warc(
     )
 
 
+def index_warc(spark, out_dir: str) -> DataFrame:
+    """Per-record random-access index over an export: (path, shard,
+    offset, length, record_type, record_id, url) where offset/length
+    bound the record's own GZIP MEMBER — the WARC convention (CDX-style)
+    that turns a 10^10-record archive into one Range GET per record.
+    Offsets come from the member boundaries the gzip stream itself
+    declares; one task per file, headers parsed from the inflated
+    member, payload bytes never retained."""
+    out_schema = (
+        "path string, offset bigint, length bigint, record_type string, "
+        "record_id string, url string"
+    )
+
+    def index_partition(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                data = bytes(blob)
+                pos = 0
+                while pos < len(data):
+                    # inflate exactly ONE gzip member: decompressobj(31)
+                    # stops at the member trailer and hands back the
+                    # remainder in unused_data — gzip.GzipFile would run
+                    # through every member in the stream
+                    d = zlib.decompressobj(31)
+                    raw = d.decompress(data[pos:])
+                    member_len = len(data) - pos - len(d.unused_data)
+                    hdr_end = raw.index(b"\r\n\r\n")
+                    headers = {}
+                    for line in raw[:hdr_end].split(b"\r\n")[1:]:
+                        hk, _, hv = line.decode("utf-8").partition(":")
+                        headers[hk.strip()] = hv.strip()
+                    rows.append(
+                        {
+                            "path": path,
+                            "offset": pos,
+                            "length": member_len,
+                            "record_type": headers.get("WARC-Type"),
+                            "record_id": headers.get("WARC-Record-ID"),
+                            "url": headers.get("WARC-Target-URI"),
+                        }
+                    )
+                    pos += member_len
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "offset", "length",
+                    "record_type", "record_id", "url",
+                ],
+            )
+
+    files = spark.read.format("binaryFile").load(f"{out_dir}/*.warc.gz")
+    return files.select("path", "content").mapInPandas(
+        index_partition, schema=out_schema
+    )
+
+
+def fetch_warc_records(index: DataFrame) -> DataFrame:
+    """Random access: inflate exactly the indexed members — one seek +
+    bounded read per record (≙ object-store Range GET), reads grouped
+    per file within a partition. The sparse complement of read_warc's
+    whole-file streaming, for spot-checks and backfills that touch a
+    tiny fraction of the archive."""
+    out_schema = (
+        "record_id string, url string, content_type string, payload binary"
+    )
+
+    def read_partition(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, grp in pdf.groupby("path", sort=True):
+                local = path[len("file:") :] if path.startswith("file:") else path
+                with open(local, "rb") as f:
+                    for off, ln in zip(grp["offset"], grp["length"]):
+                        f.seek(int(off))
+                        raw = zlib.decompressobj(31).decompress(
+                            f.read(int(ln))
+                        )
+                        hdr_end = raw.index(b"\r\n\r\n")
+                        headers = {}
+                        for line in raw[:hdr_end].split(b"\r\n")[1:]:
+                            hk, _, hv = line.decode("utf-8").partition(":")
+                            headers[hk.strip()] = hv.strip()
+                        n = int(headers["Content-Length"])
+                        rows.append(
+                            {
+                                "record_id": headers.get("WARC-Record-ID"),
+                                "url": headers.get("WARC-Target-URI"),
+                                "content_type": headers.get("Content-Type"),
+                                "payload": raw[hdr_end + 4 : hdr_end + 4 + n],
+                            }
+                        )
+            yield pd.DataFrame(
+                rows, columns=["record_id", "url", "content_type", "payload"]
+            )
+
+    return index.select("path", "offset", "length").mapInPandas(
+        read_partition, schema=out_schema
+    )
+
+
 def read_warc(spark, out_dir: str) -> DataFrame:
     """Distributed read-back: one task per .warc.gz file (binaryFile
     source), per-record gzip members inflated in sequence; warcinfo
