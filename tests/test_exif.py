@@ -171,6 +171,32 @@ def test_rotated_copies_dedup_only_after_upright(spark):
     assert max_ham(upright_hashes) <= 2
 
 
+def test_fused_features_exif_upright_mode(spark):
+    """features_fused(exif_upright=True) hashes the CORRECTED buffer —
+    its phash must equal the rotated corpus's committed upright-artifact
+    identity exactly, and dims must be the upright ones."""
+    from webcollector_spark.operators.images import (
+        corpus_exif_rotated_df,
+        features_fused,
+    )
+
+    pdf = fixtures.make_corpus_exif_rotated(16)
+    got = {
+        r.image_id: r
+        for r in features_fused(
+            corpus_exif_rotated_df(spark, 16), exif_upright=True
+        ).collect()
+    }
+    for i, r in enumerate(pdf.to_dict("records")):
+        g = got[r["image_id"]]
+        assert g.phash == int(r["phash"])  # exact: same decode+correct path
+        tag = i % 8 + 1
+        if tag >= 5:
+            assert (g.w, g.h) == (r["h"], r["w"])
+        else:
+            assert (g.w, g.h) == (r["w"], r["h"])
+
+
 def test_spark_exif_meta_matches_fixture_arithmetic(spark):
     from webcollector_spark.operators.sniff import exif_meta
 

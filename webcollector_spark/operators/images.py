@@ -769,7 +769,7 @@ FUSED_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def features_fused(corpus: DataFrame) -> DataFrame:
+def features_fused(corpus: DataFrame, exif_upright: bool = False) -> DataFrame:
     """Single-decode fused feature extraction: ONE decode per image,
     every per-image feature off the same pixel buffer — channel moment
     partials (normalization stats), Laplacian moment partials
@@ -785,13 +785,27 @@ def features_fused(corpus: DataFrame) -> DataFrame:
     (0.23 ms/img) the win is the Arrow transfer + scan dedup instead.
     All moments stay exact int64, so each
     downstream reduce remains partition-order independent and
-    bit-reproducible (same contract as the unfused twins)."""
+    bit-reproducible (same contract as the unfused twins).
+
+    `exif_upright=True` applies the EXIF orientation correction
+    (webcollector_spark/exif.py) to the decoded buffer BEFORE any
+    feature kernel runs, in the same single pass — without it a rotated
+    upload hashes >8 phash bits away from its upright original
+    (tests/test_exif.py) and the dedup clusters silently split."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if exif_upright:
+            from webcollector_spark.exif import normalize_orientation, parse_exif
+
         for pdf in batches:
             rows = []
             for r in pdf.to_dict("records"):
-                px = codecs.decode(bytes(r["bytes"]))
+                data = bytes(r["bytes"])
+                px = codecs.decode(data)
+                if exif_upright:
+                    px = normalize_orientation(
+                        px, parse_exif(data)["orientation"]
+                    )
                 lanes = px.astype(np.int64)
                 n_lap, s_lap, ss_lap = codecs.lap_partials(px)
                 rows.append(

@@ -5230,6 +5230,59 @@ def q_frontier_backlog(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Link-graph degree distribution — the power-law diagnostic that sizes
+# every skew defense (host salting, AQE skew joins, per-host top-k): a
+# scheduler tuned for a uniform graph melts on the real web's heavy
+# tail. Two-level aggregate: per-node degrees (O(nodes)) then the
+# degree histogram (O(distinct degrees)) — both map-side combinable,
+# nothing driver-side. Same synthetic click graph as pagerank.
+
+
+@register(
+    "link_degree_stats",
+    """
+    WITH e AS (
+      SELECT DISTINCT user_id AS src, event_id % 50 AS dst
+      FROM events WHERE event_type = 'click'
+    ), outd AS (
+      SELECT src, count(*) AS degree FROM e GROUP BY src
+    ), ind AS (
+      SELECT dst, count(*) AS degree FROM e GROUP BY dst
+    ), hist AS (
+      SELECT 'out' AS side, degree, count(*) AS n_nodes FROM outd GROUP BY degree
+      UNION ALL
+      SELECT 'in' AS side, degree, count(*) AS n_nodes FROM ind GROUP BY degree
+    )
+    SELECT side, degree, n_nodes FROM hist
+    """,
+)
+def q_link_degree_stats(spark, sf):
+    """In/out-degree histogram of the link graph (operators/rank.py's
+    edge synthesis): #nodes per exact degree, one row per (side,
+    degree)."""
+    ev = _t(spark, sf, "events")
+    e = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("src"),
+            (F.col("event_id") % 50).alias("dst"),
+        )
+        .distinct()
+    )
+
+    def hist(col, side):
+        return (
+            e.groupBy(col)
+            .agg(F.count("*").alias("degree"))
+            .groupBy("degree")
+            .agg(F.count("*").alias("n_nodes"))
+            .select(F.lit(side).alias("side"), "degree", "n_nodes")
+        )
+
+    return hist("src", "out").unionByName(hist("dst", "in"))
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot ordering. The driver's CORRECTNESS_r{N}.json snapshot
 # covers only the FIRST ~50 queries() entries (observed cap across
 # r01-r03: the r03 snapshot has exactly 50 rows while the registry held
