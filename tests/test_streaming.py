@@ -600,3 +600,77 @@ def test_url_trap_stream_microbatch_invariance(spark):
     finally:
         shutil.rmtree(d1, ignore_errors=True)
         shutil.rmtree(d2, ignore_errors=True)
+
+
+def _soft404_rows():
+    rows = []
+    rows += [("parked", f"p{i}", 111) for i in range(8)]
+    rows += [("parked", "r1", 5), ("parked", "r2", 6)]
+    rows += [("parked", "x1", None), ("parked", "x2", None)]
+    rows += [("healthy", f"h{i}", 1000 + i) for i in range(10)]
+    rows += [("small", f"s{i}", 42) for i in range(3)]
+    return rows
+
+
+_SOFT404_SCHEMA = "host string, key string, phash long"
+
+
+def test_streaming_soft404_matches_batch(spark):
+    """One-batch drain (k >= distinct fps, MG exact) flags exactly the
+    hosts batch soft404_hosts flags, with the same modal fingerprint."""
+    from webcollector_spark.operators.traps import soft404_hosts
+
+    df = spark.createDataFrame(_soft404_rows(), _SOFT404_SCHEMA)
+    d = tempfile.mkdtemp(prefix="wc_404_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        src = spark.readStream.schema(_SOFT404_SCHEMA).parquet(d)
+        stream = P.soft404_stream(src, min_pages=5, min_share_pct=60, k=32)
+        P.run_to_memory(stream, "soft404_stream", output_mode="append")
+        got = {
+            r["host"]: r for r in spark.table("soft404_stream").collect()
+        }
+        want = {
+            r["host"]: r
+            for r in soft404_hosts(df, min_pages=5, min_share_pct=60)
+            .filter("is_soft404")
+            .collect()
+        }
+        assert set(got) == set(want) == {"parked"}
+        g, w = got["parked"], want["parked"]
+        assert g["modal_fp"] == w["modal_fp"] == 111
+        assert g["modal_pages"] == 8 and g["total_pages"] == 10
+        assert g["share_pct"] == 80
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_soft404_cross_batch_and_bounded_state(spark):
+    """A host crossing the threshold only with batch-2 evidence flags
+    then, exactly once — and a k=2 summary still catches an 80%
+    majority on a host with 10 distinct fingerprints (MG lower bound),
+    while state stays at <= 2 tracked pairs."""
+    b1 = [("h", f"a{i}", 9) for i in range(4)] + [("h", "u1", 101)]
+    b2 = [("h", f"b{i}", 9) for i in range(12)] + [
+        ("h", f"u{i}", 100 + i) for i in range(2, 5)
+    ]
+    d = tempfile.mkdtemp(prefix="wc_4042_")
+    try:
+        for batch in (b1, b2):
+            spark.createDataFrame(batch, _SOFT404_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(d)
+        src = spark.readStream.schema(_SOFT404_SCHEMA).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(d)
+        stream = P.soft404_stream(src, min_pages=5, min_share_pct=60, k=2)
+        P.run_to_memory(stream, "soft404_xbatch", output_mode="append")
+        rows = spark.table("soft404_xbatch").collect()
+        assert len(rows) == 1  # flagged once, despite both batches
+        r = rows[0]
+        assert r["host"] == "h" and r["modal_fp"] == 9
+        # MG count is a lower bound: never overstates the share
+        assert r["modal_pages"] <= 16
+        assert r["share_pct"] >= 60
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -834,3 +834,98 @@ def url_trap_stream(docs: DataFrame, b: int = 10) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SOFT404_STATE_SCHEMA = (
+    "fps array<long>, counts array<long>, total long, flagged boolean"
+)
+SOFT404_OUT_SCHEMA = (
+    "host string, modal_fp long, modal_pages long, total_pages long, "
+    "share_pct long"
+)
+
+
+def soft404_stream(
+    rows: DataFrame,
+    min_pages: int = 5,
+    min_share_pct: int = 60,
+    k: int = 16,
+) -> DataFrame:
+    """Streaming soft-404 detector: the incremental twin of batch
+    `traps.soft404_hosts`, with BOUNDED per-host state.
+
+    An exact modal count needs one counter per distinct fingerprint —
+    on a healthy host that is one counter per PAGE, which is the blow-up
+    relocated into the state store (the same argument as
+    `url_trap_stream`'s HLL registers). Instead each host keeps a
+    Misra-Gries summary of k (fp, count) pairs plus the exact non-null
+    total. MG counts are LOWER bounds (undercount <= total/(k+1)), so a
+    flag raised from them never overstates the share — no false
+    positives against the threshold, and any true majority fingerprint
+    is guaranteed to be tracked; with k >= the host's distinct-fp count
+    the summary is exact and the one-batch drain equals batch
+    `soft404_hosts`' flag set (pinned in test_streaming.py).
+
+    Emits ONE row per host at the micro-batch where the lower-bound
+    share first crosses (min_pages, min_share_pct) — a crawler can stop
+    paying politeness budget for a parked domain mid-crawl.
+
+    NULL fingerprints (undecodable payloads) are excluded from both the
+    vote and the denominator, matching batch."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = rows.select("host", "phash")
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            fps, counts, total, flagged = state.get
+            mg = dict(zip(fps, counts))
+            total, flagged = int(total), bool(flagged)
+        else:
+            mg, total, flagged = {}, 0, False
+        for pdf in pdfs:
+            for ph in pdf["phash"]:
+                if ph is None or pd.isna(ph):
+                    continue
+                fp = int(ph)
+                total += 1
+                if fp in mg:
+                    mg[fp] += 1
+                elif len(mg) < k:
+                    mg[fp] = 1
+                else:  # Misra-Gries decrement step
+                    mg = {f: c - 1 for f, c in mg.items() if c > 1}
+        out = []
+        if not flagged and mg and total > 0:
+            # deterministic candidate: count desc, fp asc
+            fp, cnt = min(mg.items(), key=lambda it: (-it[1], it[0]))
+            share = cnt * 100 // total
+            if cnt >= min_pages and share >= min_share_pct:
+                flagged = True
+                out.append(
+                    {
+                        "host": key[0],
+                        "modal_fp": fp,
+                        "modal_pages": cnt,
+                        "total_pages": total,
+                        "share_pct": share,
+                    }
+                )
+        items = sorted(mg.items())
+        state.update(
+            ([f for f, _ in items], [c for _, c in items], total, flagged)
+        )
+        yield pd.DataFrame(
+            out,
+            columns=["host", "modal_fp", "modal_pages", "total_pages", "share_pct"],
+        )
+
+    return keyed.groupBy("host").applyInPandasWithState(
+        fn,
+        outputStructType=SOFT404_OUT_SCHEMA,
+        stateStructType=SOFT404_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
