@@ -383,3 +383,32 @@ def test_trustrank_scheduling_demotes_spam_clique(spark, tmp_path):
     assert p_trust[poor[0]] < p_trust[spam[3]]
     # trust still flows: the honest region carries real (negative) mass
     assert p_trust[pop] < 0
+
+
+def test_opic_cash_conservation_and_dangling(spark):
+    """Total cash is conserved at exactly 1.0 every step (the paper's
+    virtual page re-injects dangling cash), history grows by 1.0 per
+    step, and an in-link magnet outranks a leaf."""
+    from webcollector_spark.operators.rank import opic
+
+    # hub -> {a, b}; a -> hub; b dangling
+    edges = spark.createDataFrame(
+        [("hub", "a"), ("hub", "b"), ("a", "hub")], "src string, dst string"
+    )
+    for iters in (1, 3):
+        r = opic(edges, iters=iters)
+        rows = r.collect()
+        total_cash = sum(x.cash for x in rows)
+        total_hist = sum(x.hist for x in rows)
+        assert abs(total_cash - 1.0) < 1e-9
+        assert abs(total_hist - iters) < 1e-9
+
+    imp = {x.node: x.importance for x in opic(edges, iters=4).collect()}
+    assert imp["hub"] > imp["b"]  # two in-links + seed cash beats a leaf
+
+
+def test_opic_empty_graph(spark):
+    from webcollector_spark.operators.rank import opic
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert opic(empty, iters=2).count() == 0

@@ -234,6 +234,90 @@ def edges_from_history(hist: DataFrame, canonical: bool = False) -> DataFrame:
     return edges.distinct()
 
 
+def opic(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
+    Cobena, WWW 2003) — the importance metric DESIGNED for crawl
+    scheduling: unlike PageRank it needs no convergence loop over a
+    frozen graph; each page carries `cash` (distributed to outlinks
+    when the page is visited) and `history` (cash it has held), and
+    importance ≈ history + cash at any instant. This batch twin runs
+    `iters` synchronous global steps — every step: history += cash,
+    cash' = inflow of neighbors' cash/odeg, dangling cash redistributed
+    uniformly (the paper's virtual page), so total cash is conserved at
+    1.0 exactly.
+
+    Returns (node, cash, hist, importance). `importance` is
+    scheduler-ready: select (node, importance AS rank) into
+    `priorities_from_ranks`.
+
+    Scale shape: identical to pagerank — odeg folded onto the node
+    table once, one edges⋈cash shuffle join + one groupBy per step; the
+    dangling total is a genuine scalar, so it rides a 1-row broadcast
+    (the HITS normalizer pattern), never an O(nodes) side. The registry
+    twin unrolls the same steps as DuckDB CTEs."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0.0).alias("cash"),
+            F.lit(0.0).alias("hist"),
+            F.lit(0.0).alias("importance"),
+        )
+    out_deg = edges.groupBy(src).agg(F.count("*").alias("odeg"))
+    nodes = nodes.join(
+        out_deg.withColumnRenamed(src, "node"), "node", "left"
+    ).localCheckpoint(eager=False)
+    state = nodes.withColumn("cash", F.lit(1.0 / n)).withColumn(
+        "hist", F.lit(0.0)
+    )
+    for i in range(iters):
+        # dangling cash: a true scalar -> 1-row broadcast cross join
+        d_row = state.filter(F.col("odeg").isNull()).agg(
+            F.coalesce(F.sum("cash"), F.lit(0.0)).alias("__dangling")
+        )
+        inflow = (
+            edges.join(state.withColumnRenamed("node", src), src)
+            .select(
+                F.col(dst).alias("node"),
+                (F.col("cash") / F.col("odeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        state = (
+            state.crossJoin(F.broadcast(d_row))
+            .join(inflow, "node", "left")
+            .select(
+                "node",
+                "odeg",
+                (
+                    F.coalesce("inflow", F.lit(0.0))
+                    + F.col("__dangling") / F.lit(float(n))
+                ).alias("cash"),
+                (F.col("hist") + F.col("cash")).alias("hist"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+            state = state.localCheckpoint(eager=True)
+    return state.select(
+        "node",
+        "cash",
+        "hist",
+        (F.col("cash") + F.col("hist")).alias("importance"),
+    )
+
+
 def priorities_from_ranks(frontier: DataFrame, ranks: DataFrame) -> DataFrame:
     """Frontier with `priority` replaced by -rank for ranked keys
     (higher rank -> smaller priority -> scheduled sooner by the

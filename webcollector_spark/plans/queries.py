@@ -5283,6 +5283,81 @@ def q_link_degree_stats(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# OPIC (operators/rank.py opic) — On-line Page Importance Computation
+# (Abiteboul et al., WWW 2003), the importance metric DESIGNED for
+# crawl scheduling: cash diffuses to outlinks, history accumulates,
+# importance = history + cash; dangling cash redistributes uniformly
+# (the paper's virtual page) so total cash is conserved at 1.0 every
+# step. Oracle = the SAME 2 synchronous steps unrolled as DuckDB CTEs
+# over the pagerank click graph (which contains genuine dangling
+# nodes, so the virtual-page term is load-bearing).
+
+_OPIC_STEP = """
+    {cur} AS (
+      SELECT nodes.node,
+             coalesce(s.inflow, 0.0) +
+               (SELECT coalesce(sum(cash), 0.0) FROM {prev}
+                LEFT JOIN od ON od.src = {prev}.node
+                WHERE od.src IS NULL) / (SELECT cnt FROM n) AS cash,
+             p.hist + p.cash AS hist
+      FROM nodes
+      JOIN {prev} p ON p.node = nodes.node
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(p2.cash / od.odeg) AS inflow
+        FROM e
+        JOIN {prev} p2 ON p2.node = e.src
+        JOIN od ON od.src = e.src
+        GROUP BY e.dst
+      ) s ON s.node = nodes.node
+    )"""
+
+
+def _opic_sql(iters: int = 2) -> str:
+    steps = ",".join(
+        _OPIC_STEP.format(cur=f"c{i+1}", prev=f"c{i}") for i in range(iters)
+    )
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT user_id AS src, event_id % 50 AS dst
+      FROM events WHERE event_type = 'click'
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    n AS (SELECT count(*) AS cnt FROM nodes),
+    od AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+    c0 AS (SELECT node, 1.0 / (SELECT cnt FROM n) AS cash, 0.0 AS hist
+           FROM nodes),
+    {steps}
+    SELECT node, round((cash + hist) * 1000, 4) + 0 AS opic1k
+    FROM c{iters}
+    """
+
+
+@register("opic_scores", None)
+def q_opic_scores(spark, sf):
+    """2 synchronous OPIC steps over the click graph; importance scaled
+    ×1000 and rounded to absorb float-sum-order wiggle (the pagerank
+    convention)."""
+    from webcollector_spark.operators.rank import opic
+
+    ev = _t(spark, sf, "events")
+    edges = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("src"), (F.col("event_id") % 50).alias("dst")
+        )
+        .distinct()
+    )
+    r = opic(edges, iters=2)
+    return r.select(
+        "node",
+        (F.round(F.col("importance") * 1000, 4) + F.lit(0.0)).alias("opic1k"),
+    )
+
+
+SQL["opic_scores"] = _opic_sql(2)
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot ordering. The driver's CORRECTNESS_r{N}.json snapshot
 # covers only the FIRST ~50 queries() entries (observed cap across
 # r01-r03: the r03 snapshot has exactly 50 rows while the registry held
