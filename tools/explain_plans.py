@@ -137,6 +137,19 @@ CHECKS = {
     # quality-aware keeper: blocked candidate joins + one row_number
     # window partitioned by cluster (never a global window)
     "image_neardup_best_keepers": ["Join", "Window", "MapInPandas"],
+    # BM25: query-term filter prunes the token table before any shuffle;
+    # top-20 must be TakeOrderedAndProject, never a global Sort
+    "bm25_rank": ["TakeOrderedAndProject", "!EvalPython"],
+    # CCNet tertiles: the ntile window is PARTITIONED BY lang (a global
+    # window would plan one partition owning the whole corpus)
+    "perplexity_bucket": ["Window", "hashpartitioning(lang", "!EvalPython"],
+    # exact percentiles bound per host by the groupBy; pure JVM
+    "host_fetch_latency": ["Aggregate", "!EvalPython"],
+    # bandit scores: one map-side-combinable aggregate + a 1-row
+    # broadcast total; output O(hosts), no window
+    "ucb_host_priority": ["Aggregate", "!EvalPython", "!Window"],
+    # eTLD+1 extraction is pure codegen string/array expressions
+    "registrable_domain_rollup": ["HashAggregate", "!EvalPython"],
 }
 
 

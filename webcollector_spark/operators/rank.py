@@ -334,3 +334,55 @@ def priorities_from_ranks(frontier: DataFrame, ranks: DataFrame) -> DataFrame:
         )
         .drop("__rank")
     )
+
+
+def ucb_host_scores(
+    fetch_log: DataFrame,
+    host: str = "host",
+    yielded: str = "yielded",
+    c: float = 2.0,
+) -> DataFrame:
+    """UCB1 exploration/exploitation score per host from a fetch log.
+
+    A breadth crawler must split its per-round budget between hosts that
+    have PROVEN productive (fetches that yielded new outlinks) and hosts
+    it has barely sampled — the classic multi-armed-bandit trade-off
+    (Auer et al. 2002, UCB1; applied to focused crawling e.g. in
+    Pant/Srinivasan's crawler evaluations). Score per host:
+
+        mean_yield + sqrt(c * ln(total_fetches) / n_fetches)
+
+    so rarely-tried hosts get a large exploration bonus that decays as
+    they accumulate trials, and the scheduler feeds the score into
+    `generate_per_host`'s budget split the same way `priorities_from_ranks`
+    feeds pagerank into per-key priority. The reference schedules purely
+    by insertion order (crawldb/Generator.java:49-78 — FIFO within
+    topN); this is the graft's adaptive-budget extension.
+
+    Input: one row per completed fetch with a boolean `yielded` column
+    (did this fetch discover at least one new frontier key). Shape: ONE
+    map-side-combinable groupBy(host) — counts and a conditional count —
+    plus a single-row total broadcast join; output is O(hosts), no
+    window, no skew hazard (the hot host aggregates map-side). At 10^10
+    fetches the log itself is never materialized to the driver; the
+    aggregate is the only shuffle.
+    """
+    per_host = fetch_log.groupBy(F.col(host).alias("host")).agg(
+        F.count("*").alias("n_trials"),
+        F.count(F.when(F.col(yielded), F.lit(1))).alias("n_yield"),
+    )
+    total = per_host.agg(F.sum("n_trials").cast("double").alias("__t"))
+    return (
+        per_host.crossJoin(F.broadcast(total))
+        .select(
+            "host",
+            "n_trials",
+            "n_yield",
+            (
+                F.col("n_yield") / F.col("n_trials").cast("double")
+                + F.sqrt(
+                    F.lit(float(c)) * F.log(F.col("__t")) / F.col("n_trials")
+                )
+            ).alias("ucb"),
+        )
+    )

@@ -5358,6 +5358,318 @@ SQL["opic_scores"] = _opic_sql(2)
 
 
 # ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson et al., TREC-3; the Lucene-default
+# scoring function) — the relevance-ranking operator a curation
+# pipeline uses to pull topical slices out of a 100 TB crawl ("give me
+# the top documents about X" as a seed set for classifier training).
+# idf is the Lucene form ln(1 + (N - df + 0.5)/(df + 0.5)) (always
+# positive), k1=1.2 b=0.75. Scale shape: the token table is filtered to
+# the QUERY terms before any shuffle (predicate on the exploded column,
+# so fan-out is O(matches), not O(tokens)); df/idf is O(|query|) rows
+# and broadcast; doc lengths join on doc_id (plain shuffle join, NOT
+# broadcast — O(corpus) rows); avgdl/N ride in as a 1-row broadcast;
+# the final top-20 is TakeOrderedAndProject, no global sort. Ordering
+# ties break on doc_id over the ROUNDED score in both engines, so the
+# limit boundary cannot diverge on float dust.
+
+_BM25_TERMS = ("join", "vector", "stream")
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS_SQL = ",".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "bm25_rank",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id),
+    stats AS (SELECT avg(dlen) AS avgdl, count(*) AS n FROM dl),
+    qt AS (SELECT doc_id, term FROM toks
+           WHERE term IN ({_BM25_TERMS_SQL})),
+    qdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY term),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY doc_id, term)
+    SELECT doc_id,
+           round(sum(
+             ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+             tf * ({_BM25_K1} + 1.0) /
+             (tf + {_BM25_K1} *
+              (1.0 - {_BM25_B} + {_BM25_B} * dlen / avgdl))
+           ), 4) AS bm25
+    FROM tf JOIN dl USING (doc_id) JOIN qdf USING (term), stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def q_bm25_rank(spark, sf):
+    toks = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
+        ).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    stats = dl.agg(F.avg("dlen").alias("avgdl"), F.count("*").alias("n"))
+    qt = toks.filter(F.col("term").isin(*_BM25_TERMS))
+    qdf = qt.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = qt.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    k1, b = _BM25_K1, _BM25_B
+    contrib = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dlen") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(qdf), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets (Wenzek et al. 2020): score each doc
+# by unigram cross-entropy against the corpus LM, then split EACH
+# LANGUAGE into head/middle/tail tertiles — the exact partitioning
+# CCNet feeds to its per-quality training mixes (buckets are
+# per-language because a zh doc and an en doc are never comparable on
+# the same entropy scale). Scale shape: the token->LM join is the
+# unigram_logprob plan (vocab NOT broadcast, 1-row total broadcast);
+# the tertile split is ntile over a window PARTITIONED BY lang — the
+# per-partition sort parallelizes across languages and each partition
+# is 1/|langs| of the corpus (at 100 TB the swap is percentile_approx
+# thresholds broadcast back, same output contract; the exact ntile here
+# keeps the oracle bit-checkable). Ties break on doc_id over the
+# ROUNDED entropy, so the bucket boundary is engine-stable.
+@register(
+    "perplexity_bucket",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+    tot AS (SELECT sum(cnt) AS total FROM tf),
+    ce AS (
+      SELECT doc_id,
+             round(-avg(ln(cnt / CAST(total AS DOUBLE))), 4) AS cross_ent
+      FROM toks JOIN tf USING (term), tot
+      GROUP BY doc_id
+    )
+    SELECT doc_id, lang, cross_ent,
+           CASE ntile(3) OVER (PARTITION BY lang
+                               ORDER BY cross_ent, doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM ce JOIN documents USING (doc_id)
+    """,
+)
+def q_perplexity_bucket(spark, sf):
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = tf.agg(F.sum("cnt").alias("total"))
+    ce = (
+        toks.join(tf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.avg(F.log(F.col("cnt") / F.col("total").cast("double"))), 4
+            ).alias("cross_ent")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("cross_ent", "doc_id")
+    tile = F.ntile(3).over(w)
+    return (
+        ce.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "cross_ent",
+            F.when(tile == 1, "head")
+            .when(tile == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-host fetch-latency percentiles — the politeness/scheduler
+# telemetry every production crawler dashboards (a host whose p95
+# blows up gets its budget cut before it stalls a round; the reference
+# exposes only counters via its nextFilter stats). events is the
+# fetch-log analog: user_id ≙ host, 'view' ≙ completed fetch, value ≙
+# latency ms. Exact interpolated percentiles (Spark `percentile` ≡
+# DuckDB `quantile_cont`, both rank p*(n-1) with linear interpolation)
+# — exact is affordable because the groupBy bounds each percentile's
+# sort to ONE host's samples; at 10^10 rows the per-host sample set is
+# still memory-bounded per task, and the swap for unbounded hosts is
+# percentile_approx with the same output columns. One
+# map-side-combinable aggregate, output O(hosts).
+@register(
+    "host_fetch_latency",
+    """
+    SELECT user_id AS host,
+           count(*) AS n_fetches,
+           round(quantile_cont(value, 0.5), 4) AS p50_ms,
+           round(quantile_cont(value, 0.95), 4) AS p95_ms,
+           round(max(value), 4) AS max_ms
+    FROM events WHERE event_type = 'view'
+    GROUP BY user_id
+    """,
+)
+def q_host_fetch_latency(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type") == "view")
+        .groupBy(F.col("user_id").alias("host"))
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.round(F.percentile(F.col("value"), F.lit(0.5)), 4).alias(
+                "p50_ms"
+            ),
+            F.round(F.percentile(F.col("value"), F.lit(0.95)), 4).alias(
+                "p95_ms"
+            ),
+            F.round(F.max("value"), 4).alias("max_ms"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# UCB1 host-budget priority (operators/rank.py ucb_host_scores) — the
+# bandit view of crawl scheduling: every host is an arm, a fetch is a
+# pull, "yielded new outlinks" is the reward, and the round budget goes
+# to the highest mean_yield + sqrt(2 ln t / n). events analog:
+# user_id ≙ host, every event a fetch, 'purchase' ≙ a fetch that
+# discovered new frontier keys. Rarely-sampled hosts float up on the
+# exploration term; exhausted hosts sink as their bonus decays.
+@register(
+    "ucb_host_priority",
+    """
+    WITH h AS (
+      SELECT user_id AS host,
+             count(*) AS n_trials,
+             count(*) FILTER (WHERE event_type = 'purchase') AS n_yield
+      FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(sum(n_trials) AS DOUBLE) AS t FROM h)
+    SELECT host, n_trials, n_yield,
+           round(n_yield / CAST(n_trials AS DOUBLE)
+                 + sqrt(2.0 * ln(t) / n_trials), 4) AS ucb
+    FROM h, tot
+    """,
+)
+def q_ucb_host_priority(spark, sf):
+    from webcollector_spark.operators.rank import ucb_host_scores
+
+    log = _t(spark, sf, "events").select(
+        F.col("user_id").alias("host"),
+        (F.col("event_type") == "purchase").alias("yielded"),
+    )
+    r = ucb_host_scores(log, c=2.0)
+    return r.select(
+        "host", "n_trials", "n_yield", F.round("ucb", 4).alias("ucb")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registrable-domain (eTLD+1) rollup — politeness and dedup budgets
+# must bind at the REGISTRABLE domain, not the hostname, or a crawl
+# target trivially bypasses per-host budgets by sharding across
+# subdomains (img1.example.co.uk, img2.example.co.uk, ...). The
+# registrable domain is the public-suffix rule: one label past the
+# public suffix, where multi-label suffixes (co.uk, com.au, ...) eat
+# two labels (publicsuffix.org algorithm over an embedded suffix
+# subset — production swaps in the full PSL snapshot, same expression
+# shape). Hosts synthesized deterministically from documents with
+# rotating subdomains + mixed 1/2-level suffixes so both branches are
+# exercised. Pure codegen string/array expressions (split + element_at
+# + CASE) — no UDF; one groupBy, output O(domains).
+_TWO_LEVEL_SUFFIXES = ("co.uk", "com.au", "ac.uk", "co.jp", "com.br")
+_TLS_SQL = ",".join(f"'{s}'" for s in _TWO_LEVEL_SUFFIXES)
+_RD_HOST_SQL = """
+      (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE 'img.cdn.' END)
+      || source ||
+      (CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+            WHEN 2 THEN '.org' ELSE '.com.au' END)
+"""
+
+
+@register(
+    "registrable_domain_rollup",
+    f"""
+    WITH u AS (
+      SELECT doc_id, source, {_RD_HOST_SQL} AS host
+      FROM documents
+    ),
+    lab AS (
+      SELECT doc_id, source, host,
+             string_split(host, '.') AS l, len(string_split(host, '.')) AS n
+      FROM u
+    ),
+    rd AS (
+      SELECT doc_id, source, host,
+             CASE WHEN l[n-1] || '.' || l[n] IN ({_TLS_SQL})
+                  THEN l[n-2] || '.' || l[n-1] || '.' || l[n]
+                  ELSE l[n-1] || '.' || l[n] END AS domain
+      FROM lab
+    )
+    SELECT domain,
+           count(*) AS n_docs,
+           count(DISTINCT host) AS n_hosts,
+           count(DISTINCT source) AS n_sources
+    FROM rd GROUP BY domain
+    """,
+)
+def q_registrable_domain_rollup(spark, sf):
+    docs = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    host = F.concat(
+        F.when(did % 2 == 0, F.lit("www.")).otherwise(F.lit("img.cdn.")),
+        F.col("source"),
+        F.when(did % 4 == 0, F.lit(".com"))
+        .when(did % 4 == 1, F.lit(".co.uk"))
+        .when(did % 4 == 2, F.lit(".org"))
+        .otherwise(F.lit(".com.au")),
+    )
+    labs = F.split(F.col("host"), r"\.")
+    last2 = F.concat_ws(".", F.element_at(labs, -2), F.element_at(labs, -1))
+    domain = F.when(
+        last2.isin(*_TWO_LEVEL_SUFFIXES),
+        F.concat_ws(".", F.element_at(labs, -3), last2),
+    ).otherwise(last2)
+    return (
+        docs.select("doc_id", "source", host.alias("host"))
+        .withColumn("domain", domain)
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver snapshot ordering. The driver's CORRECTNESS_r{N}.json snapshot
 # covers only the FIRST ~50 queries() entries (observed cap across
 # r01-r03: the r03 snapshot has exactly 50 rows while the registry held
