@@ -412,3 +412,110 @@ def test_opic_empty_graph(spark):
 
     empty = spark.createDataFrame([], "src string, dst string")
     assert opic(empty, iters=2).count() == 0
+
+
+def test_ucb_budget_k_decays_dead_hosts_keeps_best_at_full_k(spark):
+    """Hand-computed UCB1 budgets: the barely-sampled 100%-yield host
+    keeps the full k, the well-sampled zero-yield host decays toward
+    k_min, and everything stays inside [k_min, k_max]."""
+    import math
+
+    from webcollector_spark.operators.rank import ucb_budget_k
+
+    bandit = spark.createDataFrame(
+        [("good", 10, 9), ("dead", 40, 0), ("fresh", 1, 1)],
+        "host string, n_trials long, n_yield long",
+    )
+    got = {r["host"]: r["__fit_k"] for r in ucb_budget_k(bandit, 20).collect()}
+    t = 51.0
+    ucb = {
+        "good": 0.9 + math.sqrt(2 * math.log(t) / 10),
+        "dead": 0.0 + math.sqrt(2 * math.log(t) / 40),
+        "fresh": 1.0 + math.sqrt(2 * math.log(t) / 1),
+    }
+    mx = max(ucb.values())
+    exp = {h: min(20, max(1, math.ceil(20 * u / mx))) for h, u in ucb.items()}
+    assert got == exp
+    assert got["fresh"] == 20 and got["dead"] < got["good"] < 20
+
+
+def test_ucb_budget_k_no_information_keeps_full_k(spark):
+    # t == 1 -> ln(t) = 0 exploration term and zero yield: max ucb is 0,
+    # so the no-information guard must hand every known host the full k
+    # rather than divide by zero.
+    from webcollector_spark.operators.rank import ucb_budget_k
+
+    bandit = spark.createDataFrame(
+        [("only", 1, 0)], "host string, n_trials long, n_yield long"
+    )
+    got = ucb_budget_k(bandit, 7).collect()
+    assert got[0]["__fit_k"] == 7
+
+
+def test_ucb_budget_through_start_throttles_dead_host(spark):
+    """End-to-end through the round loop: with ucb_host_budget=True, a
+    host whose fetches never emit links gets a SMALLER round-2 budget
+    than the productive host, while pending work on it still exists —
+    the throttle, not exhaustion. Round 1 (first sample of both hosts)
+    runs at the full per-host k because round 0 only fetched the seed."""
+    from webcollector_spark.config import CrawlerConfig
+    from webcollector_spark.crawler import RamCrawler
+    from webcollector_spark.sources.requester import SyntheticRequester
+
+    seed = "http://seed.test/s"
+    dead = [f"http://dead.test/d{i}" for i in range(10)]
+    rich = [f"http://rich.test/r{i}" for i in range(12)]
+
+    def page(url, links):
+        return {
+            "url": url, "http_code": 200, "location": None,
+            "image_id": None, "out_links": links,
+        }
+
+    graph = [page(seed, dead + rich[:6])]
+    for i in range(6):
+        graph.append(page(rich[i], [rich[i + 6]]))  # productive host
+    for u in dead + rich[6:]:
+        graph.append(page(u, []))
+
+    import pyspark.sql.functions as SF
+
+    def run(tmp_path, ucb):
+        hist = str(tmp_path)
+        cfg = CrawlerConfig(
+            top_n=0, per_host_top_k=3, ucb_host_budget=ucb,
+            fetched_history_path=hist,
+        )
+        c = RamCrawler(spark, SyntheticRequester(graph, []), config=cfg)
+        c.add_seed([seed])
+        c.start(3)
+        by_round_host = {
+            (r["round"], r["host"]): r["n"]
+            for r in spark.read.parquet(hist)
+            .groupBy("round", "host").agg(SF.count("*").alias("n"))
+            .collect()
+        }
+        return c, by_round_host
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        c, sched = run(td + "/h", ucb=True)
+
+    # round 1: both hosts unseen -> full k each (optimistic init)
+    assert sched[(1, "dead.test")] == 3 and sched[(1, "rich.test")] == 3
+    # round 2: dead.test sampled 3x with 0 yield -> throttled below the
+    # productive host, but NOT starved (floor >= ucb_min_k)
+    assert 1 <= sched[(2, "dead.test")] < sched[(2, "rich.test")]
+    # still pending dead rows -> it was the budget, not exhaustion
+    pending_dead = (
+        c.frontier()
+        .filter((SF.col("status") == 0) & (SF.col("host") == "dead.test"))
+        .count()
+    )
+    assert pending_dead > 0
+    # bandit state accumulated across rounds
+    state = {r["host"]: r for r in c._host_bandit.collect()}
+    assert state["dead.test"]["n_yield"] == 0
+    assert state["dead.test"]["n_trials"] >= 3
+    assert state["rich.test"]["n_yield"] >= 3

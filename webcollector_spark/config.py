@@ -165,6 +165,21 @@ class CrawlerConfig:
     # per-host generate, so link-spam islands starve instead of
     # competing for politeness budget. Needs rank_priorities_every > 0.
     rank_trusted_only: bool = False
+    # UCB1 adaptive host budgets (graft; operators/rank.py ucb_budget_k):
+    # treat each host as a bandit arm — pull = fetch, reward = the fetch
+    # emitted at least one outlink/datum — and scale each host's per-round
+    # generate budget by its UCB1 score mean_yield + sqrt(c ln t / n),
+    # normalized so the best-scoring host keeps the full per_host_top_k.
+    # Unseen hosts carry no history row and keep the full k (the
+    # optimistic initialization UCB requires), well-sampled dead ends
+    # (link farms pointing nowhere, exhausted archives) decay toward
+    # ucb_min_k instead of burning politeness budget forever. Composes
+    # with host_budget_target_ms by taking the per-host MINIMUM of the
+    # two fit tables. State is an O(hosts-seen) frame folded per round
+    # (same lifecycle as the learned Crawl-delays); advisory on resume.
+    ucb_host_budget: bool = False
+    ucb_c: float = 2.0
+    ucb_min_k: int = 1
     # Number of partitions for the fetch stage (defaults to `threads`).
     fetch_partitions: int = 0
     # Target generated rows per fetch task: the fetch stage uses

@@ -124,6 +124,11 @@ class BreadthCrawler:
         # on resume (round 1 after restart runs unclamped until the
         # first fetch re-learns the delays).
         self._host_delays: DataFrame | None = None
+        # UCB bandit state (config.ucb_host_budget): running per-host
+        # (n_trials, n_yield) counts folded from each round's fetch
+        # pass — O(hosts-seen) rows, localCheckpointed like the delays.
+        # Advisory on resume, same as the delays.
+        self._host_bandit: DataFrame | None = None
 
     # -- seeding (Crawler.java:169-284: strings, iterables, typed
     # CrawlDatum/CrawlDatums with meta; forced :72-78) ------------------
@@ -305,6 +310,40 @@ class BreadthCrawler:
                                     " DIV delay_ms AS BIGINT)"
                                 ),
                             ).alias("__fit_k"),
+                        )
+                # UCB bandit budgets: proven-productive hosts keep the
+                # full k, well-sampled dead ends decay toward ucb_min_k,
+                # unseen hosts (no state row) default to full k through
+                # the generate left join. Composes with the politeness
+                # fit by per-host MINIMUM — a host must satisfy BOTH its
+                # Crawl-delay drain budget and its bandit score.
+                if cfg.ucb_host_budget and self._host_bandit is not None:
+                    from webcollector_spark.operators.rank import (
+                        ucb_budget_k,
+                    )
+
+                    ub = ucb_budget_k(
+                        self._host_bandit, k, c=cfg.ucb_c,
+                        k_min=cfg.ucb_min_k,
+                    )
+                    if fit is None:
+                        fit = ub
+                    else:
+                        kl = F.lit(int(k)).cast("long")
+                        fit = (
+                            fit.withColumnRenamed("__fit_k", "__fit_a")
+                            .join(
+                                ub.withColumnRenamed("__fit_k", "__fit_b"),
+                                "host",
+                                "outer",
+                            )
+                            .select(
+                                "host",
+                                F.least(
+                                    F.coalesce(F.col("__fit_a"), kl),
+                                    F.coalesce(F.col("__fit_b"), kl),
+                                ).alias("__fit_k"),
+                            )
                         )
                 gen = generate_per_host(
                     frontier, k, cfg.max_execute_count,
@@ -502,6 +541,12 @@ class BreadthCrawler:
             if cfg.host_budget_target_ms > 0:
                 self._learn_host_delays(fetched)
 
+            # UCB bandit learning: fold this round's per-host
+            # (trials, yields) into the running state (config.
+            # ucb_host_budget). Same lifecycle as the learned delays.
+            if cfg.ucb_host_budget:
+                self._learn_host_yields(fetched)
+
             # O9 merge: one snapshot commit; inserted-links count derived
             # from the frontier row-count delta (no extra count job).
             n_links = self.store.merge(fetched.select(*_CORE_COLS), fresh)
@@ -567,6 +612,38 @@ class BreadthCrawler:
                 .agg(F.max("delay_ms").alias("delay_ms"))
             )
         self._host_delays = d.localCheckpoint(eager=True)
+
+    def _learn_host_yields(self, fetched: DataFrame) -> None:
+        """Fold this round's per-host bandit observations into the
+        running (host, n_trials, n_yield) state: trial = a fetch
+        attempt, reward = the fetch emitted at least one outlink or
+        visitor datum (the cheap per-row proxy for "discovered new
+        frontier keys" — exact new-key attribution would need the merge
+        delta joined back per host, one extra O(links) join per round;
+        the proxy over-counts only links that all turn out seen, which
+        the decaying bonus self-corrects on later pulls). O(hosts-seen)
+        rows; eager localCheckpoint materializes before
+        fetched.unpersist() and truncates per-round union lineage."""
+
+        def _n(col: str):
+            return F.when(F.col(col).isNull(), 0).otherwise(F.size(col))
+
+        d = fetched.groupBy("host").agg(
+            F.count("*").alias("n_trials"),
+            F.sum(
+                ((_n("links") + _n("next_datums")) > 0).cast("long")
+            ).alias("n_yield"),
+        )
+        if self._host_bandit is not None:
+            d = (
+                d.unionByName(self._host_bandit)
+                .groupBy("host")
+                .agg(
+                    F.sum("n_trials").alias("n_trials"),
+                    F.sum("n_yield").alias("n_yield"),
+                )
+            )
+        self._host_bandit = d.localCheckpoint(eager=True)
 
     def _frontier_has_hot_host(self, frontier: DataFrame) -> bool:
         """True when one of last round's link hosts holds more than

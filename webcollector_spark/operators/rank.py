@@ -371,18 +371,68 @@ def ucb_host_scores(
         F.count("*").alias("n_trials"),
         F.count(F.when(F.col(yielded), F.lit(1))).alias("n_yield"),
     )
-    total = per_host.agg(F.sum("n_trials").cast("double").alias("__t"))
-    return (
-        per_host.crossJoin(F.broadcast(total))
+    return ucb_host_scores_from_counts(per_host, c=c)
+
+
+def ucb_budget_k(
+    bandit: DataFrame,
+    k_max: int,
+    c: float = 2.0,
+    k_min: int = 1,
+) -> DataFrame:
+    """Turn accumulated (host, n_trials, n_yield) bandit state into the
+    per-host generate budget table `generate_per_host` consumes
+    (columns host + __fit_k).
+
+    k_h = clamp(k_min, k_max, ceil(k_max * ucb_h / max(ucb))) — the
+    best-scoring host keeps the full budget, proven dead ends decay
+    toward k_min, and hosts ABSENT from the state table are left out of
+    the output entirely so the generate left-join defaults them to the
+    full k (UCB's optimistic initialization: an untried arm has an
+    infinite bonus). When no score is positive yet (t == 1 makes the
+    exploration term ln(1) = 0 and nothing has yielded), every known
+    host keeps k_max — no information, no throttle.
+
+    Shape: the input is already the O(hosts-seen) aggregate; this adds
+    one 1-row max broadcast and pure codegen arithmetic. Nothing here
+    scans the frontier or the fetch log.
+    """
+    scored = ucb_host_scores_from_counts(bandit, c=c)
+    mx = scored.agg(F.max("ucb").alias("__mx"))
+    k = (
+        scored.crossJoin(F.broadcast(mx))
         .select(
             "host",
-            "n_trials",
-            "n_yield",
-            (
-                F.col("n_yield") / F.col("n_trials").cast("double")
-                + F.sqrt(
-                    F.lit(float(c)) * F.log(F.col("__t")) / F.col("n_trials")
+            F.when(
+                F.col("__mx") <= 0.0, F.lit(int(k_max)).cast("long")
+            )
+            .otherwise(
+                F.least(
+                    F.lit(int(k_max)).cast("long"),
+                    F.greatest(
+                        F.lit(int(k_min)).cast("long"),
+                        F.ceil(F.lit(float(k_max)) * F.col("ucb") / F.col("__mx")),
+                    ),
                 )
-            ).alias("ucb"),
+            )
+            .alias("__fit_k"),
         )
+    )
+    return k
+
+
+def ucb_host_scores_from_counts(per_host: DataFrame, c: float = 2.0) -> DataFrame:
+    """UCB1 over an ALREADY-AGGREGATED (host, n_trials, n_yield) frame —
+    the round-loop form, where the crawler folds per-round counts into a
+    running O(hosts-seen) state table instead of re-scanning the full
+    fetch log (`ucb_host_scores` is the from-the-log twin)."""
+    total = per_host.agg(F.sum("n_trials").cast("double").alias("__t"))
+    return per_host.crossJoin(F.broadcast(total)).select(
+        "host",
+        "n_trials",
+        "n_yield",
+        (
+            F.col("n_yield") / F.col("n_trials").cast("double")
+            + F.sqrt(F.lit(float(c)) * F.log(F.col("__t")) / F.col("n_trials"))
+        ).alias("ucb"),
     )
