@@ -100,6 +100,15 @@ SCHEMAS = {
             ("frame_hash", pa.int64()),
         ]
     ),
+    "video_frames_avi": pa.schema(
+        [
+            ("video_id", pa.string()),
+            ("frame_idx", pa.int32()),
+            ("ts_sec", pa.float64()),
+            ("frame_mean", pa.float64()),
+            ("frame_hash", pa.int64()),
+        ]
+    ),
     "audio_features": pa.schema(
         [
             ("audio_id", pa.string()),
@@ -466,6 +475,37 @@ def build_video_frame_sample(vids: list[dict], every_n: int = 4):
     return pd.DataFrame(rows)
 
 
+def build_video_frames_avi(vids: list[dict], every_n: int = 2):
+    """Frame features over REAL RIFF/AVI + baseline-JPEG payloads,
+    decoded straight-line via the container walk (media.decode_video_avi
+    -> avi.decode_avi_mjpeg -> jpeg.decode_baseline). The codec itself
+    is checked against pre-encode ground truth in tests/test_avi.py
+    (PSNR >= 40 dB per frame); this oracle pins the distributed
+    dataflow around it, per the module-docstring convention."""
+    rows = []
+    for r in vids:
+        for idx, frame in media.decode_video_avi(
+            r["video_id"], bytes(r["bytes"]), r["n_frames"], r["w"], r["h"]
+        ):
+            if idx % every_n:
+                continue
+            rows.append(
+                {
+                    "video_id": r["video_id"],
+                    "frame_idx": idx,
+                    "ts_sec": idx / r["fps"],
+                    "frame_mean": round(float(frame.mean()), 4),
+                    "frame_hash": int(
+                        np.int64(
+                            int.from_bytes(frame.tobytes()[:8], "big", signed=False)
+                            >> 1
+                        )
+                    ),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
 def build_audio_features(clips: list[dict]):
     rows = []
     for r in clips:
@@ -635,6 +675,10 @@ def build_all() -> dict[str, pd.DataFrame]:
             media.adpcm_corpus_rows(16)
         ),
         "video_scene_cuts": build_video_scene_cuts(frames2, threshold=1.0),
+        # real MJPEG-in-AVI container bytes through the container walk
+        "video_frames_avi": build_video_frames_avi(
+            media.avi_corpus_rows(8), every_n=2
+        ),
         "caption_corpus_meta": noisy_meta,
         # header-only triage over all four container formats
         "image_meta_sniff": build_image_meta_sniff(

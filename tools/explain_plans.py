@@ -150,6 +150,9 @@ CHECKS = {
     "ucb_host_priority": ["Aggregate", "!EvalPython", "!Window"],
     # eTLD+1 extraction is pure codegen string/array expressions
     "registrable_domain_rollup": ["HashAggregate", "!EvalPython"],
+    # container walk + JPEG decode live in the Arrow map stage; frame
+    # fan-out inherits partitioning, no shuffle
+    "video_frames_avi": ["MapInPandas", "!Exchange"],
 }
 
 

@@ -13,6 +13,12 @@ two uncompressed production formats —
   `ffmpeg -f image2pipe -vcodec ppm` emits; `decode_video_real` parses
   each maxval-255 P6 header + raster and yields HxWx3 uint8 frames.
 
+…plus two REAL COMPRESSED video paths built on the repo's own baseline
+JPEG codec: **MJPEG** (concatenated SOI..EOI frames, boundaries from
+the marker structure) and **AVI** (MJPEG inside a real RIFF/AVI
+container — webcollector_spark.avi walks the RIFF tree and the
+container's own headers are cross-checked against the row metadata).
+
 Every operator dispatches per row on the `fmt` column (`_VIDEO_CODECS`
 / `_AUDIO_CODECS`), so a single DataFrame can mix fake and real
 payloads and an unknown fmt raises NotImplementedError — the
@@ -184,6 +190,84 @@ def decode_video_mjpeg(video_id: str, data: bytes, n_frames: int, w: int, h: int
         yield i, frame
 
 
+def decode_video_avi(video_id: str, data: bytes, n_frames: int, w: int, h: int):
+    """REAL decoder for MJPEG inside a REAL RIFF/AVI container
+    (webcollector_spark.avi): the container's own headers (avih dims +
+    frame count, strh rate) are parsed and CROSS-CHECKED against the
+    row's typed metadata — a crawl must trust neither side alone.
+    Frame boundaries come from the '00dc' chunk sizes, never from
+    scanning for JPEG magic. Yields (frame_idx, HxWx3 uint8)."""
+    from webcollector_spark import avi
+
+    cw, ch, _fps, n_declared, frames = avi.decode_avi_mjpeg(data)
+    if (cw, ch) != (w, h):
+        raise ValueError(
+            f"{video_id}: container says {cw}x{ch}, metadata says {w}x{h}"
+        )
+    if n_declared != n_frames or len(frames) != n_frames:
+        raise ValueError(
+            f"{video_id}: container declares {n_declared} frames, "
+            f"carries {len(frames)}, metadata says {n_frames}"
+        )
+    for i, fr in enumerate(frames):
+        yield i, fr
+
+
+def avi_demo_frame(clip: int, i: int, w: int = 32, h: int = 24) -> np.ndarray:
+    """Deterministic smooth frame (moving two-phase gradient, seeded by
+    clip and frame index): smooth enough that baseline JPEG holds
+    PSNR >= 40 dB, with real inter-frame motion so scene-cut deltas are
+    non-trivial. Shared by the Spark fixture and the single-process
+    oracle rebuild so both sides encode the exact same pixels."""
+    y, x = np.mgrid[0:h, 0:w].astype(np.float64)
+    r = 128 + 90 * np.sin(2 * np.pi * (x / w + i * 0.07 + clip * 0.13))
+    g = 128 + 90 * np.cos(2 * np.pi * (y / h - i * 0.05 + clip * 0.11))
+    b = (x + y + 3.0 * i + 7.0 * clip) % 256
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def avi_corpus_rows(
+    n: int = 8, n_frames: int = 6, w: int = 32, h: int = 24
+) -> list[dict]:
+    """Row dicts for the AVI/MJPG corpus — shared by the Spark fixture
+    and tools/build_multimodal_oracles.py (the adpcm_corpus_rows
+    convention), so the committed oracle and the engine see identical
+    container bytes."""
+    from webcollector_spark import avi
+
+    rows = []
+    for c in range(n):
+        fps = [12.0, 24.0, 30.0][c % 3]
+        frames = [avi_demo_frame(c, i, w, h) for i in range(n_frames)]
+        rows.append(
+            {
+                "video_id": f"avi{c:06d}",
+                "bytes": avi.encode_avi_mjpeg(frames, fps=fps),
+                "n_frames": n_frames,
+                "fps": fps,
+                "w": w,
+                "h": h,
+                "fmt": "avi",
+                "caption": f"caption of avi{c:06d}",
+            }
+        )
+    return rows
+
+
+def make_avi_video_corpus(spark: SparkSession, n: int = 8) -> DataFrame:
+    """Video table whose payloads are REAL RIFF/AVI containers of REAL
+    baseline-JPEG frames (fmt='avi') — compressed video in a standard
+    container, end to end."""
+    rows = [
+        (
+            r["video_id"], r["bytes"], r["n_frames"], r["fps"],
+            r["w"], r["h"], r["fmt"], r["caption"],
+        )
+        for r in avi_corpus_rows(n)
+    ]
+    return spark.createDataFrame(rows, schema=VIDEO_SCHEMA)
+
+
 def encode_wav(wave: np.ndarray, sample_rate: int) -> bytes:
     """float32 [-1,1] mono waveform -> RIFF/WAVE PCM16 bytes (the
     canonical 44-byte-header layout). Fixture-side twin of
@@ -274,6 +358,7 @@ _VIDEO_CODECS = {
     "fakevid": _decode_video_stub,
     "ppm": decode_video_real,
     "mjpeg": decode_video_mjpeg,
+    "avi": decode_video_avi,
 }
 _AUDIO_CODECS = {
     "fakeaud": _decode_audio_stub,

@@ -2190,6 +2190,27 @@ def q_video_scene_cuts(spark, sf):
     return media.scene_cuts(media.sample_frames(vids, every_n=2), threshold=1.0)
 
 
+@register(
+    "video_frames_avi",
+    _oracle_parquet(
+        "video_frames_avi", "video_id, frame_idx, ts_sec, frame_mean, frame_hash"
+    ),
+)
+def q_video_frames_avi(spark, sf):
+    """Same frame-sample dataflow over REAL compressed video in a REAL
+    standard container: RIFF/AVI ('MJPG') wrapping baseline-JPEG frames
+    (webcollector_spark.avi walks the RIFF tree — avih dims + frame
+    count cross-checked against the row's typed metadata, '00dc' chunk
+    sizes define frame boundaries, webcollector_spark.jpeg decodes the
+    bitstream). Codec fidelity vs pre-encode ground truth (PSNR >=
+    40 dB per frame) is pinned in tests/test_avi.py; this row pins the
+    distributed container-walk dataflow. Reference anchor: Page content
+    bytes are real compressed payloads (model/Page.java:323-330)."""
+    from webcollector_spark.operators import media
+
+    return media.sample_frames(media.make_avi_video_corpus(spark, 8), every_n=2)
+
+
 # ---------------------------------------------------------------------------
 # Training-data curation: deterministic hash-based sampling and split
 # assignment. Both are shuffle-free at any scale (a pure map over the
