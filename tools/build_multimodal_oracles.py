@@ -125,6 +125,14 @@ SCHEMAS = {
             ("zero_crossings", pa.int64()),
         ]
     ),
+    "audio_features_ulaw": pa.schema(
+        [
+            ("audio_id", pa.string()),
+            ("duration_sec", pa.float64()),
+            ("rms", pa.float64()),
+            ("zero_crossings", pa.int64()),
+        ]
+    ),
     "video_scene_cuts": pa.schema(
         [
             ("video_id", pa.string()),
@@ -521,6 +529,40 @@ def build_audio_features(clips: list[dict]):
     return pd.DataFrame(rows)
 
 
+def build_audio_features_ulaw(clips: list[dict]):
+    """Features over G.711 mu-law clips, decoded with the STDLIB's
+    independent implementation (audioop.ulaw2lin) — codec-checking like
+    the ADPCM oracle: the engine's ulaw_decode never runs here, so a
+    driver match proves the engine's inverse table equals the stdlib's
+    over the real WAV bytes."""
+    import audioop  # deprecated in 3.11, removed 3.13; sandbox is 3.11
+    import struct
+
+    rows = []
+    for r in clips:
+        data = bytes(r["bytes"])
+        pos, body = 12, None
+        while pos + 8 <= len(data):
+            tag = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            if tag == b"data":
+                body = data[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size & 1)
+        pcm = np.frombuffer(
+            audioop.ulaw2lin(body[: r["n_samples"]], 2), dtype="<i2"
+        )
+        wave = pcm.astype(np.float32) / 32767.0
+        rows.append(
+            {
+                "audio_id": r["audio_id"],
+                "duration_sec": round(r["n_samples"] / r["sample_rate"], 4),
+                "rms": round(float(np.sqrt(np.mean(wave**2))), 6),
+                "zero_crossings": int(np.sum(np.diff(np.sign(wave)) != 0)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def build_audio_features_adpcm(clips: list[dict]):
     """Features over IMA-ADPCM clips, decoded with the STDLIB's
     independent DVI/IMA implementation (audioop.adpcm2lin) — unlike the
@@ -673,6 +715,11 @@ def build_all() -> dict[str, pd.DataFrame]:
         # IMA implementation — codec-checking, not just dataflow
         "audio_features_adpcm": build_audio_features_adpcm(
             media.adpcm_corpus_rows(16)
+        ),
+        # real G.711 mu-law bytes, decoded by the stdlib's independent
+        # expansion table — codec-checking, not just dataflow
+        "audio_features_ulaw": build_audio_features_ulaw(
+            media.ulaw_corpus_rows(16)
         ),
         "video_scene_cuts": build_video_scene_cuts(frames2, threshold=1.0),
         # real MJPEG-in-AVI container bytes through the container walk

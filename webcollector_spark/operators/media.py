@@ -317,6 +317,125 @@ def decode_audio_real(audio_id: str, data: bytes, n_samples: int) -> np.ndarray:
     raise ValueError(f"{audio_id}: no data chunk")
 
 
+_ULAW_BIAS = 0x84  # decode-table bias (the 16-bit expansion side)
+
+
+def ulaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 linear -> G.711 mu-law bytes, the Sun g711.c 14-bit form
+    (the variant the stdlib's audioop implements): arithmetic >>2 to 14
+    bits FIRST (so negatives floor before negation — the detail that
+    distinguishes the faithful variants), clip 8159, bias 33, 8 log
+    segments, 4-bit mantissa, result XOR-masked. Vectorized; bit-exact
+    vs audioop.lin2ulaw over the full int16 sweep (tests/test_ulaw.py)."""
+    x14 = (pcm.astype(np.int16) >> 2).astype(np.int64)  # arithmetic shift
+    mask = np.where(x14 < 0, 0x7F, 0xFF).astype(np.int64)
+    x = np.where(x14 < 0, -x14, x14)
+    x = np.minimum(x, 8159) + 33
+    # segment = bit_length(x) - 6 (seg ends 0x3F..0x1FFF); frexp's
+    # exponent IS bit_length for positive ints exact in float64
+    seg = (np.frexp(x.astype(np.float64))[1] - 6).astype(np.int64)
+    uval = np.where(
+        seg >= 8,
+        np.int64(0x7F),
+        (seg << 4) | ((x >> (seg + 1)) & 0xF),
+    )
+    return ((uval ^ mask) & 0xFF).astype(np.uint8)
+
+
+def ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """G.711 mu-law bytes -> int16 linear, via the 256-entry inverse
+    table (exact inverse of the encoder's segment/mantissa layout)."""
+    u = (~codes.astype(np.int64)) & 0xFF
+    exp = (u >> 4) & 7
+    mant = u & 0xF
+    mag = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def encode_wav_ulaw(wave: np.ndarray, sample_rate: int) -> bytes:
+    """float32 [-1,1] mono -> RIFF/WAVE G.711 mu-law bytes (fmt code 7,
+    8 bits/sample — half the bytes of PCM16 at ~38 dB SNR, the codec
+    telephony archives and old web audio actually ship). Includes the
+    'fact' chunk (sample count) non-PCM WAVs are required to carry."""
+    pcm = np.clip(np.round(wave * 32767.0), -32768, 32767).astype(np.int16)
+    body = ulaw_encode(pcm).tobytes()
+    hdr = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 7, 1, sample_rate,
+                                sample_rate, 1, 8)
+        + b"fact" + struct.pack("<II", 4, len(pcm))
+        + b"data" + struct.pack("<I", len(body))
+    )
+    return b"RIFF" + struct.pack("<I", len(hdr) + len(body) + 4) + hdr + body
+
+
+def decode_audio_ulaw(audio_id: str, data: bytes, n_samples: int) -> np.ndarray:
+    """REAL decoder for RIFF/WAVE G.711 mu-law (fmt code 7, mono) ->
+    float32 [-1,1]. Same chunk walk as the PCM path; the 8-bit codes
+    expand through the exact inverse table."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(f"{audio_id}: not a RIFF/WAVE file")
+    pos, fmt_code = 12, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt_code, channels, _sr, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if fmt_code != 7 or channels != 1 or bits != 8:
+                raise NotImplementedError(
+                    f"{audio_id}: only mono 8-bit mu-law supported "
+                    f"(fmt={fmt_code}, ch={channels}, bits={bits})"
+                )
+        elif tag == b"data":
+            if fmt_code is None:
+                raise ValueError(f"{audio_id}: data chunk before fmt")
+            codes = np.frombuffer(body, dtype=np.uint8)
+            if len(codes) < n_samples:
+                raise ValueError(
+                    f"{audio_id}: {len(codes)} samples in file, "
+                    f"metadata says {n_samples}"
+                )
+            pcm = ulaw_decode(codes[:n_samples])
+            return pcm.astype(np.float32) / 32767.0
+        pos += 8 + size + (size & 1)
+    raise ValueError(f"{audio_id}: no data chunk")
+
+
+def ulaw_corpus_rows(n: int = 16, seed: int = 47) -> list[dict]:
+    """Row dicts for the mu-law corpus — shared by the Spark fixture
+    and the oracle rebuild (the adpcm_corpus_rows convention)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        sr = int(rng.choice([8000, 16000]))
+        ns = int(rng.integers(sr // 2, sr))
+        wave = adpcm_waveform(i, sr, ns)
+        rows.append(
+            {
+                "audio_id": f"ulw{i:06d}",
+                "bytes": encode_wav_ulaw(wave, sr),
+                "sample_rate": sr,
+                "n_samples": ns,
+                "fmt": "ulaw",
+            }
+        )
+    return rows
+
+
+def make_ulaw_audio_corpus(spark: SparkSession, n: int = 16) -> DataFrame:
+    """Audio table whose payloads are REAL G.711 mu-law WAV bytes
+    (fmt='ulaw', 8 bits/sample) — the telephony-grade compressed-audio
+    decode path, end to end."""
+    rows = [
+        (r["audio_id"], r["bytes"], r["sample_rate"], r["n_samples"], r["fmt"])
+        for r in ulaw_corpus_rows(n)
+    ]
+    return spark.createDataFrame(rows, schema=AUDIO_SCHEMA)
+
+
 def decode_audio_adpcm(audio_id: str, data: bytes, n_samples: int) -> np.ndarray:
     """REAL decoder for RIFF/WAVE IMA-ADPCM (fmt code 0x11, mono) ->
     float32 [-1,1]. 4:1 compressed vs PCM16; the block-coded bitstream
@@ -364,6 +483,7 @@ _AUDIO_CODECS = {
     "fakeaud": _decode_audio_stub,
     "wav": decode_audio_real,
     "adpcm": decode_audio_adpcm,
+    "ulaw": decode_audio_ulaw,
 }
 
 

@@ -2180,6 +2180,25 @@ def q_audio_features_adpcm(spark, sf):
 
 
 @register(
+    "audio_features_ulaw",
+    _oracle_parquet(
+        "audio_features_ulaw", "audio_id, duration_sec, rms, zero_crossings"
+    ),
+)
+def q_audio_features_ulaw(spark, sf):
+    """Same feature dataflow over REAL G.711 mu-law WAV bytes (fmt code
+    7, 8 bits/sample — the telephony/legacy-web compressed-audio
+    format; operators/media.py ulaw_decode is the Sun g711.c 14-bit
+    variant, bit-exact vs the stdlib both directions). The committed
+    oracle decodes with the STDLIB's independent expansion
+    (audioop.ulaw2lin), so this row checks the codec's inverse table
+    itself, not just the mapInPandas plumbing — the adpcm convention."""
+    from webcollector_spark.operators import media
+
+    return media.audio_features(media.make_ulaw_audio_corpus(spark, 16))
+
+
+@register(
     "video_scene_cuts",
     _oracle_parquet("video_scene_cuts", "video_id, frame_idx, delta"),
 )
