@@ -174,3 +174,106 @@ def test_mjpeg_metadata_mismatch_raises():
     data = media.encode_mjpeg_stream(frames)
     with pytest.raises(ValueError, match="metadata"):
         list(media.decode_video_mjpeg("v", data, 1, 8, 8))
+
+
+# -- header-only quality estimation (jpeg.parse_dqt / estimate_quality,
+#    operators/sniff.py jpeg_quality) ----------------------------------------
+
+
+def test_ijg_luma_scaling_injective_and_invertible():
+    # the estimate_quality docstring's load-bearing claim: the luma
+    # inversion is exact and unique over the whole 1..100 range
+    seen = {}
+    for q in range(1, 101):
+        t = tuple(jpeg._quality_scale(jpeg.STD_LUMA_Q, q))
+        assert t not in seen, f"q={q} collides with q={seen[t]}"
+        seen[t] = q
+        q_est, exact = jpeg.estimate_quality(
+            jpeg._quality_scale(jpeg.STD_LUMA_Q, q), jpeg.STD_LUMA_Q
+        )
+        assert (q_est, exact) == (q, True)
+
+
+def test_ijg_chroma_collisions_resolve_low():
+    # chroma clips every entry to 255 at q<=3, so 1..3 are one class;
+    # ties resolve to the LOWER q (conservative for a keep/drop gate)
+    for q in range(1, 101):
+        q_est, exact = jpeg.estimate_quality(
+            jpeg._quality_scale(jpeg.STD_CHROMA_Q, q), jpeg.STD_CHROMA_Q
+        )
+        assert exact
+        assert q_est == (1 if q <= 3 else q)
+
+
+def test_parse_dqt_roundtrips_encoder_tables():
+    px = _gradient(24, 16)
+    for q in (25, 50, 75, 92):
+        tables = jpeg.parse_dqt(jpeg.encode_baseline(px, quality=q))
+        assert set(tables) == {0, 1}
+        assert np.array_equal(tables[0], jpeg._quality_scale(jpeg.STD_LUMA_Q, q))
+        assert np.array_equal(tables[1], jpeg._quality_scale(jpeg.STD_CHROMA_Q, q))
+
+
+def test_parse_dqt_grayscale_single_table():
+    data = jpeg.encode_baseline(_gradient(24, 16)[..., 0], quality=68)
+    tables = jpeg.parse_dqt(data)
+    assert set(tables) == {0}
+    assert np.array_equal(tables[0], jpeg._quality_scale(jpeg.STD_LUMA_Q, 68))
+
+
+def test_parse_dqt_truncated_prefix_and_non_jpeg():
+    data = jpeg.encode_baseline(_gradient(24, 16), quality=75)
+    # find the second DQT segment and cut mid-payload: the complete
+    # first table must survive, the truncated one must not appear
+    first = data.index(b"\xff\xdb")
+    second = data.index(b"\xff\xdb", first + 2)
+    tables = jpeg.parse_dqt(data[: second + 30])
+    assert set(tables) == {0}
+    assert jpeg.parse_dqt(b"QIMG not a jpeg") == {}
+    assert jpeg.parse_dqt(b"\xff\xd8") == {}  # SOI alone: no tables yet
+
+
+def test_jpeg_quality_operator_recovers_ladder(spark):
+    from webcollector_spark.operators.sniff import jpeg_quality
+
+    df = images.corpus_mixed_df(spark).unionByName(
+        images.corpus_jpeg_quality_df(spark, 24)
+    )
+    rows = {r["image_id"]: r for r in jpeg_quality(df).collect()}
+    assert len(rows) == 444
+    for iid, r in rows.items():
+        if iid.startswith("jq"):
+            q = fixtures.jpeg_quality_for(int(iid[2:]))
+            assert r["is_jpeg"] and r["n_tables"] == 2 and r["dqt_std"]
+            assert (r["quality_luma"], r["quality_chroma"], r["quality_est"]) == (q, q, q)
+        elif iid.startswith("jpg"):
+            assert r["is_jpeg"] and r["quality_est"] == 98
+        else:
+            # png/qimg/gif payloads — INCLUDING the 16 base-corpus rows
+            # mislabeled fmt="jpeg": the operator keys on payload magic
+            assert not r["is_jpeg"] and r["n_tables"] == 0
+            assert r["quality_est"] is None and r["dqt_std"] is None
+
+
+def test_jpeg_quality_flags_nonstandard_tables(spark):
+    from webcollector_spark.operators.sniff import jpeg_quality
+
+    # hand-build a JPEG-shaped header whose DQT is NOT an IJG scaling:
+    # dqt_std must come back False while the estimate stays defined
+    custom = jpeg._quality_scale(jpeg.STD_LUMA_Q, 80).copy()
+    custom[0] += 1
+    seg = bytes([0]) + bytes(int(x) for x in custom[jpeg.ZIGZAG])
+    data = (
+        b"\xff\xd8"
+        + b"\xff\xdb"
+        + (len(seg) + 2).to_bytes(2, "big")
+        + seg
+        + b"\xff\xd9"
+    )
+    df = spark.createDataFrame(
+        [("custom0", bytearray(data))], "image_id string, bytes binary"
+    )
+    (r,) = jpeg_quality(df).collect()
+    assert r["is_jpeg"] and r["n_tables"] == 1
+    assert r["quality_luma"] == 80 and r["dqt_std"] is False
+    assert r["quality_chroma"] is None and r["quality_est"] == 80

@@ -154,6 +154,20 @@ SCHEMAS = {
     # (fixtures.exif_fields_for), never by running the parser — the
     # Spark side must recover them from the real APP1 bytes, so the
     # comparison proves writer -> parser inverts over a real TIFF stream
+    # quality ground truth comes from the encode call's quality arg
+    # (fixtures.jpeg_quality_for / the q=98 constant), never from
+    # running the DQT parser or the IJG inversion under test.
+    "image_jpeg_quality": pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("is_jpeg", pa.bool_()),
+            ("n_tables", pa.int32()),
+            ("quality_luma", pa.int32()),
+            ("quality_chroma", pa.int32()),
+            ("quality_est", pa.int32()),
+            ("dqt_std", pa.bool_()),
+        ]
+    ),
     "image_exif_meta": pa.schema(
         [
             ("image_id", pa.string()),
@@ -348,6 +362,50 @@ def build_image_meta_sniff(pdf: pd.DataFrame, prefix: int = 4096):
                 "header_ok": bool(fmt_ok and w == r["w"] and h == r["h"]),
             }
         )
+    return pd.DataFrame(rows)
+
+
+def build_image_jpeg_quality(pdf: pd.DataFrame):
+    """Expected header-quality rows from CONSTRUCTION: the quality each
+    JPEG was encoded at (the ladder for jq* ids, the q=98 constant for
+    jpg* ids), is_jpeg/n_tables from WHICH FIXTURE wrote the row (the id
+    prefix — NOT the fmt column, which the base corpus deliberately
+    mislabels on 16 QIMG rows to exercise magic-over-label dispatch),
+    dqt_std True for
+    every in-house encode (encode_baseline always scales the Annex K
+    standard tables). No DQT parsing and no IJG inversion here — those
+    are the code under test."""
+    rows = []
+    for r in pdf.to_dict("records"):
+        iid = r["image_id"]
+        if iid.startswith(("jpg", "jq")):
+            if iid.startswith("jq"):
+                q = fixtures.jpeg_quality_for(int(iid[2:]))
+            else:
+                q = 98  # make_corpus_jpeg's fixed encode quality
+            rows.append(
+                {
+                    "image_id": iid,
+                    "is_jpeg": True,
+                    "n_tables": 2,
+                    "quality_luma": q,
+                    "quality_chroma": q,
+                    "quality_est": q,
+                    "dqt_std": True,
+                }
+            )
+        else:
+            rows.append(
+                {
+                    "image_id": iid,
+                    "is_jpeg": False,
+                    "n_tables": 0,
+                    "quality_luma": None,
+                    "quality_chroma": None,
+                    "quality_est": None,
+                    "dqt_std": None,
+                }
+            )
     return pd.DataFrame(rows)
 
 
@@ -731,6 +789,19 @@ def build_all() -> dict[str, pd.DataFrame]:
         "image_meta_sniff": build_image_meta_sniff(
             pd.concat(
                 [corpus, fixtures.make_corpus_jpeg(120), fixtures.make_corpus_gif(100)],
+                ignore_index=True,
+            )
+        ),
+        # header-only DQT quality triage over all four containers plus
+        # the quality-ladder re-encode corpus
+        "image_jpeg_quality": build_image_jpeg_quality(
+            pd.concat(
+                [
+                    corpus,
+                    fixtures.make_corpus_jpeg(120),
+                    fixtures.make_corpus_gif(100),
+                    fixtures.make_corpus_jpeg_quality(120),
+                ],
                 ignore_index=True,
             )
         ),

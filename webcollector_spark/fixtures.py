@@ -111,6 +111,49 @@ def make_corpus_jpeg(
     return pd.DataFrame(rows)
 
 
+#: quality ladder for the re-encode-fingerprint corpus: spans the
+#: thumbnail-mill range (25) through archival (97); deterministic by
+#: image index so the oracle builder recovers ground truth from
+#: CONSTRUCTION, never by running the estimator under test.
+JPEG_QUALITY_LADDER = (25, 40, 50, 68, 75, 85, 92, 97)
+
+
+def jpeg_quality_for(i: int) -> int:
+    return JPEG_QUALITY_LADDER[i % len(JPEG_QUALITY_LADDER)]
+
+
+def make_corpus_jpeg_quality(
+    n: int = 120, seed: int = SEED, sizes: tuple[int, ...] = (32, 64)
+) -> pd.DataFrame:
+    """Real-JPEG corpus encoded across JPEG_QUALITY_LADDER — the input
+    for header-only quality estimation (operators/sniff.py
+    jpeg_quality): every row's DQT segment carries the IJG scaling
+    fingerprint of jpeg_quality_for(i)."""
+    from webcollector_spark import jpeg
+
+    rng = np.random.default_rng(seed + 7)
+    sizes = np.array(sizes)
+    rows = []
+    for i in range(n):
+        image_id = f"jq{i:08d}"
+        w = int(sizes[rng.integers(0, len(sizes))])
+        h = int(sizes[rng.integers(0, len(sizes))])
+        pixels = ground_truth_pixels(image_id, w, h)
+        data = jpeg.encode_baseline(pixels, quality=jpeg_quality_for(i))
+        rows.append(
+            {
+                "image_id": image_id,
+                "bytes": data,
+                "w": w,
+                "h": h,
+                "fmt": "jpeg",
+                "caption": f"caption of {image_id}",
+                "phash": codecs.phash64(codecs.decode(data)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 #: deterministic EXIF field arithmetic shared by the fixture writer and
 #: the oracle recompute (tools/build_multimodal_oracles.py) — the Spark
 #: side must recover these from the REAL APP1 bytes.

@@ -557,3 +557,72 @@ def decode_baseline_at(data: bytes, start: int) -> tuple[np.ndarray, int]:
     if nc == 1:
         return np.clip(planes[0].round(), 0, 255).astype(np.uint8), end
     return ycbcr_to_rgb(np.stack(planes, axis=-1)), end
+
+
+# -- header-only quality estimation ------------------------------------------
+#
+# The quantization tables ARE the quality knob in baseline JPEG: every
+# re-encode leaves its fingerprint in the DQT segment, before any
+# entropy-coded data. Estimating the IJG quality factor from them is a
+# standard curation signal (ImageMagick's `identify` does the same
+# inversion) and needs only the header prefix — never a decode.
+
+def parse_dqt(data: bytes, start: int = 0) -> dict[int, np.ndarray]:
+    """Header-only DQT walk: collect the 8-bit quantization tables
+    (returned in NATURAL order, table-id -> 64 ints) from the marker
+    stream up to SOS/EOI. Tolerant of truncated prefixes — returns
+    whatever complete tables appeared before the bytes ran out; returns
+    {} when `data` is not a JPEG at `start`."""
+    if data[start : start + 2] != b"\xff\xd8":
+        return {}
+    tables: dict[int, np.ndarray] = {}
+    pos = start + 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte (B.1.1.2)
+            pos += 1
+            continue
+        if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
+            if marker == 0xD9:
+                break
+            pos += 2  # standalone marker, no length field
+            continue
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        payload = data[pos + 4 : pos + 2 + length]
+        if len(payload) < length - 2:
+            break  # truncated prefix — keep what we have
+        pos += 2 + length
+        if marker == 0xDB:
+            p = 0
+            while p + 65 <= len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                if pq != 0:
+                    break  # 16-bit tables out of scope (baseline is 8-bit)
+                stream = np.frombuffer(
+                    payload[p + 1 : p + 65], dtype=np.uint8
+                ).astype(np.int64)
+                tables[tq] = stream[UNZIGZAG]  # zigzag (B.2.4.1) -> natural
+                p += 65
+        elif marker == 0xDA:  # SOS — DQT for this image is complete
+            break
+    return tables
+
+
+def estimate_quality(table: np.ndarray, std: np.ndarray) -> tuple[int, bool]:
+    """Invert the IJG quality scaling: argmin over q in 1..100 of the
+    L1 distance between `_quality_scale(std, q)` and the observed
+    table. Returns (q_est, exact) where exact means the table IS the
+    libjpeg-convention scaling of `std` at q_est. The luma inversion is
+    injective over 1..100 (verified in test_jpeg.py); chroma collides
+    only at q<=3 where every entry clips to 255. Ties (non-standard
+    tables equidistant from two scalings) resolve to the LOWER q —
+    the conservative call for a keep/drop quality gate."""
+    best_q, best_err = 1, None
+    table = np.asarray(table, dtype=np.int64)
+    for q in range(1, 101):
+        err = int(np.abs(_quality_scale(std, q) - table).sum())
+        if best_err is None or err < best_err:
+            best_q, best_err = q, err
+    return best_q, best_err == 0

@@ -102,6 +102,15 @@ def corpus_jpeg_df(spark: SparkSession, n: int = 120) -> DataFrame:
     return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
 
 
+def corpus_jpeg_quality_df(spark: SparkSession, n: int = 120) -> DataFrame:
+    """REAL-JPEG corpus re-encoded across the fixture quality ladder
+    (fixtures.make_corpus_jpeg_quality) — every row's DQT segment
+    carries the IJG scaling fingerprint of jpeg_quality_for(i), the
+    construction-side ground truth for header-only quality triage."""
+    pdf = fixtures.make_corpus_jpeg_quality(n)
+    return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+
+
 def corpus_gif_df(spark: SparkSession, n: int = 100) -> DataFrame:
     """REAL-GIF87a corpus (fixtures.make_corpus_gif) — palette+LZW
     compressed bytes; posterized ground truth makes GIF lossless here,

@@ -133,6 +133,89 @@ def exif_meta(corpus: DataFrame, prefix: int = 65536) -> DataFrame:
     return sliced.mapInPandas(run, schema=EXIF_SCHEMA)
 
 
+JPEGQ_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("is_jpeg", T.BooleanType()),
+        T.StructField("n_tables", T.IntegerType()),
+        T.StructField("quality_luma", T.IntegerType()),
+        T.StructField("quality_chroma", T.IntegerType()),
+        T.StructField("quality_est", T.IntegerType()),
+        T.StructField("dqt_std", T.BooleanType()),
+    ]
+)
+
+
+def jpeg_quality(corpus: DataFrame, prefix: int = 65536) -> DataFrame:
+    """Header-only JPEG quality estimation: parse the DQT segments out
+    of the marker stream (jpeg.parse_dqt) and invert the IJG quality
+    scaling per table (jpeg.estimate_quality). The curation signal a
+    10^9-image pipeline gates on BEFORE decode: a 4032x3024 payload
+    whose tables say quality 30 has already lost what no filter
+    downstream can recover.
+
+    Same plan shape as sniff_meta/exif_meta: JVM-side prefix slice
+    (DQT must precede SOS; the 64 KiB prefix covers any APP-segment
+    preamble since each segment's u16 length caps it), then one
+    shuffle-free Arrow map stage. Output per row:
+      is_jpeg        payload magic is SOI (independent of declared fmt)
+      n_tables       distinct DQT table ids seen before SOS
+      quality_luma   IJG inversion of table 0 (injective over 1..100)
+      quality_chroma IJG inversion of table 1 (null for grayscale)
+      quality_est    min over present tables — the conservative gate
+      dqt_std        every table IS a libjpeg-convention scaling (false
+                     flags custom/optimized tables, which need a decode
+                     -based quality check instead)
+    Reference anchor: WebCollector keeps only the HTTP Content-Type
+    guess per payload (model/Page.java:323-330); this is the payload-
+    derived quality triage that guess can never provide."""
+    from webcollector_spark import jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                data = bytes(r["prefix"])
+                tables = jpeg.parse_dqt(data)
+                is_jpeg = data[:2] == b"\xff\xd8"
+                ql = qc = qe = std = None
+                if tables:
+                    exact = []
+                    if 0 in tables:
+                        ql, ok = jpeg.estimate_quality(
+                            tables[0], jpeg.STD_LUMA_Q
+                        )
+                        exact.append(ok)
+                    if 1 in tables:
+                        qc, ok = jpeg.estimate_quality(
+                            tables[1], jpeg.STD_CHROMA_Q
+                        )
+                        exact.append(ok)
+                    present = [q for q in (ql, qc) if q is not None]
+                    qe = min(present) if present else None
+                    std = all(exact) if exact else None
+                rows.append(
+                    {
+                        "image_id": r["image_id"],
+                        "is_jpeg": is_jpeg,
+                        "n_tables": len(tables),
+                        "quality_luma": ql,
+                        "quality_chroma": qc,
+                        "quality_est": qe,
+                        "dqt_std": std,
+                    }
+                )
+            out = pd.DataFrame(rows, columns=[f.name for f in JPEGQ_SCHEMA])
+            for c in ("quality_luma", "quality_chroma", "quality_est"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    sliced = corpus.select(
+        "image_id", F.substring("bytes", 1, prefix).alias("prefix")
+    )
+    return sliced.mapInPandas(run, schema=JPEGQ_SCHEMA)
+
+
 def compression_stats(sniffed: DataFrame) -> DataFrame:
     """Per-container compression profile over the sniffed metadata: row
     count, total payload bytes, and bytes-per-RGB8-pixel — the number

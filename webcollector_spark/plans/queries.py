@@ -4995,6 +4995,31 @@ def q_image_exif_meta(spark, sf):
 
 
 @register(
+    "image_jpeg_quality",
+    _oracle_parquet(
+        "image_jpeg_quality",
+        "image_id, is_jpeg, n_tables, quality_luma, quality_chroma, "
+        "quality_est, dqt_std",
+    ),
+)
+def q_image_jpeg_quality(spark, sf):
+    """Header-only JPEG quality triage (operators/sniff.py
+    jpeg_quality): parse the DQT tables out of a 64 KiB prefix and
+    invert the IJG quality scaling — the keep/drop signal a 10^9-image
+    pipeline gates on BEFORE spending a decode. Runs over all four
+    container formats plus the quality-ladder re-encode corpus; the
+    oracle restates each row's encode-time quality from construction."""
+    from webcollector_spark.operators import images
+    from webcollector_spark.operators.sniff import jpeg_quality
+
+    return jpeg_quality(
+        images.corpus_mixed_df(spark).unionByName(
+            images.corpus_jpeg_quality_df(spark)
+        )
+    )
+
+
+@register(
     "image_exif_upright",
     _oracle_parquet(
         "image_exif_upright",
@@ -5935,6 +5960,7 @@ _SNAPSHOT_FIRST = [
     "sitemap_extract",
     "image_exif_meta",
     "image_exif_upright",
+    "image_jpeg_quality",
     "soft404_hosts",
     "soft404_filter",
     "frontier_delta",
