@@ -107,7 +107,10 @@ def test_multimodal_oracle_parquet_fresh():
         "image_decode_verify",
         "image_decode_verify_jpeg",
         "image_decode_verify_gif",
+        "image_decode_verify_jpeg420",
         "audio_features_adpcm",
+        "audio_features_ulaw",
+        "video_frames_avi",
         "image_resize_meanpool",
         "phash_neardup",
         "video_frame_sample",
@@ -115,6 +118,7 @@ def test_multimodal_oracle_parquet_fresh():
         "video_scene_cuts",
         "caption_corpus_meta",
         "image_meta_sniff",
+        "image_jpeg_quality",
         "dhash_neardup",
         "image_neardup_ids",
         "image_channel_partials",

@@ -86,11 +86,12 @@ def test_unsupported_streams_raise_not_garble():
     prog = bytes(data).replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="baseline"):
         jpeg.decode_baseline(prog)
-    # subsampled: patch the Y sampling byte inside SOF0
+    # sampling factors beyond 2 (legal in the spec, absent on the web):
+    # patch the Y sampling byte inside SOF0 to 3x3
     sof = bytes(data).index(b"\xff\xc0")
     sub = bytearray(data)
-    sub[sof + 11] = 0x22  # component 1 sampling 1x1 -> 2x2
-    with pytest.raises(ValueError, match="subsampled"):
+    sub[sof + 11] = 0x33  # component 1 sampling 1x1 -> 3x3
+    with pytest.raises(ValueError, match="sampling factors"):
         jpeg.decode_baseline(bytes(sub))
     with pytest.raises(ValueError, match="SOI"):
         jpeg.decode_baseline(b"\x00\x01\x02")
@@ -277,3 +278,109 @@ def test_jpeg_quality_flags_nonstandard_tables(spark):
     assert r["is_jpeg"] and r["n_tables"] == 1
     assert r["quality_luma"] == 80 and r["dqt_std"] is False
     assert r["quality_chroma"] is None and r["quality_est"] == 80
+
+
+# -- chroma subsampling (4:2:0 / 4:2:2) ---------------------------------------
+
+
+def _straightline_subsampled(px, quality, sub):
+    """Independent DCT-domain reconstruction — same math as the codec
+    but NO bitstream anywhere: pins the entropy/interleave layers as
+    bit-exact, even on full-range noise."""
+    ycc = jpeg.rgb_to_ycbcr(px)
+    samps = jpeg._SAMP_FACTORS[sub]
+    h, w = px.shape[:2]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    qt = [
+        jpeg._quality_scale(jpeg.STD_LUMA_Q, quality).reshape(8, 8),
+        jpeg._quality_scale(jpeg.STD_CHROMA_Q, quality).reshape(8, 8),
+    ]
+    out = []
+    for ci in range(3):
+        hi, vi = samps[ci]
+        plane = jpeg._box_down(ycc[..., ci], vmax // vi, hmax // hi)
+        gh, gw = mcuy * vi * 8, mcux * hi * 8
+        plane = np.pad(
+            plane,
+            ((0, gh - plane.shape[0]), (0, gw - plane.shape[1])),
+            mode="edge",
+        )
+        blocks, bh, bw = jpeg._to_blocks(plane - 128.0)
+        coefs = np.einsum("ij,njk,lk->nil", jpeg._C, blocks, jpeg._C)
+        dq = np.round(coefs / qt[min(ci, 1)]) * qt[min(ci, 1)]
+        rec = np.einsum("ji,njk,kl->nil", jpeg._C, dq, jpeg._C) + 128.0
+        ch, cw = -(-(h * vi) // vmax), -(-(w * hi) // hmax)
+        pl = jpeg._from_blocks(rec, bh, bw, ch, cw)
+        if vi != vmax or hi != hmax:
+            pl = np.repeat(
+                np.repeat(pl, vmax // vi, axis=0), hmax // hi, axis=1
+            )[:h, :w]
+        out.append(pl)
+    return jpeg.ycbcr_to_rgb(np.stack(out, axis=-1))
+
+
+def test_subsampled_bitstream_bit_exact_vs_straightline():
+    # noise is the adversarial input: every AC coefficient populated,
+    # every Huffman path and the full MCU interleave exercised
+    for w, h in ((64, 48), (33, 17), (16, 16), (31, 64)):
+        px = _noise(w, h, seed=w * 100 + h)
+        for sub in ("444", "422", "420"):
+            got = jpeg.decode_baseline(
+                jpeg.encode_baseline(px, quality=85, subsampling=sub)
+            )
+            assert np.array_equal(got, _straightline_subsampled(px, 85, sub)), (
+                w, h, sub,
+            )
+
+
+def test_subsampled_restart_markers_roundtrip():
+    px = fixtures.smooth_field_pixels(5, 48, 32)
+    for sub in ("420", "422"):
+        plain = jpeg.decode_baseline(
+            jpeg.encode_baseline(px, quality=90, subsampling=sub)
+        )
+        with_rst = jpeg.decode_baseline(
+            jpeg.encode_baseline(
+                px, quality=90, subsampling=sub, restart_interval=2
+            )
+        )
+        # RSTn only re-packages the stream; decoded pixels are identical
+        assert np.array_equal(plain, with_rst), sub
+
+
+def test_subsampled_sof_declares_factors_and_sniffs():
+    px = fixtures.smooth_field_pixels(9, 40, 24)
+    data = jpeg.encode_baseline(px, quality=90, subsampling="420")
+    sof = data.index(b"\xff\xc0")
+    assert data[sof + 11] == 0x22  # luma 2x2
+    assert data[sof + 14] == 0x11 and data[sof + 17] == 0x11  # chroma 1x1
+    fmt, w, h = codecs.sniff_header(data)
+    assert (fmt, w, h) == ("jpeg", 40, 24)
+    # header-only quality estimation is layout-independent
+    tables = jpeg.parse_dqt(data)
+    assert jpeg.estimate_quality(tables[0], jpeg.STD_LUMA_Q) == (90, True)
+
+
+def test_make_corpus_jpeg_subsampled_invariants():
+    pdf = fixtures.make_corpus_jpeg_subsampled(24)
+    assert len(pdf) == 24
+    for i, r in enumerate(pdf.to_dict("records")):
+        px = codecs.decode(bytes(r["bytes"]))
+        truth = fixtures.ground_truth_pixels(r["image_id"], r["w"], r["h"])
+        assert px.shape == truth.shape
+        assert codecs.psnr_db(px, truth) >= 40.0
+        assert codecs.phash64(px) == int(r["phash"])
+        # the declared layout is actually in the SOF header
+        sof = bytes(r["bytes"]).index(b"\xff\xc0")
+        want = (0x22, 0x22, 0x21)[i % 3]
+        assert bytes(r["bytes"])[sof + 11] == want
+
+
+def test_subsampled_corpus_through_decode_verify(spark):
+    rows = images.decode_verify(
+        images.corpus_jpeg_subsampled_df(spark, 24)
+    ).collect()
+    assert len(rows) == 24
+    assert all(r["psnr_ok"] and r["phash_match"] for r in rows)

@@ -76,6 +76,8 @@ SCHEMAS = {
     # same verify shape over the REAL-baseline-JPEG corpus
     "image_decode_verify_jpeg": _DECODE_VERIFY_SCHEMA,
     "image_decode_verify_gif": _DECODE_VERIFY_SCHEMA,
+    # same verify shape over the chroma-subsampled (4:2:0/4:2:2) corpus
+    "image_decode_verify_jpeg420": _DECODE_VERIFY_SCHEMA,
     "image_resize_meanpool": pa.schema(
         [
             ("image_id", pa.string()),
@@ -764,6 +766,10 @@ def build_all() -> dict[str, pd.DataFrame]:
         # real palette+LZW bytes; lossless on the posterized truth
         "image_decode_verify_gif": build_image_decode_verify(
             fixtures.make_corpus_gif(100)
+        ),
+        # real 4:2:0/4:2:2 MCU-interleaved bytes over smooth truth
+        "image_decode_verify_jpeg420": build_image_decode_verify(
+            fixtures.make_corpus_jpeg_subsampled(120)
         ),
         "image_resize_meanpool": build_image_resize_meanpool(corpus),
         "phash_neardup": build_phash_neardup(neardups),

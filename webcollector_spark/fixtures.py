@@ -35,11 +35,43 @@ def ground_truth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
     the GIF palette cap) so GIF round-trips losslessly — the invariant
     for paletted input is bit-exactness, not the 40 dB lossy gate."""
     idx = int(image_id[3:])
+    if image_id.startswith("j20"):
+        return smooth_field_pixels(idx, w, h)
     rng = np.random.default_rng(SEED * 1_000_003 + idx)
     pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     if image_id.startswith("gif"):
         return (pixels // 51 * 51).astype(np.uint8)
     return pixels
+
+
+def smooth_field_pixels(idx: int, w: int, h: int) -> np.ndarray:
+    """Low-frequency sinusoid mix — the ground truth for the chroma-
+    subsampled corpus. Full-range NOISE chroma cannot survive 2x2
+    box-downsample + replication (that loss is the point of 4:2:0, not
+    a codec defect), so the 40 dB input_hint gate is evidenced on
+    photograph-like smooth content; bitstream correctness on noise is
+    pinned separately and bit-exactly in test_jpeg.py."""
+    rng = np.random.default_rng(SEED * 1_000_003 + idx)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+
+    def field(n_waves: int, lo: float, hi: float) -> np.ndarray:
+        f = np.zeros((h, w))
+        for _ in range(n_waves):
+            fx, fy = rng.uniform(0.2, 0.8, 2)
+            p1, p2 = rng.uniform(0, 2 * np.pi, 2)
+            f += (
+                rng.uniform(lo, hi)
+                * np.sin(2 * np.pi * fx * xx / w + p1)
+                * np.sin(2 * np.pi * fy * yy / h + p2)
+            )
+        return f
+
+    # shared structure dominates (like a photo's luma); per-channel
+    # deviations are small, so chroma carries little energy and the
+    # 2x2 box-down/replicate-up cycle costs only a few dB
+    base = field(3, 25.0, 45.0)
+    out = np.stack([base + field(2, 3.0, 9.0) for _ in range(3)], axis=-1)
+    return np.clip(out + 128.0, 0, 255).round().astype(np.uint8)
 
 
 def make_corpus(
@@ -96,6 +128,44 @@ def make_corpus_jpeg(
         pixels = ground_truth_pixels(image_id, w, h)
         data = jpeg.encode_baseline(
             pixels, quality=98, restart_interval=(0, 0, 4)[i % 3]
+        )
+        rows.append(
+            {
+                "image_id": image_id,
+                "bytes": data,
+                "w": w,
+                "h": h,
+                "fmt": "jpeg",
+                "caption": f"caption of {image_id}",
+                "phash": codecs.phash64(codecs.decode(data)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def make_corpus_jpeg_subsampled(
+    n: int = 120, seed: int = SEED, sizes: tuple[int, ...] = (32, 64)
+) -> pd.DataFrame:
+    """Chroma-subsampled real-JPEG corpus (ids `j20*`): mostly 4:2:0 —
+    the layout the real web overwhelmingly serves — with 4:2:2 every
+    third row and a restart interval every fourth, over smooth
+    photograph-like ground truth (smooth_field_pixels) so the 40 dB
+    decode gate is meaningful under chroma loss."""
+    from webcollector_spark import jpeg
+
+    rng = np.random.default_rng(seed + 11)
+    sizes = np.array(sizes)
+    rows = []
+    for i in range(n):
+        image_id = f"j20{i:08d}"
+        w = int(sizes[rng.integers(0, len(sizes))])
+        h = int(sizes[rng.integers(0, len(sizes))])
+        pixels = ground_truth_pixels(image_id, w, h)
+        data = jpeg.encode_baseline(
+            pixels,
+            quality=92,
+            restart_interval=(0, 0, 0, 2)[i % 4],
+            subsampling=("420", "420", "422")[i % 3],
         )
         rows.append(
             {

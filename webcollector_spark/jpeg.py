@@ -2,20 +2,24 @@
 
 This retires the QIMG stand-in as the only lossy path (VERDICT r3 item
 5): real compressed bytes flow end-to-end through the Spark decode
-operators. Scope is the baseline sequential process with no chroma
-subsampling (4:4:4) or grayscale — the shapes the engine's own encoder
-emits — implemented faithfully at the bitstream level:
+operators. Scope is the baseline sequential process with sampling
+factors 1-2 per axis — 4:4:4, 4:2:2, 4:4:0, and 4:2:0 (what the real
+web overwhelmingly serves: libjpeg's default, every phone camera) —
+plus grayscale, implemented faithfully at the bitstream level:
 
 * markers: SOI / DQT / SOF0 / DHT / DRI / SOS / RSTn / EOI, with
   0xFF00 byte stuffing in the entropy-coded segment;
 * entropy coding: canonical Huffman per Annex C (tables read from the
   DHT segments, NOT assumed), DC prediction per component, AC
   run-length with ZRL and EOB, restart-interval predictor resets;
+* MCU interleave per A.2.3: hi x vi blocks per component per MCU,
+  raster within the MCU; chroma box-mean downsampled on encode,
+  replication-upsampled on decode;
 * transform: level shift, 8x8 orthonormal DCT-II / IDCT as matrix
   products over all blocks at once, quantization tables from DQT;
 * color: JFIF RGB <-> YCbCr.
 
-Progressive, arithmetic, 12-bit, and subsampled streams raise
+Progressive, arithmetic, 12-bit, and sampling-factor>2 streams raise
 ValueError — decode quality over silent wrong answers. The default
 quality (98) keeps round-trip PSNR above the input_hint's 40 dB gate
 even on full-range NOISE images, the worst case (measured 43.4 dB;
@@ -239,42 +243,135 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, bits
 
 
+# -- chroma subsampling -------------------------------------------------------
+#
+# Sampling factors per component, (hi, vi) with luma first. 4:2:0 is
+# what the real web overwhelmingly serves (libjpeg's default above
+# quality-speak thresholds, every phone camera); 4:2:2 is the video
+# convention; 4:4:4 keeps the original bitstream byte-identical.
+
+_SAMP_FACTORS = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
+
+
+def _box_down(plane: np.ndarray, fv: int, fh: int) -> np.ndarray:
+    """Box-mean downsample by (fv, fh); odd edges replicate so every
+    box is full (matches the decoder's replication upsample at edges)."""
+    if fv == 1 and fh == 1:
+        return plane
+    h, w = plane.shape
+    if h % fv or w % fh:
+        plane = np.pad(plane, ((0, -h % fv), (0, -w % fh)), mode="edge")
+    hh, ww = plane.shape
+    return plane.reshape(hh // fv, fv, ww // fh, fh).mean(axis=(1, 3))
+
+
+def _mcu_raster_order(
+    mcuy: int, mcux: int, vi: int, hi: int
+) -> np.ndarray:
+    """Scan position j -> raster block index, for a component whose
+    padded block grid is (mcuy*vi, mcux*hi): the interleaved scan
+    visits MCUs raster-wise and, within each MCU, the component's
+    hi x vi blocks raster-wise (A.2.3). Identity when hi == vi == 1."""
+    m = np.arange(mcuy * mcux)
+    mr, mc = m // mcux, m % mcux
+    b = np.arange(vi * hi)
+    br, bc = b // hi, b % hi
+    rows = mr[:, None] * vi + br[None, :]
+    cols = mc[:, None] * hi + bc[None, :]
+    return (rows * (mcux * hi) + cols).reshape(-1)
+
+
 # -- encoder ----------------------------------------------------------------
 
 def encode_baseline(
-    pixels: np.ndarray, quality: int = 98, restart_interval: int = 0
+    pixels: np.ndarray,
+    quality: int = 98,
+    restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
     """RGB8 HxWx3 (or HxW grayscale) -> baseline JFIF JPEG bytes
-    (4:4:4, standard Annex K Huffman tables, IJG quality scaling).
+    (standard Annex K Huffman tables, IJG quality scaling).
+    subsampling picks the chroma layout: "444" (full, the historical
+    default — bitstream unchanged), "422" (half horizontal), or "420"
+    (half both ways, the layout the real web overwhelmingly serves).
     restart_interval > 0 emits DRI + RSTn every that many MCUs —
     the resync points a parallel/streaming decoder keys on."""
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
     if gray:
         planes = [pixels.astype(np.float64)]
+        samps = ((1, 1),)
     else:
         ycc = rgb_to_ycbcr(pixels)
         planes = [ycc[..., i] for i in range(3)]
+        samps = _SAMP_FACTORS[subsampling]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    n_mcu = mcux * mcuy
 
     qluma = _quality_scale(STD_LUMA_Q, quality)
     qchroma = _quality_scale(STD_CHROMA_Q, quality)
     qtabs = [qluma] if gray else [qluma, qchroma]
 
-    # DCT + quantize all blocks per component, zigzag order
-    comp_coefs = []
+    # per component: downsample, pad to its MCU-aligned grid, DCT +
+    # quantize all blocks (zigzag order), note the scan->raster map
+    comp_coefs, orders = [], []
     for ci, plane in enumerate(planes):
+        hi, vi = samps[ci]
+        plane = _box_down(plane, vmax // vi, hmax // hi)
+        gh, gw = mcuy * vi * 8, mcux * hi * 8
+        ph, pw = gh - plane.shape[0], gw - plane.shape[1]
+        if ph or pw:
+            plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
         blocks, _, _ = _to_blocks(plane - 128.0)
         coefs = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
         q = qtabs[min(ci, 1)].reshape(8, 8)
         quant = np.round(coefs / q).astype(np.int64)
         comp_coefs.append(quant.reshape(-1, 64)[:, ZIGZAG])
+        orders.append(_mcu_raster_order(mcuy, mcux, vi, hi))
 
     dc_tabs = [_huff_codes(*_DC_LUMA), _huff_codes(*_DC_CHROMA)]
     ac_tabs = [_huff_codes(*_AC_LUMA), _huff_codes(*_AC_CHROMA)]
 
     bw_ = _BitWriter()
     pred = [0] * len(planes)
-    n_mcu = comp_coefs[0].shape[0]
+
+    def emit(blk: np.ndarray, ci: int) -> None:
+        ti = min(ci, 1)
+        dct, act = dc_tabs[ti], ac_tabs[ti]
+        diff = int(blk[0]) - pred[ci]
+        pred[ci] = int(blk[0])
+        size, bits = _magnitude(diff)
+        code, length = dct[size]
+        bw_.write(code, length)
+        if size:
+            bw_.write(bits, size)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = act[0xF0]  # ZRL
+                bw_.write(code, length)
+                run -= 16
+            size, bits = _magnitude(v)
+            code, length = act[(run << 4) | size]
+            bw_.write(code, length)
+            bw_.write(bits, size)
+            run = 0
+        if last < 63:
+            code, length = act[0x00]  # EOB
+            bw_.write(code, length)
+
     rst = 0
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
@@ -282,36 +379,9 @@ def encode_baseline(
             rst += 1
             pred = [0] * len(planes)
         for ci in range(len(planes)):
-            ti = min(ci, 1)
-            blk = comp_coefs[ci][m]
-            dct, act = dc_tabs[ti], ac_tabs[ti]
-            diff = int(blk[0]) - pred[ci]
-            pred[ci] = int(blk[0])
-            size, bits = _magnitude(diff)
-            code, length = dct[size]
-            bw_.write(code, length)
-            if size:
-                bw_.write(bits, size)
-            run = 0
-            nz = np.nonzero(blk[1:])[0]
-            last = nz[-1] + 1 if len(nz) else 0
-            for k in range(1, last + 1):
-                v = int(blk[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = act[0xF0]  # ZRL
-                    bw_.write(code, length)
-                    run -= 16
-                size, bits = _magnitude(v)
-                code, length = act[(run << 4) | size]
-                bw_.write(code, length)
-                bw_.write(bits, size)
-                run = 0
-            if last < 63:
-                code, length = act[0x00]  # EOB
-                bw_.write(code, length)
+            nb = samps[ci][0] * samps[ci][1]
+            for b in range(nb):
+                emit(comp_coefs[ci][orders[ci][m * nb + b]], ci)
     scan = bw_.flush()
 
     # -- markers ------------------------------------------------------------
@@ -327,7 +397,8 @@ def encode_baseline(
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, min(ci, 1)])  # id, 1x1 sampling, qtab
+        hi, vi = samps[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, min(ci, 1)])  # id, samp, qtab
     seg(0xC0, sof)  # SOF0
     for cls, tid, (bits, values) in (
         (0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA)
@@ -451,11 +522,13 @@ def decode_baseline_at(data: bytes, start: int) -> tuple[np.ndarray, int]:
             _, h, w, nc = struct.unpack(">BHHB", payload[:6])
             for ci in range(nc):
                 cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(
-                        "subsampled JPEG not supported (baseline 4:4:4 only)"
+                        f"unsupported sampling factors {hi}x{vi} "
+                        "(1-2 each: 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0)"
                     )
-                comps.append({"id": cid, "tq": tq})
+                comps.append({"id": cid, "tq": tq, "hi": hi, "vi": vi})
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential (SOF0) supported")
@@ -497,10 +570,15 @@ def decode_baseline_at(data: bytes, start: int) -> tuple[np.ndarray, int]:
     end = p + 2 if data[p : p + 2] == b"\xff\xd9" else p
 
     reader = _BitReader(bytes(raw))
-    bh, bw_ = -(-h // 8), -(-w // 8)
-    n_mcu = bh * bw_
+    hmax = max(c["hi"] for c in comps)
+    vmax = max(c["vi"] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    n_mcu = mcux * mcuy
     nc = len(comps)
-    coefs = [np.zeros((n_mcu, 64), dtype=np.int64) for _ in range(nc)]
+    coefs = [
+        np.zeros((n_mcu * c["hi"] * c["vi"], 64), dtype=np.int64)
+        for c in comps
+    ]
     pred = [0] * nc
     luts = {
         (tc, th): _decode_lut(spec) for (tc, th), spec in huff.items()
@@ -515,37 +593,39 @@ def decode_baseline_at(data: bytes, start: int) -> tuple[np.ndarray, int]:
         for ci, c in enumerate(comps):
             dsym, dlen = luts[(0, c["td"])]
             asym, alen = luts[(1, c["ta"])]
-            blk = coefs[ci][m]
-            peek = reader.peek16[reader.pos]
-            size = int(dsym[peek])
-            ll = int(dlen[peek])
-            if ll == 0:
-                raise ValueError("bad DC Huffman code")
-            reader.pos += ll
-            diff = _extend(reader.receive(size), size) if size else 0
-            pred[ci] += diff
-            blk[0] = pred[ci]
-            k = 1
-            while k < 64:
+            nb = c["hi"] * c["vi"]
+            for b in range(nb):
+                blk = coefs[ci][m * nb + b]
                 peek = reader.peek16[reader.pos]
-                rs = int(asym[peek])
-                ll = int(alen[peek])
+                size = int(dsym[peek])
+                ll = int(dlen[peek])
                 if ll == 0:
-                    raise ValueError("bad AC Huffman code")
+                    raise ValueError("bad DC Huffman code")
                 reader.pos += ll
-                run, size = rs >> 4, rs & 0xF
-                if size == 0:
-                    if run == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise ValueError("AC run overflows block")
-                blk[k] = _extend(reader.receive(size), size)
-                k += 1
+                diff = _extend(reader.receive(size), size) if size else 0
+                pred[ci] += diff
+                blk[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    peek = reader.peek16[reader.pos]
+                    rs = int(asym[peek])
+                    ll = int(alen[peek])
+                    if ll == 0:
+                        raise ValueError("bad AC Huffman code")
+                    reader.pos += ll
+                    run, size = rs >> 4, rs & 0xF
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run overflows block")
+                    blk[k] = _extend(reader.receive(size), size)
+                    k += 1
 
-    # -- dequantize + IDCT + color ------------------------------------------
+    # -- dequantize + IDCT + reassemble + upsample + color --------------------
     planes = []
     for ci, c in enumerate(comps):
         q = qtabs[c["tq"]]
@@ -553,7 +633,17 @@ def decode_baseline_at(data: bytes, start: int) -> tuple[np.ndarray, int]:
             np.float64
         )
         blocks = np.einsum("ji,njk,kl->nil", _C, dq, _C) + 128.0
-        planes.append(_from_blocks(blocks, bh, bw_, h, w))
+        hi, vi = c["hi"], c["vi"]
+        # scan order -> raster order within the component's padded grid
+        raster = np.empty_like(blocks)
+        raster[_mcu_raster_order(mcuy, mcux, vi, hi)] = blocks
+        ch, cw = -(-(h * vi) // vmax), -(-(w * hi) // hmax)
+        plane = _from_blocks(raster, mcuy * vi, mcux * hi, ch, cw)
+        if vi != vmax or hi != hmax:  # replication upsample to full res
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )[:h, :w]
+        planes.append(plane)
     if nc == 1:
         return np.clip(planes[0].round(), 0, 255).astype(np.uint8), end
     return ycbcr_to_rgb(np.stack(planes, axis=-1)), end

@@ -102,6 +102,14 @@ def corpus_jpeg_df(spark: SparkSession, n: int = 120) -> DataFrame:
     return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
 
 
+def corpus_jpeg_subsampled_df(spark: SparkSession, n: int = 120) -> DataFrame:
+    """Chroma-subsampled real-JPEG corpus (4:2:0 with 4:2:2 every third
+    row — the layouts the real web serves) over smooth photograph-like
+    ground truth; fixtures.make_corpus_jpeg_subsampled."""
+    pdf = fixtures.make_corpus_jpeg_subsampled(n)
+    return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+
+
 def corpus_jpeg_quality_df(spark: SparkSession, n: int = 120) -> DataFrame:
     """REAL-JPEG corpus re-encoded across the fixture quality ladder
     (fixtures.make_corpus_jpeg_quality) — every row's DQT segment

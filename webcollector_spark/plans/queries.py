@@ -1895,6 +1895,25 @@ def q_image_decode_verify_jpeg(spark, sf):
 
 
 @register(
+    "image_decode_verify_jpeg420",
+    _oracle_parquet(
+        "image_decode_verify_jpeg420",
+        "image_id, w, h, fmt, psnr_db, psnr_ok, phash_match",
+    ),
+)
+def q_image_decode_verify_jpeg420(spark, sf):
+    """Verify dataflow over CHROMA-SUBSAMPLED real JPEG (4:2:0, the
+    layout the real web overwhelmingly serves, plus 4:2:2 rows):
+    MCU-interleaved entropy decode, box-down/replicate-up chroma, over
+    smooth photograph-like ground truth so the 40 dB gate is meaningful
+    under chroma loss. Bitstream-layer exactness for these layouts is
+    separately pinned bit-for-bit in test_jpeg.py."""
+    from webcollector_spark.operators import images
+
+    return images.decode_verify(images.corpus_jpeg_subsampled_df(spark))
+
+
+@register(
     "image_decode_verify_gif",
     _oracle_parquet(
         "image_decode_verify_gif",
@@ -5961,6 +5980,7 @@ _SNAPSHOT_FIRST = [
     "image_exif_meta",
     "image_exif_upright",
     "image_jpeg_quality",
+    "image_decode_verify_jpeg420",
     "soft404_hosts",
     "soft404_filter",
     "frontier_delta",
