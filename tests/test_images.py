@@ -108,6 +108,7 @@ def test_multimodal_oracle_parquet_fresh():
         "image_decode_verify_jpeg",
         "image_decode_verify_gif",
         "image_decode_verify_jpeg420",
+        "image_decode_verify_jpegprog",
         "audio_features_adpcm",
         "audio_features_ulaw",
         "video_frames_avi",

@@ -82,10 +82,11 @@ def test_restart_interval_bitstream_and_equality():
 def test_unsupported_streams_raise_not_garble():
     px = _noise(24, 16)
     data = bytearray(jpeg.encode_baseline(px))
-    # progressive: SOF0 (FFC0) -> SOF2 (FFC2)
-    prog = bytes(data).replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="baseline"):
-        jpeg.decode_baseline(prog)
+    # extended sequential (12-bit class): SOF0 (FFC0) -> SOF1 (FFC1).
+    # progressive (SOF2) is SUPPORTED — see test_jpeg_progressive.py.
+    ext = bytes(data).replace(b"\xff\xc0", b"\xff\xc1", 1)
+    with pytest.raises(ValueError, match="SOF0"):
+        jpeg.decode_baseline(ext)
     # sampling factors beyond 2 (legal in the spec, absent on the web):
     # patch the Y sampling byte inside SOF0 to 3x3
     sof = bytes(data).index(b"\xff\xc0")

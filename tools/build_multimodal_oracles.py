@@ -78,6 +78,8 @@ SCHEMAS = {
     "image_decode_verify_gif": _DECODE_VERIFY_SCHEMA,
     # same verify shape over the chroma-subsampled (4:2:0/4:2:2) corpus
     "image_decode_verify_jpeg420": _DECODE_VERIFY_SCHEMA,
+    # same verify shape over the progressive (SOF2) corpus
+    "image_decode_verify_jpegprog": _DECODE_VERIFY_SCHEMA,
     "image_resize_meanpool": pa.schema(
         [
             ("image_id", pa.string()),
@@ -770,6 +772,11 @@ def build_all() -> dict[str, pd.DataFrame]:
         # real 4:2:0/4:2:2 MCU-interleaved bytes over smooth truth
         "image_decode_verify_jpeg420": build_image_decode_verify(
             fixtures.make_corpus_jpeg_subsampled(120)
+        ),
+        # real SOF2 multi-scan streams (spectral selection + successive
+        # approximation, per-scan optimal Huffman tables)
+        "image_decode_verify_jpegprog": build_image_decode_verify(
+            fixtures.make_corpus_jpeg_progressive(120)
         ),
         "image_resize_meanpool": build_image_resize_meanpool(corpus),
         "phash_neardup": build_phash_neardup(neardups),

@@ -35,7 +35,7 @@ def ground_truth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
     the GIF palette cap) so GIF round-trips losslessly — the invariant
     for paletted input is bit-exactness, not the 40 dB lossy gate."""
     idx = int(image_id[3:])
-    if image_id.startswith("j20"):
+    if image_id.startswith(("j20", "jpr")):
         return smooth_field_pixels(idx, w, h)
     rng = np.random.default_rng(SEED * 1_000_003 + idx)
     pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -166,6 +166,42 @@ def make_corpus_jpeg_subsampled(
             quality=92,
             restart_interval=(0, 0, 0, 2)[i % 4],
             subsampling=("420", "420", "422")[i % 3],
+        )
+        rows.append(
+            {
+                "image_id": image_id,
+                "bytes": data,
+                "w": w,
+                "h": h,
+                "fmt": "jpeg",
+                "caption": f"caption of {image_id}",
+                "phash": codecs.phash64(codecs.decode(data)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def make_corpus_jpeg_progressive(
+    n: int = 120, seed: int = SEED, sizes: tuple[int, ...] = (32, 64)
+) -> pd.DataFrame:
+    """Progressive-JPEG corpus (ids `jpr*`): SOF2 multi-scan streams
+    from jpeg_progressive.encode_progressive (libjpeg's standard scan
+    script, per-scan optimal Huffman tables), cycling all three chroma
+    layouts. Same smooth ground truth as the subsampled corpus so the
+    40 dB gate binds; transport losslessness vs baseline is pinned
+    separately and bit-exactly in test_jpeg_progressive.py."""
+    from webcollector_spark.jpeg_progressive import encode_progressive
+
+    rng = np.random.default_rng(seed + 13)
+    sizes = np.array(sizes)
+    rows = []
+    for i in range(n):
+        image_id = f"jpr{i:08d}"
+        w = int(sizes[rng.integers(0, len(sizes))])
+        h = int(sizes[rng.integers(0, len(sizes))])
+        pixels = ground_truth_pixels(image_id, w, h)
+        data = encode_progressive(
+            pixels, quality=92, subsampling=("420", "444", "422")[i % 3]
         )
         rows.append(
             {

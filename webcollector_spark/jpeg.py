@@ -529,9 +529,17 @@ def decode_baseline_at(data: bytes, start: int) -> tuple[np.ndarray, int]:
                         "(1-2 each: 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0)"
                     )
                 comps.append({"id": cid, "tq": tq, "hi": hi, "vi": vi})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC2:  # SOF2: progressive — separate scan loop
+            from webcollector_spark.jpeg_progressive import (
+                decode_progressive_at,
+            )
+
+            return decode_progressive_at(data, start)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential (SOF0) supported")
+            raise ValueError(
+                "only baseline (SOF0) and progressive (SOF2) supported"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS
@@ -625,7 +633,30 @@ def decode_baseline_at(data: bytes, start: int) -> tuple[np.ndarray, int]:
                     blk[k] = _extend(reader.receive(size), size)
                     k += 1
 
-    # -- dequantize + IDCT + reassemble + upsample + color --------------------
+    # scan order -> raster order within each component's padded grid
+    rasters = []
+    for ci, c in enumerate(comps):
+        raster = np.empty_like(coefs[ci])
+        raster[_mcu_raster_order(mcuy, mcux, c["vi"], c["hi"])] = coefs[ci]
+        rasters.append(raster)
+    return _reconstruct(rasters, comps, qtabs, h, w, mcuy, mcux, hmax, vmax), end
+
+
+def _reconstruct(
+    coefs: list[np.ndarray],
+    comps: list[dict],
+    qtabs: dict[int, np.ndarray],
+    h: int,
+    w: int,
+    mcuy: int,
+    mcux: int,
+    hmax: int,
+    vmax: int,
+) -> np.ndarray:
+    """Quantized zigzag coefficients (raster block order per component,
+    full MCU-padded grid) -> pixels: dequantize + IDCT + reassemble +
+    chroma upsample + color. Shared by the sequential and progressive
+    decoders — they differ only in how the coefficients arrive."""
     planes = []
     for ci, c in enumerate(comps):
         q = qtabs[c["tq"]]
@@ -634,19 +665,16 @@ def decode_baseline_at(data: bytes, start: int) -> tuple[np.ndarray, int]:
         )
         blocks = np.einsum("ji,njk,kl->nil", _C, dq, _C) + 128.0
         hi, vi = c["hi"], c["vi"]
-        # scan order -> raster order within the component's padded grid
-        raster = np.empty_like(blocks)
-        raster[_mcu_raster_order(mcuy, mcux, vi, hi)] = blocks
         ch, cw = -(-(h * vi) // vmax), -(-(w * hi) // hmax)
-        plane = _from_blocks(raster, mcuy * vi, mcux * hi, ch, cw)
+        plane = _from_blocks(blocks, mcuy * vi, mcux * hi, ch, cw)
         if vi != vmax or hi != hmax:  # replication upsample to full res
             plane = np.repeat(
                 np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
             )[:h, :w]
         planes.append(plane)
-    if nc == 1:
-        return np.clip(planes[0].round(), 0, 255).astype(np.uint8), end
-    return ycbcr_to_rgb(np.stack(planes, axis=-1)), end
+    if len(comps) == 1:
+        return np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+    return ycbcr_to_rgb(np.stack(planes, axis=-1))
 
 
 # -- header-only quality estimation ------------------------------------------

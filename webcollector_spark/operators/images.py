@@ -110,6 +110,14 @@ def corpus_jpeg_subsampled_df(spark: SparkSession, n: int = 120) -> DataFrame:
     return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
 
 
+def corpus_jpeg_progressive_df(spark: SparkSession, n: int = 120) -> DataFrame:
+    """Progressive (SOF2) real-JPEG corpus — multi-scan spectral
+    selection + successive approximation streams across all three
+    chroma layouts; fixtures.make_corpus_jpeg_progressive."""
+    pdf = fixtures.make_corpus_jpeg_progressive(n)
+    return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+
+
 def corpus_jpeg_quality_df(spark: SparkSession, n: int = 120) -> DataFrame:
     """REAL-JPEG corpus re-encoded across the fixture quality ladder
     (fixtures.make_corpus_jpeg_quality) — every row's DQT segment

@@ -1914,6 +1914,26 @@ def q_image_decode_verify_jpeg420(spark, sf):
 
 
 @register(
+    "image_decode_verify_jpegprog",
+    _oracle_parquet(
+        "image_decode_verify_jpegprog",
+        "image_id, w, h, fmt, psnr_db, psnr_ok, phash_match",
+    ),
+)
+def q_image_decode_verify_jpegprog(spark, sf):
+    """Verify dataflow over PROGRESSIVE JPEG (SOF2 — roughly one web
+    JPEG in ten): multi-scan spectral selection + successive
+    approximation with EOB-run symbols and per-scan optimal Huffman
+    tables, decoded by webcollector_spark/jpeg_progressive.py and
+    auto-dispatched from the shared decode seam. Transport
+    losslessness vs the baseline bitstream is pinned bit-exactly in
+    test_jpeg_progressive.py."""
+    from webcollector_spark.operators import images
+
+    return images.decode_verify(images.corpus_jpeg_progressive_df(spark))
+
+
+@register(
     "image_decode_verify_gif",
     _oracle_parquet(
         "image_decode_verify_gif",
@@ -5981,6 +6001,7 @@ _SNAPSHOT_FIRST = [
     "image_exif_upright",
     "image_jpeg_quality",
     "image_decode_verify_jpeg420",
+    "image_decode_verify_jpegprog",
     "soft404_hosts",
     "soft404_filter",
     "frontier_delta",
