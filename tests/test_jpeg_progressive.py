@@ -139,3 +139,81 @@ def test_progressive_corpus_through_decode_verify(spark):
     ).collect()
     assert len(rows) == 24
     assert all(r["psnr_ok"] and r["phash_match"] for r in rows)
+
+
+# -- byte-capped preview triage (decode_progressive_prefix,
+#    operators/sniff.py progressive_preview) ---------------------------------
+
+
+def test_preview_full_prefix_equals_full_decode():
+    from webcollector_spark.jpeg_progressive import decode_progressive_prefix
+
+    px = fixtures.smooth_field_pixels(7, 64, 64)
+    data = encode_progressive(px, quality=92, subsampling="420")
+    pix, scans, complete = decode_progressive_prefix(data)
+    assert complete and scans == 10
+    assert np.array_equal(pix, jpeg.decode_baseline(data))
+
+
+def test_preview_truncation_never_raises_and_improves():
+    from webcollector_spark.jpeg_progressive import decode_progressive_prefix
+
+    px = fixtures.smooth_field_pixels(11, 64, 48)
+    data = encode_progressive(px, quality=92, subsampling="420")
+    full = jpeg.decode_baseline(data)
+    ph_full = codecs.phash64(full)
+    # every cut from "headers only" to "all bytes" must either decode
+    # or raise the documented no-frame error — never garble
+    seen_scans = set()
+    last_psnr = -1.0
+    for cut in [*range(40, len(data), 29), len(data)]:
+        try:
+            pix, scans, complete = decode_progressive_prefix(data[:cut])
+        except ValueError:
+            continue  # prefix ended before the frame header
+        assert pix.shape == full.shape
+        seen_scans.add(scans)
+        if scans >= 1:
+            # DC scan in hand: the low-frequency content phash keys on
+            # is present — previews agree with the final image
+            hm = bin((codecs.phash64(pix) ^ ph_full) & ((1 << 64) - 1)).count(
+                "1"
+            )
+            assert hm <= 4, (cut, scans, hm)
+    assert max(seen_scans) == 10 and len(seen_scans) >= 4
+    # monotone at scan boundaries: more scans never hurt PSNR vs final
+    import re
+
+    sos = [m.start() for m in re.finditer(b"\xff\xda", data)]
+    for cut in sos[1:] + [len(data)]:
+        pix, scans, _ = decode_progressive_prefix(data[:cut])
+        p = codecs.psnr_db(pix, full)
+        assert p >= last_psnr or p >= 1e8
+        last_psnr = min(p, 1e8)
+
+
+def test_sof_marker_helper():
+    px = _noise(16, 16, seed=3)
+    assert jpeg.sof_marker(jpeg.encode_baseline(px)) == 0xC0
+    assert jpeg.sof_marker(encode_progressive(px)) == 0xC2
+    assert jpeg.sof_marker(b"QIMG whatever") is None
+    assert jpeg.sof_marker(b"\xff\xd8\xff\xdb\x00\x04\x00\x00") is None
+
+
+def test_progressive_preview_operator(spark):
+    from webcollector_spark.operators.sniff import progressive_preview
+
+    df = images.corpus_jpeg_progressive_df(spark, 24).unionByName(
+        images.corpus_jpeg_df(spark, 24)
+    )
+    rows = {r["image_id"]: r for r in progressive_preview(df).collect()}
+    assert len(rows) == 48
+    for iid, r in rows.items():
+        if iid.startswith("jpr"):
+            assert r["is_progressive"] and r["preview_ok"]
+            assert 1 <= r["scans_done"] <= 10
+            # smooth corpus: a decoded DC scan pins the phash
+            assert r["preview_hamming"] <= 4
+        else:
+            assert not r["is_progressive"]
+            assert r["scans_done"] is None and r["phash_preview"] is None

@@ -80,6 +80,17 @@ SCHEMAS = {
     "image_decode_verify_jpeg420": _DECODE_VERIFY_SCHEMA,
     # same verify shape over the progressive (SOF2) corpus
     "image_decode_verify_jpegprog": _DECODE_VERIFY_SCHEMA,
+    "image_progressive_preview": pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("is_progressive", pa.bool_()),
+            ("scans_done", pa.int32()),
+            ("complete", pa.bool_()),
+            ("preview_ok", pa.bool_()),
+            ("phash_preview", pa.int64()),
+            ("preview_hamming", pa.int32()),
+        ]
+    ),
     "image_resize_meanpool": pa.schema(
         [
             ("image_id", pa.string()),
@@ -411,6 +422,51 @@ def build_image_jpeg_quality(pdf: pd.DataFrame):
                 }
             )
     return pd.DataFrame(rows)
+
+
+def build_image_progressive_preview(pdf: pd.DataFrame, prefix: int = 1024):
+    """Straight-line restatement of sniff.progressive_preview over the
+    same byte prefix — single-process, no Spark; the kernels
+    (decode_progressive_prefix, phash64) are pinned separately in
+    test_jpeg_progressive.py."""
+    from webcollector_spark.jpeg import sof_marker
+    from webcollector_spark.jpeg_progressive import decode_progressive_prefix
+
+    rows = []
+    for r in pdf.to_dict("records"):
+        data = bytes(r["bytes"])[:prefix]
+        is_prog = sof_marker(data) == 0xC2
+        row = {
+            "image_id": r["image_id"],
+            "is_progressive": is_prog,
+            "scans_done": None,
+            "complete": None,
+            "preview_ok": None,
+            "phash_preview": None,
+            "preview_hamming": None,
+        }
+        if is_prog:
+            pixels, scans, complete = decode_progressive_prefix(data)
+            ph = codecs.phash64(pixels)
+            row.update(
+                scans_done=scans,
+                complete=complete,
+                preview_ok=scans >= 1,
+                phash_preview=ph,
+                preview_hamming=bin(
+                    (ph ^ int(r["phash"])) & ((1 << 64) - 1)
+                ).count("1"),
+            )
+        rows.append(row)
+    # build int columns from the PYTHON ints: letting pd.DataFrame
+    # infer float64 over the Nones would destroy int64 phash low bits
+    out = pd.DataFrame(rows, dtype=object)
+    for c in ("scans_done", "preview_hamming"):
+        out[c] = pd.array([r[c] for r in rows], dtype="Int32")
+    out["phash_preview"] = pd.array(
+        [r["phash_preview"] for r in rows], dtype="Int64"
+    )
+    return out
 
 
 def build_image_exif_meta(pdf: pd.DataFrame):
@@ -777,6 +833,16 @@ def build_all() -> dict[str, pd.DataFrame]:
         # approximation, per-scan optimal Huffman tables)
         "image_decode_verify_jpegprog": build_image_decode_verify(
             fixtures.make_corpus_jpeg_progressive(120)
+        ),
+        # byte-capped preview triage over progressive + baseline rows
+        "image_progressive_preview": build_image_progressive_preview(
+            pd.concat(
+                [
+                    fixtures.make_corpus_jpeg_progressive(120),
+                    fixtures.make_corpus_jpeg(120),
+                ],
+                ignore_index=True,
+            )
         ),
         "image_resize_meanpool": build_image_resize_meanpool(corpus),
         "phash_neardup": build_phash_neardup(neardups),

@@ -728,6 +728,33 @@ def parse_dqt(data: bytes, start: int = 0) -> dict[int, np.ndarray]:
     return tables
 
 
+def sof_marker(data: bytes, start: int = 0) -> int | None:
+    """Header-only walk to the frame marker: returns the SOFn marker
+    byte (0xC0 baseline, 0xC2 progressive, ...) or None if the prefix
+    is not a JPEG or was cut before the frame header."""
+    if data[start : start + 2] != b"\xff\xd8":
+        return None
+    pos = start + 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return marker
+        if marker in (0xD9, 0xDA):
+            return None  # scan/EOI before any SOF: not a valid frame
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        pos += 2 + length
+    return None
+
+
 def estimate_quality(table: np.ndarray, std: np.ndarray) -> tuple[int, bool]:
     """Invert the IJG quality scaling: argmin over q in 1..100 of the
     L1 distance between `_quality_scale(std, q)` and the observed

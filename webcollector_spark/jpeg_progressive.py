@@ -450,10 +450,36 @@ def encode_progressive(
 # decoder
 
 
+def decode_progressive_prefix(
+    data: bytes, start: int = 0
+) -> tuple[np.ndarray, int, bool]:
+    """Decode as much of a (possibly TRUNCATED) progressive JPEG as the
+    bytes allow: scans that arrived render, the missing tail stays at
+    whatever precision earlier scans established — exactly what a
+    browser paints mid-download. Returns (pixels, scans_completed,
+    complete). This is the scale payoff of SOF2 for a crawler: a
+    byte-capped fetch (operators/fetch.py's max_bytes) of a progressive
+    image still yields a usable low-frequency preview — the content
+    phash keys on — so dedup/triage can run BEFORE paying the full
+    transfer. Raises ValueError if no SOF2 frame fits in the prefix."""
+    return _decode_progressive(data, start, tolerate_truncation=True)[:3]
+
+
 def decode_progressive_at(data: bytes, start: int) -> tuple[np.ndarray, int]:
     """Decode one progressive JPEG beginning at byte `start`; returns
     (pixels, offset one past its EOI). Dispatched to automatically by
     jpeg.decode_baseline_at on SOF2."""
+    pixels, _, _, pos = _decode_progressive(
+        data, start, tolerate_truncation=False
+    )
+    return pixels, pos
+
+
+def _decode_progressive(
+    data: bytes, start: int, tolerate_truncation: bool
+) -> tuple[np.ndarray, int, bool, int]:
+    """Shared scan loop. Returns (pixels, scans_completed, complete,
+    pos-after-EOI)."""
     if data[start : start + 2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = start + 2
@@ -464,7 +490,8 @@ def decode_progressive_at(data: bytes, start: int) -> tuple[np.ndarray, int]:
     restart_interval = 0
     coefs: list[np.ndarray] | None = None
     hmax = vmax = mcux = mcuy = 0
-    eobrun = 0
+    scans_done = 0
+    complete = False
 
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
@@ -472,9 +499,16 @@ def decode_progressive_at(data: bytes, start: int) -> tuple[np.ndarray, int]:
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             pos += 2
+            complete = True
             break
+        if pos + 4 > len(data):
+            break  # marker arrived, its length field did not
         (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         payload = data[pos + 4 : pos + 2 + length]
+        if len(payload) < length - 2:
+            if tolerate_truncation:
+                break  # segment cut mid-payload
+            raise ValueError("truncated segment")
         pos += 2 + length
         if marker == 0xDB:
             p = 0
@@ -531,17 +565,33 @@ def decode_progressive_at(data: bytes, start: int) -> tuple[np.ndarray, int]:
             Ss, Se = payload[1 + 2 * ns], payload[2 + 2 * ns]
             a = payload[3 + 2 * ns]
             Ah, Al = a >> 4, a & 0xF
-            pos, eobrun = _decode_scan(
-                data, pos, coefs, comps, scomps, huff,
-                Ss, Se, Ah, Al, restart_interval,
-                h, w, mcuy, mcux, hmax, vmax,
-            )
+            if tolerate_truncation:
+                try:
+                    pos, _ = _decode_scan(
+                        data, pos, coefs, comps, scomps, huff,
+                        Ss, Se, Ah, Al, restart_interval,
+                        h, w, mcuy, mcux, hmax, vmax,
+                    )
+                except (ValueError, IndexError):
+                    # entropy data cut mid-scan: keep every unit that
+                    # landed before the cut, stop here
+                    pos = len(data)
+                    break
+            else:
+                pos, _ = _decode_scan(
+                    data, pos, coefs, comps, scomps, huff,
+                    Ss, Se, Ah, Al, restart_interval,
+                    h, w, mcuy, mcux, hmax, vmax,
+                )
+            scans_done += 1
         # APPn / COM: skipped
 
     if coefs is None:
         raise ValueError("no frame found")
     return (
         _reconstruct(coefs, comps, qtabs, h, w, mcuy, mcux, hmax, vmax),
+        scans_done,
+        complete,
         pos,
     )
 

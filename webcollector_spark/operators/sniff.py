@@ -216,6 +216,92 @@ def jpeg_quality(corpus: DataFrame, prefix: int = 65536) -> DataFrame:
     return sliced.mapInPandas(run, schema=JPEGQ_SCHEMA)
 
 
+PREVIEW_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("is_progressive", T.BooleanType()),
+        T.StructField("scans_done", T.IntegerType()),
+        T.StructField("complete", T.BooleanType()),
+        T.StructField("preview_ok", T.BooleanType()),
+        T.StructField("phash_preview", T.LongType()),
+        T.StructField("preview_hamming", T.IntegerType()),
+    ]
+)
+
+
+def progressive_preview(corpus: DataFrame, prefix: int = 1024) -> DataFrame:
+    """Byte-capped progressive-JPEG preview triage: decode whatever
+    scans fit in the first `prefix` bytes (jpeg_progressive.
+    decode_progressive_prefix — exactly what a browser paints
+    mid-download) and compare the preview's phash against the corpus's
+    stored full-image phash. The crawl-scale payoff of SOF2: the DC
+    scan lands in the first few hundred bytes and already carries the
+    low-frequency content phash keys on, so a byte-capped fetch
+    (operators/fetch.py max_bytes) can dedup/triage progressive images
+    BEFORE paying the full transfer. `preview_ok` gates on at least
+    one complete scan — a mid-DC-scan cut paints garbage and must not
+    feed dedup.
+
+    Same plan shape as the other triage ops: JVM-side prefix slice,
+    one shuffle-free Arrow map stage; non-progressive payloads report
+    is_progressive=false with null metrics. Reference anchor:
+    WebCollector caps fetches by size (plugin/berkeley/... fetch
+    buffer) but then discards the partial payload; this turns the
+    partial payload into a decision."""
+    from webcollector_spark import jpeg
+    from webcollector_spark.jpeg_progressive import (
+        decode_progressive_prefix,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from webcollector_spark import codecs
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                data = bytes(r["prefix"])
+                out = {
+                    "image_id": r["image_id"],
+                    "is_progressive": jpeg.sof_marker(data) == 0xC2,
+                    "scans_done": None,
+                    "complete": None,
+                    "preview_ok": None,
+                    "phash_preview": None,
+                    "preview_hamming": None,
+                }
+                if out["is_progressive"]:
+                    pixels, scans, complete = decode_progressive_prefix(data)
+                    ph = codecs.phash64(pixels)
+                    out.update(
+                        scans_done=scans,
+                        complete=complete,
+                        preview_ok=scans >= 1,
+                        phash_preview=ph,
+                        preview_hamming=bin(
+                            (ph ^ int(r["phash"])) & ((1 << 64) - 1)
+                        ).count("1"),
+                    )
+                rows.append(out)
+            # int columns from the PYTHON ints: float64 inference over
+            # None rows would destroy int64 phash low bits
+            out_pdf = pd.DataFrame(
+                rows, columns=[f.name for f in PREVIEW_SCHEMA], dtype=object
+            )
+            for c in ("scans_done", "preview_hamming"):
+                out_pdf[c] = pd.array([r[c] for r in rows], dtype="Int32")
+            out_pdf["phash_preview"] = pd.array(
+                [r["phash_preview"] for r in rows], dtype="Int64"
+            )
+            yield out_pdf
+
+    sliced = corpus.select(
+        "image_id",
+        "phash",
+        F.substring("bytes", 1, prefix).alias("prefix"),
+    )
+    return sliced.mapInPandas(run, schema=PREVIEW_SCHEMA)
+
+
 def compression_stats(sniffed: DataFrame) -> DataFrame:
     """Per-container compression profile over the sniffed metadata: row
     count, total payload bytes, and bytes-per-RGB8-pixel — the number

@@ -1934,6 +1934,31 @@ def q_image_decode_verify_jpegprog(spark, sf):
 
 
 @register(
+    "image_progressive_preview",
+    _oracle_parquet(
+        "image_progressive_preview",
+        "image_id, is_progressive, scans_done, complete, preview_ok, "
+        "phash_preview, preview_hamming",
+    ),
+)
+def q_image_progressive_preview(spark, sf):
+    """Byte-capped progressive preview triage (operators/sniff.py
+    progressive_preview): decode whatever SOF2 scans fit in a 1 KiB
+    prefix and compare the preview phash to the stored full-image
+    phash — the crawl-scale point of progressive JPEG: dedup/triage
+    BEFORE paying the full transfer. Baseline rows report
+    is_progressive=false with null metrics."""
+    from webcollector_spark.operators import images
+    from webcollector_spark.operators.sniff import progressive_preview
+
+    return progressive_preview(
+        images.corpus_jpeg_progressive_df(spark).unionByName(
+            images.corpus_jpeg_df(spark)
+        )
+    )
+
+
+@register(
     "image_decode_verify_gif",
     _oracle_parquet(
         "image_decode_verify_gif",
@@ -6002,6 +6027,7 @@ _SNAPSHOT_FIRST = [
     "image_jpeg_quality",
     "image_decode_verify_jpeg420",
     "image_decode_verify_jpegprog",
+    "image_progressive_preview",
     "soft404_hosts",
     "soft404_filter",
     "frontier_delta",
