@@ -50,6 +50,18 @@ class CrawlerConfig:
     # dropping the bytes after parsing. Enabling this at 10^10 scale
     # multiplies the round's Arrow transfer + persist by the page size.
     keep_content: bool = False
+    # Harvest-time image-quality gate (0 = off). When set, the fetch
+    # pass estimates each extracted JPEG's encode quality from its DQT
+    # header (jpeg.header_quality — no extra decode; the pixels were
+    # already decoded for phash) and, below the threshold, drops the
+    # image/caption training pair (caption + phash nulled, meta flag
+    # "img_q_low") while KEEPING the page's links: a thumbnail-mill
+    # page still routes the crawl to originals, but its payload never
+    # enters the corpus. At 10^9 images this is the storage-budget
+    # decision made at the earliest possible moment. The estimate is
+    # always recorded in meta["img_q"] when the payload is JPEG, gate
+    # on or off.
+    min_image_quality: int = 0
 
     # --- graft extensions (NOT in reference; north_rule mandates) ----
     # Per-host cap within a round (reference: one host can monopolize all

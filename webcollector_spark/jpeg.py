@@ -728,6 +728,21 @@ def parse_dqt(data: bytes, start: int = 0) -> dict[int, np.ndarray]:
     return tables
 
 
+def header_quality(data: bytes, prefix: int = 65536) -> int | None:
+    """One-call header-only quality estimate: the conservative min over
+    the present DQT tables' IJG inversions, or None when `data` is not
+    a JPEG (or carries no complete table in the prefix). The in-crawl
+    form of operators/sniff.py jpeg_quality's quality_est column."""
+    tables = parse_dqt(data[:prefix])
+    if not tables:
+        return None
+    qs = []
+    for tid, std in ((0, STD_LUMA_Q), (1, STD_CHROMA_Q)):
+        if tid in tables:
+            qs.append(estimate_quality(tables[tid], std)[0])
+    return min(qs) if qs else None
+
+
 def sof_marker(data: bytes, start: int = 0) -> int | None:
     """Header-only walk to the frame marker: returns the SOFn marker
     byte (0xC0 baseline, 0xC2 progressive, ...) or None if the prefix

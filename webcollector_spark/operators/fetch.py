@@ -28,7 +28,7 @@ from urllib.parse import urljoin
 
 import pandas as pd
 
-from webcollector_spark import codecs
+from webcollector_spark import codecs, jpeg
 from webcollector_spark.config import CrawlerConfig
 from webcollector_spark.functions import html as H
 from webcollector_spark.functions.charset import decode_html
@@ -137,6 +137,20 @@ def _fetch_one(
                 out["phash"] = codecs.phash64(codecs.decode(img_bytes))
             except ValueError:
                 out["phash"] = None
+            # header-only quality estimate (JPEG payloads): recorded in
+            # meta always; below cfg.min_image_quality the training
+            # pair is dropped at harvest (caption + phash nulled) while
+            # the page's LINKS survive — a thumbnail-mill page still
+            # routes the crawl, its payload never enters the corpus.
+            q = jpeg.header_quality(img_bytes)
+            if q is not None:
+                meta = dict(out.get("meta") or {})
+                meta["img_q"] = str(q)
+                if cfg.min_image_quality and q < cfg.min_image_quality:
+                    meta["img_q_low"] = "1"
+                    out["caption"] = None
+                    out["phash"] = None
+                out["meta"] = meta
         if row.get("meta") and row["meta"].get("image_id"):
             out["image_id"] = row["meta"]["image_id"]
         else:
@@ -247,6 +261,7 @@ def fetch(
         max_receive_size=cfg.max_receive_size, regex_rules=rules,
         keep_content=cfg.keep_content, next_filter=cfg.next_filter,
         parse_sitemaps=cfg.parse_sitemaps,
+        min_image_quality=cfg.min_image_quality,
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
