@@ -110,15 +110,56 @@ def test_png_rejections():
 
     px = fixtures.ground_truth_pixels("img00000024", 8, 8)
     data = bytearray(codecs.encode_png(px))
-    # interlace byte lives at IHDR offset +12 within the payload
     ihdr_payload = data.index(b"IHDR") + 4
+    # lying interlace byte on a sequential stream: the Adam7 pass
+    # layout no longer matches the byte count — refuse, don't garble
     data[ihdr_payload + 12] = 1
-    # CRC now wrong but the decoder (like most fast paths) checks
-    # structure, not CRCs; it must still refuse interlace
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="mismatch|filter"):
+        codecs.decode_png(bytes(data))
+    # unknown interlace method
+    data[ihdr_payload + 12] = 2
+    with pytest.raises(ValueError, match="interlace"):
         codecs.decode_png(bytes(data))
     bad = _png_from_scanlines(
         b"\x09" + bytes(8 * 3), 8, 1
     )
     with pytest.raises(ValueError):
         codecs.decode_png(bad)
+
+
+def test_png_adam7_roundtrip_and_foreign_filters():
+    """Adam7 interlace: bit-exact roundtrip at every edge geometry
+    (passes vanish entirely below 5x5), and externally Sub-filtered
+    passes must invert — each pass is its own filter context."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(31)
+    for w, h in ((64, 48), (33, 17), (8, 8), (7, 3), (1, 1), (9, 1), (1, 9), (4, 4)):
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        data = codecs.encode_png(px, interlace=True)
+        assert np.array_equal(codecs.decode_png(data), px), (w, h)
+        assert codecs.sniff_header(data) == ("png", w, h)
+        assert np.array_equal(codecs.decode(data), px)  # magic dispatch
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    parts = []
+    for x0, y0, dx, dy in codecs._ADAM7:
+        sub = px[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        flat = sub.reshape(ph, pw * 3).astype(np.int16)
+        filt = flat.copy()
+        filt[:, 3:] = (flat[:, 3:] - flat[:, :-3]) % 256  # Sub
+        raw = np.empty((ph, 1 + pw * 3), dtype=np.uint8)
+        raw[:, 0] = 1
+        raw[:, 1:] = filt.astype(np.uint8)
+        parts.append(raw.tobytes())
+    ihdr = struct.pack(">IIBBBBB", 16, 16, 8, 2, 0, 0, 1)
+    data = (
+        codecs._PNG_SIG
+        + codecs._chunk(b"IHDR", ihdr)
+        + codecs._chunk(b"IDAT", zlib.compress(b"".join(parts)))
+        + codecs._chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.decode_png(data), px)

@@ -110,6 +110,7 @@ def test_multimodal_oracle_parquet_fresh():
         "image_decode_verify_jpeg420",
         "image_decode_verify_jpegprog",
         "image_progressive_preview",
+        "image_decode_verify_pngi",
         "audio_features_adpcm",
         "audio_features_ulaw",
         "video_frames_avi",

@@ -80,6 +80,8 @@ SCHEMAS = {
     "image_decode_verify_jpeg420": _DECODE_VERIFY_SCHEMA,
     # same verify shape over the progressive (SOF2) corpus
     "image_decode_verify_jpegprog": _DECODE_VERIFY_SCHEMA,
+    # same verify shape over the Adam7-interlaced PNG corpus
+    "image_decode_verify_pngi": _DECODE_VERIFY_SCHEMA,
     "image_progressive_preview": pa.schema(
         [
             ("image_id", pa.string()),
@@ -833,6 +835,10 @@ def build_all() -> dict[str, pd.DataFrame]:
         # approximation, per-scan optimal Huffman tables)
         "image_decode_verify_jpegprog": build_image_decode_verify(
             fixtures.make_corpus_jpeg_progressive(120)
+        ),
+        # Adam7 seven-pass interlace; lossless -> bit-exact rows
+        "image_decode_verify_pngi": build_image_decode_verify(
+            fixtures.make_corpus_png_interlaced(100)
         ),
         # byte-capped preview triage over progressive + baseline rows
         "image_progressive_preview": build_image_progressive_preview(

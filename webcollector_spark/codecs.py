@@ -43,19 +43,47 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """RGB8 HxWx3 array -> PNG bytes (filter 0, zlib level 6)."""
+#: Adam7 pass grid (PNG spec §8.2): (x0, y0, dx, dy) per pass. The
+#: first pass carries 1/64 of the pixels — the interlaced format's
+#: whole point is an early preview, same idea as progressive JPEG's
+#: DC scan.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """RGB8 HxWx3 array -> PNG bytes (filter 0, zlib level 6).
+    interlace=True writes Adam7: seven sub-images, each filtered
+    independently, concatenated into one zlib stream (spec §8.2)."""
     h, w, c = pixels.shape
     assert c == 3 and pixels.dtype == np.uint8
-    # one filter byte (0 = None) per scanline, then raw RGB
-    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
-    raw[:, 0] = 0
-    raw[:, 1:] = pixels.reshape(h, w * 3)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, color type 2 (RGB)
+    if not interlace:
+        # one filter byte (0 = None) per scanline, then raw RGB
+        raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+        raw[:, 0] = 0
+        raw[:, 1:] = pixels.reshape(h, w * 3)
+        payload = raw.tobytes()
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = pixels[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue  # empty pass: contributes NOTHING, not a row
+            raw = np.empty((ph, 1 + pw * 3), dtype=np.uint8)
+            raw[:, 0] = 0
+            raw[:, 1:] = sub.reshape(ph, pw * 3)
+            parts.append(raw.tobytes())
+        payload = b"".join(parts)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0
+    )  # 8-bit, color type 2 (RGB)
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _chunk(b"IDAT", zlib.compress(payload, 6))
         + _chunk(b"IEND", b"")
     )
 
@@ -107,14 +135,15 @@ def _unfilter(raw: np.ndarray, h: int, w: int) -> np.ndarray:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> RGB8 HxWx3. 8-bit RGB (color type 2),
-    non-interlaced, all five scanline filter types — reads what
-    standard writers emit for truecolor images; other color types /
-    depths / interlace raise."""
+    """PNG bytes -> RGB8 HxWx3. 8-bit RGB (color type 2), both
+    interlace methods (none + Adam7), all five scanline filter types —
+    reads what standard writers emit for truecolor images; other color
+    types / depths raise."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, w = 8, 0
     h = 0
+    interlace = 0
     idat = bytearray()
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -127,17 +156,35 @@ def decode_png(data: bytes) -> np.ndarray:
             )
             if depth != 8 or ctype != 2:
                 raise ValueError("only 8-bit RGB PNGs supported")
-            if interlace:
-                raise NotImplementedError("interlaced PNG not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    raw = raw.reshape(h, 1 + w * 3)
-    if (raw[:, 0] == 0).all():  # our encoder's shape: fully vectorized
-        return raw[:, 1:].reshape(h, w, 3).copy()
-    return _unfilter(raw, h, w).reshape(h, w, 3)
+    stream = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if not interlace:
+        raw = stream.reshape(h, 1 + w * 3)
+        if (raw[:, 0] == 0).all():  # our encoder's shape: fully vectorized
+            return raw[:, 1:].reshape(h, w, 3).copy()
+        return _unfilter(raw, h, w).reshape(h, w, 3)
+    # Adam7 (spec §8.2): seven independently-filtered sub-images in one
+    # zlib stream; empty passes contribute nothing
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    p = 0
+    for x0, y0, dx, dy in _ADAM7:
+        ph = (h - y0 + dy - 1) // dy
+        pw = (w - x0 + dx - 1) // dx
+        if ph == 0 or pw == 0:
+            continue
+        n = ph * (1 + pw * 3)
+        raw = stream[p : p + n].reshape(ph, 1 + pw * 3)
+        p += n
+        sub = _unfilter(raw, ph, pw).reshape(ph, pw, 3)
+        out[y0::dy, x0::dx] = sub
+    if p != len(stream):
+        raise ValueError("interlaced PNG stream length mismatch")
+    return out
 
 
 def encode_lossy(pixels: np.ndarray) -> bytes:

@@ -181,6 +181,36 @@ def make_corpus_jpeg_subsampled(
     return pd.DataFrame(rows)
 
 
+def make_corpus_png_interlaced(
+    n: int = 100, seed: int = SEED, sizes: tuple[int, ...] = (32, 64)
+) -> pd.DataFrame:
+    """Adam7-interlaced PNG corpus (ids `pni*`): the same noise ground
+    truth as the base corpus — PNG is lossless either way, so the row
+    invariant is BIT-EXACTNESS, and what the corpus exercises is the
+    seven-pass de-interleave against standard writers' output."""
+    rng = np.random.default_rng(seed + 17)
+    sizes = np.array(sizes)
+    rows = []
+    for i in range(n):
+        image_id = f"pni{i:08d}"
+        w = int(sizes[rng.integers(0, len(sizes))])
+        h = int(sizes[rng.integers(0, len(sizes))])
+        pixels = ground_truth_pixels(image_id, w, h)
+        data = codecs.encode_png(pixels, interlace=True)
+        rows.append(
+            {
+                "image_id": image_id,
+                "bytes": data,
+                "w": w,
+                "h": h,
+                "fmt": "png",
+                "caption": f"caption of {image_id}",
+                "phash": codecs.phash64(pixels),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def make_corpus_jpeg_progressive(
     n: int = 120, seed: int = SEED, sizes: tuple[int, ...] = (32, 64)
 ) -> pd.DataFrame:

@@ -110,6 +110,13 @@ def corpus_jpeg_subsampled_df(spark: SparkSession, n: int = 120) -> DataFrame:
     return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
 
 
+def corpus_png_interlaced_df(spark: SparkSession, n: int = 100) -> DataFrame:
+    """Adam7-interlaced PNG corpus — lossless, so decode must be
+    bit-exact; fixtures.make_corpus_png_interlaced."""
+    pdf = fixtures.make_corpus_png_interlaced(n)
+    return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+
+
 def corpus_jpeg_progressive_df(spark: SparkSession, n: int = 120) -> DataFrame:
     """Progressive (SOF2) real-JPEG corpus — multi-scan spectral
     selection + successive approximation streams across all three

@@ -1959,6 +1959,24 @@ def q_image_progressive_preview(spark, sf):
 
 
 @register(
+    "image_decode_verify_pngi",
+    _oracle_parquet(
+        "image_decode_verify_pngi",
+        "image_id, w, h, fmt, psnr_db, psnr_ok, phash_match",
+    ),
+)
+def q_image_decode_verify_pngi(spark, sf):
+    """Verify dataflow over Adam7-INTERLACED PNG (codecs.decode_png
+    interlace method 1 — the lossless analog of progressive JPEG:
+    seven sub-images, each its own filter context, first pass 1/64 of
+    the pixels). Lossless, so every row must be bit-exact (PSNR inf)
+    with phash identity."""
+    from webcollector_spark.operators import images
+
+    return images.decode_verify(images.corpus_png_interlaced_df(spark))
+
+
+@register(
     "image_decode_verify_gif",
     _oracle_parquet(
         "image_decode_verify_gif",
@@ -6028,6 +6046,7 @@ _SNAPSHOT_FIRST = [
     "image_decode_verify_jpeg420",
     "image_decode_verify_jpegprog",
     "image_progressive_preview",
+    "image_decode_verify_pngi",
     "soft404_hosts",
     "soft404_filter",
     "frontier_delta",
