@@ -163,3 +163,103 @@ def test_png_adam7_roundtrip_and_foreign_filters():
         + codecs._chunk(b"IEND", b"")
     )
     assert np.array_equal(codecs.decode_png(data), px)
+
+
+def test_png_all_color_types_decode():
+    """Every 8-bit color type the web serves — RGBA (alpha dropped),
+    grayscale (HxW like the JPEG path), gray+alpha, palette at all
+    sub-byte depths — plus bpp=4 filter context and interlaced
+    palette. Streams are hand-packed per spec §11, so the decoder is
+    checked against the wire format, not against itself."""
+    import struct
+    import zlib
+
+    def make_png(w, h, depth, ctype, payload, plte=None, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        out = codecs._PNG_SIG + codecs._chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += codecs._chunk(b"PLTE", plte)
+        out += codecs._chunk(b"IDAT", zlib.compress(payload))
+        return out + codecs._chunk(b"IEND", b"")
+
+    rng = np.random.default_rng(6)
+    w, h = 13, 7
+
+    rgba = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    rows = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+    assert np.array_equal(
+        codecs.decode_png(make_png(w, h, 8, 6, rows)), rgba[..., :3]
+    )
+
+    g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    rows = b"".join(b"\x00" + g[y].tobytes() for y in range(h))
+    out = codecs.decode_png(make_png(w, h, 8, 0, rows))
+    assert out.shape == (h, w) and np.array_equal(out, g)
+
+    ga = rng.integers(0, 256, (h, w, 2), dtype=np.uint8)
+    rows = b"".join(b"\x00" + ga[y].tobytes() for y in range(h))
+    assert np.array_equal(
+        codecs.decode_png(make_png(w, h, 8, 4, rows)), ga[..., 0]
+    )
+
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+    rows = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    assert np.array_equal(
+        codecs.decode_png(make_png(w, h, 8, 3, rows, plte=pal.tobytes())),
+        pal[idx],
+    )
+
+    for depth in (1, 2, 4):
+        nc = 1 << depth
+        p2 = rng.integers(0, 256, (nc, 3), dtype=np.uint8)
+        i2 = rng.integers(0, nc, (h, w), dtype=np.uint8)
+        rows = b""
+        for y in range(h):
+            bits = np.unpackbits(i2[y][:, None], axis=1)[:, 8 - depth :]
+            flat = bits.flatten()
+            flat = np.concatenate(
+                [flat, np.zeros((-len(flat)) % 8, dtype=np.uint8)]
+            )
+            rows += b"\x00" + np.packbits(flat).tobytes()
+        assert np.array_equal(
+            codecs.decode_png(
+                make_png(w, h, depth, 3, rows, plte=p2.tobytes())
+            ),
+            p2[i2],
+        ), depth
+
+    # Sub filter at bpp=4: the filter unit follows the channel count
+    flat = rgba.reshape(h, w * 4).astype(np.int16)
+    filt = flat.copy()
+    filt[:, 4:] = (flat[:, 4:] - flat[:, :-4]) % 256
+    rows = b"".join(
+        b"\x01" + filt[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+    assert np.array_equal(
+        codecs.decode_png(make_png(w, h, 8, 6, rows)), rgba[..., :3]
+    )
+
+    # interlaced palette
+    parts = []
+    for x0, y0, dx, dy in codecs._ADAM7:
+        sub = idx[y0::dy, x0::dx]
+        ph, pw = sub.shape
+        if ph == 0 or pw == 0:
+            continue
+        parts.append(b"".join(b"\x00" + sub[y].tobytes() for y in range(ph)))
+    assert np.array_equal(
+        codecs.decode_png(
+            make_png(w, h, 8, 3, b"".join(parts), plte=pal.tobytes(), interlace=1)
+        ),
+        pal[idx],
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="16-bit"):
+        codecs.decode_png(make_png(w, h, 16, 2, b""))
+    with pytest.raises(ValueError, match="PLTE"):
+        codecs.decode_png(
+            make_png(w, h, 8, 3, b"".join(b"\x00" + idx[y].tobytes() for y in range(h)))
+        )

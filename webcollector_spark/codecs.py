@@ -98,34 +98,38 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def _unfilter(raw: np.ndarray, h: int, w: int) -> np.ndarray:
-    """Invert PNG scanline filtering (all 5 types, bpp=3). Filters 0-2
-    vectorize (copy / per-lane cumsum / +prev row); 3-4 need the left
-    neighbor so they fall back to a per-byte walk — correct-first: our
-    own encoder emits filter 0 (the hot path stays vectorized), types
-    1-4 appear only in externally-produced PNGs."""
-    out = np.zeros((h, w * 3), dtype=np.uint8)
-    prev = np.zeros(w * 3, dtype=np.uint8)
+def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int = 3) -> np.ndarray:
+    """Invert PNG scanline filtering (all 5 types). `w` is the SAMPLE
+    count per row and `bpp` the filter unit in bytes (spec §9: 1 for
+    gray/palette-8, 2 gray+alpha, 3 RGB, 4 RGBA; sub-byte palette rows
+    pass w = rowbytes with bpp=1). Filters 0-2 vectorize (copy /
+    per-lane cumsum / +prev row); 3-4 need the left neighbor so they
+    fall back to a per-byte walk — correct-first: our own encoder
+    emits filter 0 (the hot path stays vectorized), types 1-4 appear
+    only in externally-produced PNGs."""
+    rb = w * bpp
+    out = np.zeros((h, rb), dtype=np.uint8)
+    prev = np.zeros(rb, dtype=np.uint8)
     for y in range(h):
         ftype = int(raw[y, 0])
         line = raw[y, 1:]
         if ftype == 0:
             rec = line.copy()
-        elif ftype == 1:  # Sub: cumsum per 3-byte lane, mod 256
+        elif ftype == 1:  # Sub: cumsum per bpp-byte lane, mod 256
             rec = np.cumsum(
-                line.reshape(w, 3).astype(np.uint64), axis=0
+                line.reshape(w, bpp).astype(np.uint64), axis=0
             ).astype(np.uint8).reshape(-1)
         elif ftype == 2:  # Up
             rec = line + prev
         elif ftype in (3, 4):
-            rec = np.empty(w * 3, dtype=np.uint8)
-            for x in range(w * 3):
-                left = int(rec[x - 3]) if x >= 3 else 0
+            rec = np.empty(rb, dtype=np.uint8)
+            for x in range(rb):
+                left = int(rec[x - bpp]) if x >= bpp else 0
                 up = int(prev[x])
                 if ftype == 3:  # Average
                     rec[x] = (int(line[x]) + ((left + up) >> 1)) & 0xFF
                 else:  # Paeth
-                    ul = int(prev[x - 3]) if x >= 3 else 0
+                    ul = int(prev[x - bpp]) if x >= bpp else 0
                     rec[x] = (int(line[x]) + _paeth(left, up, ul)) & 0xFF
         else:
             raise ValueError(f"bad PNG filter type {ftype} on row {y}")
@@ -134,16 +138,23 @@ def _unfilter(raw: np.ndarray, h: int, w: int) -> np.ndarray:
     return out
 
 
+#: channels per PNG color type (spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> RGB8 HxWx3. 8-bit RGB (color type 2), both
-    interlace methods (none + Adam7), all five scanline filter types —
-    reads what standard writers emit for truecolor images; other color
-    types / depths raise."""
+    """PNG bytes -> pixels: every color type the web serves at 8-bit
+    depth — RGB (2), RGBA (6, alpha dropped), grayscale (0, returns
+    HxW like the JPEG path), gray+alpha (4, alpha dropped), palette
+    (3, at ALL sub-byte depths 1/2/4/8) — both interlace methods
+    (none + Adam7) and all five scanline filter types. 16-bit depths
+    raise; alpha is dropped rather than composited (the crawl treats
+    pixels as content identity, not presentation)."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
-    pos, w = 8, 0
-    h = 0
-    interlace = 0
+    pos, w, h = 8, 0, 0
+    depth = ctype = interlace = 0
+    plte = b""
     idat = bytearray()
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -154,37 +165,77 @@ def decode_png(data: bytes) -> np.ndarray:
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", payload[:13]
             )
-            if depth != 8 or ctype != 2:
-                raise ValueError("only 8-bit RGB PNGs supported")
+            if ctype not in _PNG_CHANNELS:
+                raise ValueError(f"bad PNG color type {ctype}")
+            if ctype == 3:
+                if depth not in (1, 2, 4, 8):
+                    raise ValueError(f"bad palette depth {depth}")
+            elif depth != 8:
+                raise ValueError("16-bit PNG not supported")
             if interlace not in (0, 1):
                 raise ValueError(f"bad PNG interlace method {interlace}")
+        elif tag == b"PLTE":
+            plte = bytes(payload)
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
+    nch = _PNG_CHANNELS[ctype]
+
+    def rowbytes(pw: int) -> int:
+        return (pw * nch * depth + 7) // 8
+
+    def region(raw: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        """(ph, 1+rowbytes) filtered rows -> (ph, pw, nch) samples."""
+        if depth == 8:
+            if (raw[:, 0] == 0).all():  # filter-None: fully vectorized
+                rec = raw[:, 1:].copy()
+            else:
+                rec = _unfilter(raw, ph, pw, nch)
+            return rec.reshape(ph, pw, nch)
+        # sub-byte palette: filters act on the PACKED bytes (bpp=1)
+        rb = rowbytes(pw)
+        rec = _unfilter(raw, ph, rb, 1)
+        bits = np.unpackbits(rec, axis=1).reshape(ph, rb * 8 // depth, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        vals = (bits * weights).sum(axis=2).astype(np.uint8)
+        return vals[:, :pw, None]
+
     stream = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     if not interlace:
-        raw = stream.reshape(h, 1 + w * 3)
-        if (raw[:, 0] == 0).all():  # our encoder's shape: fully vectorized
-            return raw[:, 1:].reshape(h, w, 3).copy()
-        return _unfilter(raw, h, w).reshape(h, w, 3)
-    # Adam7 (spec §8.2): seven independently-filtered sub-images in one
-    # zlib stream; empty passes contribute nothing
-    out = np.zeros((h, w, 3), dtype=np.uint8)
-    p = 0
-    for x0, y0, dx, dy in _ADAM7:
-        ph = (h - y0 + dy - 1) // dy
-        pw = (w - x0 + dx - 1) // dx
-        if ph == 0 or pw == 0:
-            continue
-        n = ph * (1 + pw * 3)
-        raw = stream[p : p + n].reshape(ph, 1 + pw * 3)
-        p += n
-        sub = _unfilter(raw, ph, pw).reshape(ph, pw, 3)
-        out[y0::dy, x0::dx] = sub
-    if p != len(stream):
-        raise ValueError("interlaced PNG stream length mismatch")
-    return out
+        samples = region(stream.reshape(h, 1 + rowbytes(w)), h, w)
+    else:
+        # Adam7 (spec §8.2): seven independently-filtered sub-images in
+        # one zlib stream; empty passes contribute nothing
+        samples = np.zeros((h, w, nch), dtype=np.uint8)
+        p = 0
+        for x0, y0, dx, dy in _ADAM7:
+            ph = (h - y0 + dy - 1) // dy
+            pw = (w - x0 + dx - 1) // dx
+            if ph == 0 or pw == 0:
+                continue
+            n = ph * (1 + rowbytes(pw))
+            raw = stream[p : p + n].reshape(ph, 1 + rowbytes(pw))
+            p += n
+            samples[y0::dy, x0::dx] = region(raw, ph, pw)
+        if p != len(stream):
+            raise ValueError("interlaced PNG stream length mismatch")
+
+    if ctype == 2:
+        return samples
+    if ctype == 6:
+        return samples[..., :3].copy()
+    if ctype in (0, 4):
+        return samples[..., 0].copy()
+    # palette: index -> PLTE triple; out-of-range indices are corrupt
+    pal = np.frombuffer(plte, dtype=np.uint8)
+    if len(pal) < 3 or len(pal) % 3:
+        raise ValueError("palette PNG without a valid PLTE chunk")
+    pal = pal.reshape(-1, 3)
+    idx = samples[..., 0]
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("palette index out of range")
+    return pal[idx]
 
 
 def encode_lossy(pixels: np.ndarray) -> bytes:
