@@ -96,12 +96,15 @@ def test_gif89a_extensions_and_local_color_table():
 def test_rejections():
     img = PALETTE216[np.arange(216) % 216].reshape(6, 36, 3)
     data = gif.encode_gif87a(np.ascontiguousarray(img))
-    # interlace flag set -> honest NotImplementedError
-    bad = bytearray(data)
+    # interlace flag flipped on a NON-interlaced stream: decodes (the
+    # four-pass shuffle is supported now, test_gif_anim.py) but yields
+    # a row permutation of the original, never the original itself
+    flipped = bytearray(data)
     desc = data.index(b"\x2c")
-    bad[desc + 9] |= 0x40
-    with pytest.raises(NotImplementedError):
-        gif.decode_gif87a(bytes(bad))
+    flipped[desc + 9] |= 0x40
+    got = gif.decode_gif87a(bytes(flipped))
+    assert not np.array_equal(got, img)
+    assert np.array_equal(got[gif._interlace_order(6)], img)
     # >256 unique colors is the caller's quantization decision
     rng = np.random.default_rng(0)
     with pytest.raises(ValueError):

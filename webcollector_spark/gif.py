@@ -14,9 +14,17 @@ variable-width LZW exactly as GIF specifies —
   skipped (a GIF87a decoder may ignore them per the 89a spec's
   block-skipping rules).
 
-Interlaced images and animation (multi-frame) are honestly
-NotImplementedError — the corpus is single-frame non-interlaced, the
-dominant shape for crawl payload thumbnails.
+Interlaced rasters and GIF89a animation are fully decoded too:
+
+* **Interlace** — the four-pass row shuffle (rows 0/8, 4/8, 2/4, 1/2,
+  spec appendix E) in both directions, the 1-D twin of PNG's Adam7;
+* **Animation** — Graphic Control Extensions (delay, transparent
+  index, disposal), local color tables, sub-rectangle frames, and the
+  three disposal methods (1 leave, 2 restore-to-background, 3
+  restore-to-previous) composed onto the logical-screen canvas exactly
+  as a browser does; the encoder emits delta sub-rects (changed
+  bounding box, unchanged pixels transparent) — the format's actual
+  inter-frame compression — plus the NETSCAPE2.0 loop block.
 
 GIF is lossless ON PALETTED INPUT (<= 256 unique colors): the fixture
 corpus posterizes ground truth to 6 levels/channel (216 colors), so
@@ -159,6 +167,19 @@ def lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> np.ndarray:
     return out
 
 
+#: GIF interlace passes (spec appendix E): (first_row, row_step).
+#: Pass 1 carries every 8th row starting at 0 — the 1-D analogue of
+#: PNG's Adam7 early-preview layout.
+_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _interlace_order(h: int) -> np.ndarray:
+    """Row indices in the order an interlaced stream stores them."""
+    return np.concatenate(
+        [np.arange(start, h, step) for start, step in _INTERLACE]
+    ).astype(np.int64)
+
+
 def _sub_blocks(payload: bytes) -> bytes:
     out = bytearray()
     for off in range(0, len(payload), 255):
@@ -169,60 +190,200 @@ def _sub_blocks(payload: bytes) -> bytes:
     return bytes(out)
 
 
-def encode_gif87a(pixels: np.ndarray) -> bytes:
-    """RGB8 HxWx3 (<= 256 unique colors) -> GIF87a bytes. Raises
-    ValueError above 256 colors — quantization is the caller's policy
-    decision, not something a codec should do silently."""
-    h, w, c = pixels.shape
-    assert c == 3 and pixels.dtype == np.uint8
-    flat = pixels.reshape(-1, 3)
+def _palettize(flat: np.ndarray, reserve: int = 0):
+    """np.unique palette + inverse indices; raises above 256 - reserve
+    colors (quantization is the caller's policy decision, not something
+    a codec should do silently)."""
     palette, inverse = np.unique(flat, axis=0, return_inverse=True)
     n_colors = len(palette)
-    if n_colors > 256:
-        raise ValueError(f"{n_colors} unique colors > 256; palettize first")
-    table_bits = max(1, int(np.ceil(np.log2(max(n_colors, 2)))))
+    if n_colors > 256 - reserve:
+        raise ValueError(
+            f"{n_colors} unique colors > {256 - reserve}; palettize first"
+        )
+    return palette, inverse.astype(np.int32)
+
+
+def _table_fields(n_slots: int):
+    """(table_bits, mcs, padded color count) for an n_slot palette."""
+    table_bits = max(1, int(np.ceil(np.log2(max(n_slots, 2)))))
+    return table_bits, max(2, table_bits)
+
+
+def encode_gif87a(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """RGB8 HxWx3 (<= 256 unique colors) -> GIF87a bytes.
+    interlace=True stores rows in the four-pass order (spec appendix E)
+    and sets the image-descriptor interlace flag."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    palette, inverse = _palettize(pixels.reshape(-1, 3))
+    table_bits, mcs = _table_fields(len(palette))
     gct = np.zeros((1 << table_bits, 3), dtype=np.uint8)
-    gct[:n_colors] = palette
-    mcs = max(2, table_bits)
+    gct[: len(palette)] = palette
     packed = 0x80 | ((table_bits - 1) << 4) | (table_bits - 1)
     out = bytearray(b"GIF87a")
     out += struct.pack("<HHBBB", w, h, packed, 0, 0)
     out += gct.tobytes()
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # no LCT, no interlace
+    ipacked = 0x40 if interlace else 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
     out.append(mcs)
-    out += _sub_blocks(lzw_encode(inverse.astype(np.int32), mcs))
+    idx = inverse.reshape(h, w)
+    if interlace:
+        idx = idx[_interlace_order(h)]
+    out += _sub_blocks(lzw_encode(idx.reshape(-1), mcs))
     out += b"\x3b"
     return bytes(out)
 
 
-def decode_gif87a(data: bytes) -> np.ndarray:
-    """GIF bytes -> RGB8 HxWx3 (first frame, non-interlaced)."""
+def encode_gif89a_anim(
+    frames: list[np.ndarray],
+    delays_cs: list[int] | None = None,
+    disposals: list[int] | None = None,
+    loop: int | None = 0,
+    delta: bool = True,
+) -> bytes:
+    """Full frames -> animated GIF89a bytes.
+
+    One GLOBAL palette over all frames (<= 255 unique colors; one slot
+    is reserved for transparency), a NETSCAPE2.0 loop block when
+    ``loop`` is not None, and per-frame Graphic Control Extensions.
+
+    ``delta=True`` is the format's real inter-frame compression: each
+    frame after the first is emitted as the bounding sub-rectangle of
+    pixels that differ from the decoder's canvas, with unchanged pixels
+    inside the rect mapped to the transparent index. The encoder
+    simulates the decoder's canvas (including disposal 2/3 restores),
+    so ``decode_gif_frames`` reproduces every input frame bit-exact.
+
+    ``disposals[k]`` (default 1 = leave in place) applies AFTER frame k
+    is shown: 2 restores the frame's rect to the background color
+    (palette slot of the screen-descriptor background index), 3
+    restores the pre-draw canvas.
+    """
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w, c = frames[0].shape
+    assert c == 3 and frames[0].dtype == np.uint8
+    for fr in frames:
+        if fr.shape != (h, w, 3):
+            raise ValueError("all frames must share the logical screen size")
+    delays_cs = delays_cs or [10] * len(frames)
+    disposals = disposals or [1] * len(frames)
+
+    flat = np.concatenate([fr.reshape(-1, 3) for fr in frames])
+    palette, inverse = _palettize(flat, reserve=1)
+    n_colors = len(palette)
+    tindex = n_colors  # reserved transparent slot, RGB value unused
+    table_bits, mcs = _table_fields(n_colors + 1)
+    gct = np.zeros((1 << table_bits, 3), dtype=np.uint8)
+    gct[:n_colors] = palette
+    per_frame = [
+        inverse[i * h * w : (i + 1) * h * w].reshape(h, w)
+        for i in range(len(frames))
+    ]
+
+    packed = 0x80 | ((table_bits - 1) << 4) | (table_bits - 1)
+    bg_index = 0
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, packed, bg_index, 0)
+    out += gct.tobytes()
+    if loop is not None:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop) + b"\x00"
+
+    # simulated decoder canvas, as palette indices; starts as the
+    # background-filled logical screen exactly like the decoder's
+    canvas = np.full((h, w), bg_index, dtype=np.int32)
+    for k, (fr_idx, delay, disp) in enumerate(
+        zip(per_frame, delays_cs, disposals)
+    ):
+        if not delta:
+            left = top = 0
+            rect = fr_idx
+            transparent = False
+        else:
+            changed = fr_idx != canvas
+            ys, xs = np.nonzero(changed)
+            if len(ys) == 0:
+                # identical frame: 1x1 fully-transparent rect keeps the
+                # frame (and its delay) on the wire without repainting
+                left = top = 0
+                rect = np.full((1, 1), tindex, dtype=np.int32)
+                transparent = True
+            else:
+                top, bottom = int(ys.min()), int(ys.max()) + 1
+                left, right = int(xs.min()), int(xs.max()) + 1
+                rect = fr_idx[top:bottom, left:right].copy()
+                keep = changed[top:bottom, left:right]
+                rect[~keep] = tindex
+                transparent = bool((~keep).any())
+        gce_packed = (disp & 0x07) << 2 | (1 if transparent else 0)
+        out += b"\x21\xf9\x04" + bytes([gce_packed])
+        out += struct.pack("<H", delay)
+        out += bytes([tindex if transparent else 0, 0])
+        rh, rw = rect.shape
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, rw, rh, 0)
+        out.append(mcs)
+        out += _sub_blocks(lzw_encode(rect.reshape(-1).astype(np.int32), mcs))
+        # mirror the decoder: draw, then apply disposal for the next frame
+        pre_draw = canvas.copy()
+        canvas = fr_idx.copy()
+        if disp == 2:
+            canvas[top : top + rh, left : left + rw] = bg_index
+        elif disp == 3:
+            canvas = pre_draw
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
+    """GIF bytes -> [(delay_cs, RGB8 HxWx3 composed frame), ...].
+
+    The full GIF89a rendering model: frames are sub-rectangles drawn
+    onto the logical-screen canvas; a preceding Graphic Control
+    Extension supplies delay, transparent index (pixels left showing
+    the canvas), and the disposal applied AFTER the frame is shown
+    (1/0 leave, 2 restore rect to background color, 3 restore the
+    pre-draw canvas). Interlaced rasters are de-shuffled via the
+    four-pass row order. NETSCAPE/comment/plain-text extensions are
+    skipped by the 89a block-skipping rules."""
     if data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF")
-    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    sw, sh, packed, bg_index, _ar = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     gct = None
     if packed & 0x80:
         n = 1 << ((packed & 0x07) + 1)
         gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
+    bg_rgb = (
+        gct[bg_index] if gct is not None and bg_index < len(gct) else
+        np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).astype(np.uint8).copy()
+    frames: list[tuple[int, np.ndarray]] = []
+    delay_cs, tindex, disposal = 0, -1, 0  # GCE state for the next image
     while pos < len(data):
         block = data[pos]
         pos += 1
         if block == 0x3B:  # trailer
             break
-        if block == 0x21:  # extension: label + sub-blocks, skip
+        if block == 0x21:  # extension
+            label = data[pos]
             pos += 1
-            while data[pos]:
+            if label == 0xF9:  # Graphic Control Extension
+                ln = data[pos]
+                gce = data[pos + 1 : pos + 1 + ln]
+                gpacked = gce[0]
+                disposal = (gpacked >> 2) & 0x07
+                (delay_cs,) = struct.unpack("<H", gce[1:3])
+                tindex = gce[3] if gpacked & 0x01 else -1
+            while data[pos]:  # skip (or finish) sub-blocks
                 pos += 1 + data[pos]
             pos += 1
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block {block:#x} at {pos - 1}")
-        _l, _t, iw, ih, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
+        left, top, iw, ih, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
-        if ipacked & 0x40:
-            raise NotImplementedError("interlaced GIF not supported")
         table = gct
         if ipacked & 0x80:
             n = 1 << ((ipacked & 0x07) + 1)
@@ -238,8 +399,32 @@ def decode_gif87a(data: bytes) -> np.ndarray:
             payload += data[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
         pos += 1
-        idx = lzw_decode(bytes(payload), mcs, iw * ih)
-        if int(idx.max(initial=0)) >= len(table):
+        idx = lzw_decode(bytes(payload), mcs, iw * ih).reshape(ih, iw)
+        if ipacked & 0x40:  # interlaced: stream rows -> natural rows
+            natural = np.empty_like(idx)
+            natural[_interlace_order(ih)] = idx
+            idx = natural
+        opaque = idx != tindex if tindex >= 0 else np.ones_like(idx, bool)
+        if int(idx[opaque].max(initial=0)) >= len(table):
             raise ValueError("palette index out of range")
-        return table[idx].reshape(ih, iw, 3).copy()
-    raise ValueError("no image block in GIF")
+        if top + ih > sh or left + iw > sw:
+            raise ValueError("frame rect exceeds logical screen")
+        pre_draw = canvas.copy()
+        region = canvas[top : top + ih, left : left + iw]
+        region[opaque] = table[idx[opaque]]
+        frames.append((delay_cs, canvas.copy()))
+        if disposal == 2:
+            canvas[top : top + ih, left : left + iw] = bg_rgb
+        elif disposal == 3:
+            canvas = pre_draw
+        delay_cs, tindex, disposal = 0, -1, 0
+    if not frames:
+        raise ValueError("no image block in GIF")
+    return frames
+
+
+def decode_gif87a(data: bytes) -> np.ndarray:
+    """GIF bytes -> RGB8 HxWx3 (first composed frame). Kept as the
+    single-image entry point the image-codec dispatch uses; animation
+    consumers call decode_gif_frames."""
+    return decode_gif_frames(data)[0][1]

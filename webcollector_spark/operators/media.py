@@ -213,6 +213,93 @@ def decode_video_avi(video_id: str, data: bytes, n_frames: int, w: int, h: int):
         yield i, fr
 
 
+def decode_video_gif(video_id: str, data: bytes, n_frames: int, w: int, h: int):
+    """REAL decoder for animated GIF89a (webcollector_spark.gif): LZW
+    rasters composed onto the logical-screen canvas through the
+    transparency/disposal rendering model, sub-rect delta frames and
+    interlace included — the web's most common animation payload.
+    Cross-checks the logical screen size and frame count against the
+    row's typed metadata. Yields (frame_idx, HxWx3 uint8)."""
+    from webcollector_spark import gif as gif_codec
+
+    frames = gif_codec.decode_gif_frames(data)
+    if len(frames) != n_frames:
+        raise ValueError(
+            f"{video_id}: container carries {len(frames)} frames, "
+            f"metadata says {n_frames}"
+        )
+    for i, (_delay, fr) in enumerate(frames):
+        fh, fw = fr.shape[:2]
+        if (fw, fh) != (w, h):
+            raise ValueError(
+                f"{video_id}: frame {i} is {fw}x{fh}, metadata says {w}x{h}"
+            )
+        yield i, fr
+
+
+def gif_anim_frame(clip: int, i: int, w: int = 32, h: int = 24) -> np.ndarray:
+    """Deterministic paletted animation frame: the AVI demo pattern
+    posterized to 6 levels/channel (<= 216 unique colors across ALL
+    frames, so one global GIF palette always fits) with a moving
+    sprite, giving real sub-rect deltas for the encoder to exploit.
+    Shared by the Spark fixture and the oracle rebuild."""
+    base = avi_demo_frame(clip, 0, w, h) // 43 * 43  # static backdrop
+    x0 = (3 * i + 2 * clip) % max(w - 8, 1)
+    y0 = (2 * i + clip) % max(h - 6, 1)
+    base[y0 : y0 + 6, x0 : x0 + 8] = (43 * ((i + clip) % 6), 86, 172)
+    return base.astype(np.uint8)
+
+
+def gif_corpus_rows(
+    n: int = 10, n_frames: int = 6, w: int = 32, h: int = 24
+) -> list[dict]:
+    """Row dicts for the animated-GIF corpus — shared by the Spark
+    fixture and tools/build_multimodal_oracles.py so the committed
+    oracle and the engine see identical container bytes. Every third
+    clip cycles the disposal methods (1 leave, 2 background, 3
+    previous) so the composition path, not just the happy delta path,
+    is exercised by the registry row."""
+    from webcollector_spark import gif as gif_codec
+
+    rows = []
+    for c in range(n):
+        fps = [10.0, 20.0, 25.0][c % 3]
+        frames = [gif_anim_frame(c, i, w, h) for i in range(n_frames)]
+        disposals = (
+            [(1, 2, 3)[i % 3] for i in range(n_frames)] if c % 3 == 2 else None
+        )
+        rows.append(
+            {
+                "video_id": f"gifv{c:06d}",
+                "bytes": gif_codec.encode_gif89a_anim(
+                    frames,
+                    delays_cs=[int(round(100.0 / fps))] * n_frames,
+                    disposals=disposals,
+                ),
+                "n_frames": n_frames,
+                "fps": fps,
+                "w": w,
+                "h": h,
+                "fmt": "gif",
+                "caption": f"caption of gifv{c:06d}",
+            }
+        )
+    return rows
+
+
+def make_gif_video_corpus(spark: SparkSession, n: int = 10) -> DataFrame:
+    """Video table whose payloads are REAL animated GIF89a (fmt='gif'):
+    LZW + transparency delta sub-rects + mixed disposal methods."""
+    rows = [
+        (
+            r["video_id"], r["bytes"], r["n_frames"], r["fps"],
+            r["w"], r["h"], r["fmt"], r["caption"],
+        )
+        for r in gif_corpus_rows(n)
+    ]
+    return spark.createDataFrame(rows, schema=VIDEO_SCHEMA)
+
+
 def avi_demo_frame(clip: int, i: int, w: int = 32, h: int = 24) -> np.ndarray:
     """Deterministic smooth frame (moving two-phase gradient, seeded by
     clip and frame index): smooth enough that baseline JPEG holds
@@ -478,6 +565,7 @@ _VIDEO_CODECS = {
     "ppm": decode_video_real,
     "mjpeg": decode_video_mjpeg,
     "avi": decode_video_avi,
+    "gif": decode_video_gif,
 }
 _AUDIO_CODECS = {
     "fakeaud": _decode_audio_stub,

@@ -2312,6 +2312,28 @@ def q_video_frames_avi(spark, sf):
     return media.sample_frames(media.make_avi_video_corpus(spark, 8), every_n=2)
 
 
+@register(
+    "video_frames_gif",
+    _oracle_parquet(
+        "video_frames_gif", "video_id, frame_idx, ts_sec, frame_mean, frame_hash"
+    ),
+)
+def q_video_frames_gif(spark, sf):
+    """Same frame-sample dataflow over REAL animated GIF89a — the
+    web's most common animation payload (webcollector_spark.gif:
+    variable-width LZW rasters composed onto the logical-screen canvas
+    through the GIF rendering model: transparency-delta sub-rects,
+    mixed disposal methods 1/2/3, frame count cross-checked against
+    the row's typed metadata). Codec fidelity (bit-exact composition
+    vs pre-encode frames, interlace both directions) is pinned in
+    tests/test_gif_anim.py; this row pins the distributed dataflow.
+    Reference anchor: Page content bytes are real compressed payloads
+    (model/Page.java:323-330)."""
+    from webcollector_spark.operators import media
+
+    return media.sample_frames(media.make_gif_video_corpus(spark, 10), every_n=2)
+
+
 # ---------------------------------------------------------------------------
 # Training-data curation: deterministic hash-based sampling and split
 # assignment. Both are shuffle-free at any scale (a pure map over the
