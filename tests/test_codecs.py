@@ -263,3 +263,80 @@ def test_png_all_color_types_decode():
         codecs.decode_png(
             make_png(w, h, 8, 3, b"".join(b"\x00" + idx[y].tobytes() for y in range(h)))
         )
+
+
+# ------------------------------------------------------------------- BMP
+
+
+def test_bmp_roundtrip_both_row_orders_and_padding():
+    """24bpp BI_RGB round trip, bottom-up and top-down, including a
+    width whose 3-byte rows need 4-byte padding."""
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (5, 33), (24, 32), (17, 31)]:
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        for top_down in (False, True):
+            data = codecs.encode_bmp(px, top_down=top_down)
+            assert np.array_equal(codecs.decode_bmp(data), px)
+            assert np.array_equal(codecs.decode(data), px)  # magic dispatch
+            fmt, sw, sh = codecs.sniff_header(data[:30])
+            assert (fmt, sw, sh) == ("bmp", w, h)
+
+
+def test_bmp_32bpp_and_v4_header_decode():
+    """Hand-build a 32bpp BGRA raster and a V4 (108-byte) info header:
+    both are real-world shapes the decoder must accept; alpha drops."""
+    import struct
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    bgra = np.concatenate(
+        [px[..., ::-1], np.full((2, 3, 1), 0xEE, np.uint8)], axis=-1
+    )
+    raster = bgra[::-1].tobytes()  # bottom-up, stride 12 needs no pad
+    for bisize in (40, 108):
+        data_off = 14 + bisize
+        hdr = b"BM" + struct.pack("<IHHI", data_off + len(raster), 0, 0, data_off)
+        info = struct.pack(
+            "<IiiHHIIiiII", bisize, 3, 2, 1, 32, 0, len(raster), 0, 0, 0, 0
+        )
+        info += b"\x00" * (bisize - 40)
+        out = codecs.decode_bmp(hdr + info + raster)
+        assert np.array_equal(out, px)
+
+
+def test_bmp_rejections():
+    import struct
+
+    import pytest
+
+    px = np.zeros((4, 4, 3), np.uint8)
+    good = bytearray(codecs.encode_bmp(px))
+    with pytest.raises(ValueError, match="not a BMP"):
+        codecs.decode_bmp(b"XX" + bytes(good[2:]))
+    rle = bytearray(good)
+    struct.pack_into("<I", rle, 30, 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError, match="compression"):
+        codecs.decode_bmp(bytes(rle))
+    core = bytearray(good)
+    struct.pack_into("<I", core, 14, 12)  # BITMAPCOREHEADER
+    with pytest.raises(NotImplementedError, match="core header"):
+        codecs.decode_bmp(bytes(core))
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_bmp(bytes(good[:-8]))
+
+
+def test_bmp_corpus_is_lossless():
+    corpus = fixtures.make_corpus_bmp(10)
+    tds = []
+    for r in corpus.to_dict("records"):
+        got = codecs.decode(bytes(r["bytes"]))
+        truth = fixtures.ground_truth_pixels(r["image_id"], r["w"], r["h"])
+        assert np.array_equal(got, truth)
+        assert codecs.phash64(got) == r["phash"]
+        tds.append(struct_height_is_negative(bytes(r["bytes"])))
+    assert True in tds and False in tds  # both row orders present
+
+
+def struct_height_is_negative(data: bytes) -> bool:
+    import struct
+
+    return struct.unpack("<i", data[22:26])[0] < 0

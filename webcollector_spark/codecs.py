@@ -264,6 +264,60 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 98) -> bytes:
     return jpeg.encode_baseline(pixels, quality)
 
 
+def encode_bmp(pixels: np.ndarray, top_down: bool = False) -> bytes:
+    """RGB8 HxWx3 -> Windows BMP (BITMAPINFOHEADER, 24bpp BI_RGB).
+    Lossless: BGR byte order, rows padded to 4 bytes, stored bottom-up
+    per the format's default — or top-down (negative biHeight) when
+    ``top_down``, the other layout real encoders emit."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    pad = (-w * 3) % 4
+    bgr = pixels[..., ::-1]
+    rows = bgr if top_down else bgr[::-1]
+    if pad:
+        rows = np.concatenate(
+            [rows.reshape(h, -1), np.zeros((h, pad), np.uint8)], axis=1
+        )
+    raster = rows.tobytes()
+    data_off = 14 + 40
+    out = b"BM" + struct.pack("<IHHI", data_off + len(raster), 0, 0, data_off)
+    out += struct.pack(
+        "<IiiHHIIiiII",
+        40, w, -h if top_down else h, 1, 24, 0, len(raster),
+        2835, 2835, 0, 0,
+    )
+    return out + raster
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP bytes -> RGB8 HxWx3. Accepts BITMAPINFOHEADER and the
+    larger V4/V5 headers (same 40-byte prefix), 24bpp and 32bpp
+    BI_RGB, bottom-up (positive height) and top-down (negative)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack("<I", data[10:14])
+    (bisize,) = struct.unpack("<I", data[14:18])
+    if bisize < 40:
+        raise NotImplementedError(f"BMP core header ({bisize}) not supported")
+    w, hh, _planes, bpp, compression = struct.unpack("<iiHHI", data[18:34])
+    if compression != 0:
+        raise NotImplementedError(f"BMP compression {compression} not supported")
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"{bpp}bpp BMP not supported")
+    top_down = hh < 0
+    h = abs(hh)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    if data_off + stride * h > len(data):
+        raise ValueError("BMP raster truncated")
+    raster = np.frombuffer(data, np.uint8, stride * h, data_off)
+    rows = raster.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    rgb = rows[..., 2::-1]  # BGR(A) -> RGB, alpha dropped
+    if not top_down:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
 def decode(data: bytes) -> np.ndarray:
     """Dispatch on magic bytes."""
     if data[:8] == _PNG_SIG:
@@ -278,6 +332,8 @@ def decode(data: bytes) -> np.ndarray:
         from webcollector_spark import gif
 
         return gif.decode_gif87a(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
     raise ValueError("unknown image container")
 
 
@@ -294,8 +350,9 @@ def sniff_header(data: bytes) -> tuple[str, int | None, int | None]:
     crosses the Arrow boundary.
 
     Containers: PNG (IHDR), baseline JPEG (marker walk to SOFn), GIF87a/
-    89a (logical screen descriptor), QIMG (the repo's labeled fast lossy
-    stand-in), PPM P6 (ascii header).
+    89a (logical screen descriptor), BMP (info header, |height| for
+    top-down files), QIMG (the repo's labeled fast lossy stand-in),
+    PPM P6 (ascii header).
     """
     if data[:8] == _PNG_SIG and len(data) >= 24 and data[12:16] == b"IHDR":
         w, h = struct.unpack(">II", data[16:24])
@@ -306,6 +363,9 @@ def sniff_header(data: bytes) -> tuple[str, int | None, int | None]:
     if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
         w, h = struct.unpack("<HH", data[6:10])
         return "gif", int(w), int(h)
+    if data[:2] == b"BM" and len(data) >= 26:
+        w, hh = struct.unpack("<ii", data[18:26])
+        return "bmp", int(w), int(abs(hh))  # negative height = top-down
     if data[:2] == b"\xff\xd8":
         # marker walk: skip fill bytes and non-SOF segments until a
         # start-of-frame carries the dimensions (ITU T.81 B.2.2)

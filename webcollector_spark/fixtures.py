@@ -423,6 +423,37 @@ def make_corpus_gif(
     return pd.DataFrame(rows)
 
 
+def make_corpus_bmp(
+    n: int = 100, seed: int = SEED, sizes: tuple[int, ...] = (32, 64, 33)
+) -> pd.DataFrame:
+    """input_hint-shaped corpus whose bytes are REAL Windows BMP
+    (codecs.encode_bmp: 24bpp BI_RGB, 4-byte row padding) — half the
+    rows bottom-up, half top-down (negative biHeight), and the 33-px
+    width exercises the row-padding path. BMP is lossless, so decode
+    must be bit-exact (PSNR = inf)."""
+    rng = np.random.default_rng(seed)
+    sizes = np.array(sizes)
+    rows = []
+    for i in range(n):
+        image_id = f"bmp{i:08d}"
+        w = int(sizes[rng.integers(0, len(sizes))])
+        h = int(sizes[rng.integers(0, len(sizes))])
+        pixels = ground_truth_pixels(image_id, w, h)
+        data = codecs.encode_bmp(pixels, top_down=bool(i % 2))
+        rows.append(
+            {
+                "image_id": image_id,
+                "bytes": data,
+                "w": w,
+                "h": h,
+                "fmt": "bmp",
+                "caption": f"caption of {image_id}",
+                "phash": codecs.phash64(codecs.decode(data)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def make_site_graph(
     n_pages: int,
     n_hosts: int = 10,

@@ -142,6 +142,13 @@ def corpus_gif_df(spark: SparkSession, n: int = 100) -> DataFrame:
     return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
 
 
+def corpus_bmp_df(spark: SparkSession, n: int = 100) -> DataFrame:
+    """REAL-BMP corpus (fixtures.make_corpus_bmp) — 24bpp BI_RGB in
+    both row orders; lossless, so decode must be bit-exact."""
+    pdf = fixtures.make_corpus_bmp(n)
+    return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+
+
 def corpus_exif_df(spark: SparkSession, n: int = 120) -> DataFrame:
     """The real-JPEG corpus with APP1/EXIF segments spliced in
     (fixtures.make_corpus_exif): both byte orders, all 8 orientations,

@@ -1998,6 +1998,26 @@ def q_image_decode_verify_gif(spark, sf):
 
 
 @register(
+    "image_decode_verify_bmp",
+    _oracle_parquet(
+        "image_decode_verify_bmp",
+        "image_id, w, h, fmt, psnr_db, psnr_ok, phash_match",
+    ),
+)
+def q_image_decode_verify_bmp(spark, sf):
+    """Same verify dataflow over REAL Windows BMP bytes
+    (codecs.encode_bmp/decode_bmp: 24bpp BI_RGB, 4-byte row padding,
+    bottom-up AND top-down row orders both present in the corpus, the
+    odd 33-px width forcing non-zero padding). BMP is lossless, so
+    every row must decode bit-exact (psnr_db = 1e9 cap, psnr_ok, exact
+    phash). Reference anchor: payloads are opaque bytes + typed
+    metadata (model/Page.java:323-330)."""
+    from webcollector_spark.operators import images
+
+    return images.decode_verify(images.corpus_bmp_df(spark))
+
+
+@register(
     "image_resize_meanpool",
     _oracle_parquet("image_resize_meanpool", "image_id, out_w, out_h, pixel_sum"),
 )
