@@ -1,0 +1,185 @@
+"""FLAC-subset codec (webcollector_spark.flac): lossless round trips,
+checksum/corruption behavior, bitstream structure, honest
+NotImplementedError boundaries, and the Spark dataflow vs the
+committed pre-encode-PCM oracle."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from webcollector_spark import flac
+from webcollector_spark.operators import media
+
+
+def _smooth(n=9000, amp=3000):
+    t = np.arange(n)
+    return (amp * np.sin(t / 30) + amp / 3 * np.cos(t / 7)).astype(np.int16)
+
+
+@pytest.mark.parametrize(
+    "pcm",
+    [
+        _smooth(),
+        np.full(5000, -123, np.int16),  # CONSTANT subframes
+        np.zeros(10, np.int16),  # single tiny frame
+        np.array([32767, -32768, 0, 1, -1] * 100, np.int16),  # extremes
+    ],
+    ids=["smooth", "constant", "tiny", "extremes"],
+)
+def test_mono_roundtrip_bit_exact(pcm):
+    data = flac.encode_flac(pcm, 16000)
+    out, sr = flac.decode_flac(data)
+    assert sr == 16000 and out.dtype == np.int16
+    assert np.array_equal(out, pcm)
+
+
+def test_noise_roundtrip_uses_escape_or_high_k_and_stays_exact():
+    rng = np.random.default_rng(9)
+    pcm = rng.integers(-32768, 32768, 7000).astype(np.int16)
+    data = flac.encode_flac(pcm, 8000)
+    out, _ = flac.decode_flac(data)
+    assert np.array_equal(out, pcm)
+
+
+def test_stereo_roundtrip_and_compression_on_smooth_signal():
+    left = _smooth(6000)
+    right = (left // 2 + 77).astype(np.int16)
+    pcm = np.stack([left, right], axis=1)
+    data = flac.encode_flac(pcm, 44100)
+    out, sr = flac.decode_flac(data)
+    assert sr == 44100
+    assert np.array_equal(out, pcm)
+    # fixed predictors + Rice must actually compress a smooth signal
+    assert len(data) < pcm.size * 2 * 0.8
+
+
+def test_stream_structure_is_spec_shaped():
+    pcm = _smooth(5000)
+    data = flac.encode_flac(pcm, 16000)
+    assert data[:4] == b"fLaC"
+    assert data[4] == 0x80  # last-metadata-block flag + STREAMINFO type
+    assert int.from_bytes(data[5:8], "big") == 34  # STREAMINFO length
+    # STREAMINFO carries rate/channels/bps/total
+    packed = int.from_bytes(data[18:26], "big")
+    assert packed >> 44 == 16000
+    assert ((packed >> 41) & 0x7) + 1 == 1
+    assert ((packed >> 36) & 0x1F) + 1 == 16
+    assert packed & ((1 << 36) - 1) == 5000
+    # first frame: 14-bit sync + fixed-blocksize strategy
+    assert data[42] == 0xFF and data[43] == 0xF8
+    # two frames for 5000 samples at blocksize 4096
+    assert sum(1 for i in range(42, len(data) - 1)
+               if data[i] == 0xFF and data[i + 1] == 0xF8) == 2
+
+
+@pytest.mark.parametrize("n", [0, 5, 127, 128, 2047, 2048, 70000, 2**31])
+def test_utf8_frame_number_roundtrip(n):
+    enc = flac._utf8_number(n)
+    br = flac._BitReader(enc)
+    assert flac._read_utf8_number(br) == n
+    if n < 128:
+        assert len(enc) == 1
+
+
+def test_corruption_in_audio_body_raises():
+    data = bytearray(flac.encode_flac(_smooth(), 16000))
+    data[len(data) // 2] ^= 0x40
+    with pytest.raises((ValueError, NotImplementedError)):
+        flac.decode_flac(bytes(data))
+
+
+def test_corruption_in_frame_header_raises_crc8():
+    data = bytearray(flac.encode_flac(_smooth(4000), 16000))
+    # frame header starts at 42; flip a bit in the blocksize field
+    data[47] ^= 0x01
+    with pytest.raises(ValueError, match="CRC-8"):
+        flac.decode_flac(bytes(data))
+
+
+def test_md5_mismatch_detected():
+    data = bytearray(flac.encode_flac(_smooth(4000), 16000))
+    data[26] ^= 0xFF  # corrupt the STREAMINFO MD5 itself
+    with pytest.raises(ValueError, match="MD5"):
+        flac.decode_flac(bytes(data))
+    out, _ = flac.decode_flac(bytes(data), verify_md5=False)
+    assert np.array_equal(out, _smooth(4000))
+
+
+def test_truncated_stream_raises():
+    data = flac.encode_flac(_smooth(), 16000)
+    with pytest.raises(ValueError):
+        flac.decode_flac(data[: len(data) - 7])
+
+
+def test_not_flac_raises():
+    with pytest.raises(ValueError, match="not a FLAC"):
+        flac.decode_flac(b"OggS" + b"\x00" * 50)
+
+
+def test_unsupported_features_raise_not_implemented():
+    data = bytearray(flac.encode_flac(np.zeros(100, np.int16), 16000))
+    # bps=20 in STREAMINFO
+    packed = int.from_bytes(data[18:26], "big")
+    packed = (packed & ~(0x1F << 36)) | (19 << 36)
+    data[18:26] = packed.to_bytes(8, "big")
+    with pytest.raises(NotImplementedError, match="20-bit"):
+        flac.decode_flac(bytes(data))
+
+
+def test_rice_parameter_choice_is_cost_optimal():
+    for k_true in (0, 3, 7, 11):
+        u = np.full(256, (1 << k_true) + (1 << k_true) // 2, np.int64)
+        k = flac._best_rice_k(u)
+        cost = int(np.sum(u >> k)) + (k + 1) * len(u)
+        for other in range(15):
+            assert cost <= int(np.sum(u >> other)) + (other + 1) * len(u)
+
+
+def test_metadata_cross_check_raises():
+    r = media.flac_corpus_rows(1)[0]
+    with pytest.raises(ValueError, match="metadata says"):
+        media.decode_audio_flac(
+            r["audio_id"], r["bytes"], r["n_samples"] + 1
+        )
+
+
+def test_spark_dataflow_matches_committed_oracle(spark):
+    """audio_features over fmt='flac' rows must equal the committed
+    PRE-ENCODE-PCM recompute — the decoder never runs on the oracle
+    side, so agreement proves lossless decode, not shared bugs."""
+    import pandas as pd
+
+    got = (
+        media.audio_features(media.make_flac_audio_corpus(spark, 16))
+        .orderBy("audio_id")
+        .toPandas()
+    )
+    exp = (
+        pd.read_parquet("oracles/audio_features_flac.parquet")
+        .sort_values("audio_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) == 16
+    assert (got["audio_id"].values == exp["audio_id"].values).all()
+    assert np.allclose(got["rms"].values, exp["rms"].values)
+    assert (got["zero_crossings"].values == exp["zero_crossings"].values).all()
+
+
+def test_oracle_rebuild_is_stable():
+    import sys
+    from pathlib import Path
+
+    import pandas as pd
+
+    sys.path.insert(0, str(Path("tools").resolve()))
+    from build_multimodal_oracles import build_audio_features_flac
+
+    fresh = build_audio_features_flac(media.flac_corpus_rows(16))
+    committed = pd.read_parquet("oracles/audio_features_flac.parquet")
+    pd.testing.assert_frame_equal(
+        fresh.sort_values("audio_id").reset_index(drop=True),
+        committed.sort_values("audio_id").reset_index(drop=True),
+    )

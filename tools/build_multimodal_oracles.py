@@ -160,6 +160,14 @@ SCHEMAS = {
             ("zero_crossings", pa.int64()),
         ]
     ),
+    "audio_features_flac": pa.schema(
+        [
+            ("audio_id", pa.string()),
+            ("duration_sec", pa.float64()),
+            ("rms", pa.float64()),
+            ("zero_crossings", pa.int64()),
+        ]
+    ),
     "video_scene_cuts": pa.schema(
         [
             ("video_id", pa.string()),
@@ -724,6 +732,33 @@ def build_audio_features_ulaw(clips: list[dict]):
     return pd.DataFrame(rows)
 
 
+def build_audio_features_flac(clips: list[dict]):
+    """Features over FLAC clips computed from the PRE-ENCODE PCM
+    (adpcm_waveform re-quantized exactly as flac_corpus_rows does) —
+    the engine's decoder NEVER runs here, so a driver match proves
+    decode_flac reproduces the original samples bit-exact through the
+    fixed-predictor/Rice/CRC path. Lossless-oracle convention: any
+    single-sample decode error flips zero_crossings or rms."""
+    rows = []
+    for r in clips:
+        pcm = np.round(
+            media.adpcm_waveform(
+                int(r["audio_id"][3:]), r["sample_rate"], r["n_samples"]
+            )
+            * 32767.0
+        ).astype(np.int16)
+        wave = pcm.astype(np.float32) / 32767.0
+        rows.append(
+            {
+                "audio_id": r["audio_id"],
+                "duration_sec": round(r["n_samples"] / r["sample_rate"], 4),
+                "rms": round(float(np.sqrt(np.mean(wave**2))), 6),
+                "zero_crossings": int(np.sum(np.diff(np.sign(wave)) != 0)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def build_audio_features_adpcm(clips: list[dict]):
     """Features over IMA-ADPCM clips, decoded with the STDLIB's
     independent DVI/IMA implementation (audioop.adpcm2lin) — unlike the
@@ -907,6 +942,11 @@ def build_all() -> dict[str, pd.DataFrame]:
         # expansion table — codec-checking, not just dataflow
         "audio_features_ulaw": build_audio_features_ulaw(
             media.ulaw_corpus_rows(16)
+        ),
+        # real FLAC bytes; oracle features come from the pre-encode
+        # PCM, so a match proves bit-exact lossless decode
+        "audio_features_flac": build_audio_features_flac(
+            media.flac_corpus_rows(16)
         ),
         "video_scene_cuts": build_video_scene_cuts(frames2, threshold=1.0),
         # real MJPEG-in-AVI container bytes through the container walk

@@ -1,0 +1,452 @@
+"""FLAC codec (subset) — real lossless compressed audio, pure
+Python/numpy.
+
+A spec-conformant encoder/decoder for the dominant lossless-audio
+bitstream on the web. The subset is the one every real FLAC encoder
+emits for the common case and every decoder must accept:
+
+* fLaC marker + STREAMINFO metadata block (sample rate, channels,
+  bits/sample, total samples, MD5 of the unencoded PCM);
+* fixed-blocksize frames: 14-bit sync, CRC-8-protected header
+  (UTF-8-coded frame number, 16-bit end-of-header blocksize), CRC-16
+  over the whole frame;
+* per-channel subframes: CONSTANT, VERBATIM, and FIXED predictors of
+  order 0-4 (the k-th finite difference), residuals in partitioned
+  Rice coding (4-bit parameters, the 0b1111 verbatim-escape included);
+* MSB-first bit packing throughout (the opposite byte order of GIF's
+  LZW — both directions of bit-level I/O are now exercised in the
+  codec layer).
+
+16-bit mono/stereo (independent channels). Not implemented, honestly:
+LPC subframes, stereo decorrelation (left/side, mid/side), wasted
+bits, variable blocksize — the decoder raises NotImplementedError on
+them rather than mis-decoding.
+
+Lossless invariant: decode(encode(pcm)) == pcm bit-exact, and the
+decoder verifies CRC-8, CRC-16, and the STREAMINFO MD5 against the
+decoded stream. Deterministic, no RNG; safe inside Arrow-batched
+pandas UDFs. Reference anchor: fetched payloads are opaque bytes +
+typed metadata (model/Page.java:323-330).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+_BLOCK = 4096
+
+# CRC-8 poly x^8+x^2+x+1 (0x07) and CRC-16 poly x^16+x^15+x^2+1
+# (0x8005), both MSB-first, init 0 — the FLAC frame checksums.
+_CRC8_TABLE = np.zeros(256, np.uint8)
+_CRC16_TABLE = np.zeros(256, np.uint16)
+for _b in range(256):
+    _c8 = _b
+    _c16 = _b << 8
+    for _ in range(8):
+        _c8 = ((_c8 << 1) ^ 0x07 if _c8 & 0x80 else _c8 << 1) & 0xFF
+        _c16 = ((_c16 << 1) ^ 0x8005 if _c16 & 0x8000 else _c16 << 1) & 0xFFFF
+    _CRC8_TABLE[_b] = _c8
+    _CRC16_TABLE[_b] = _c16
+
+
+def crc8(data: bytes) -> int:
+    c = 0
+    for byte in data:
+        c = int(_CRC8_TABLE[c ^ byte])
+    return c
+
+
+def crc16(data: bytes) -> int:
+    c = 0
+    for byte in data:
+        c = int(_CRC16_TABLE[((c >> 8) ^ byte) & 0xFF]) ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+class _BitWriter:
+    """MSB-first bit packer (FLAC's byte order)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, width: int) -> None:
+        self.acc = (self.acc << width) | (value & ((1 << width) - 1))
+        self.nbits += width
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        # q zero bits then a one bit
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+class _BitReader:
+    """MSB-first bit reader."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos  # byte position of the NEXT byte to load
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, width: int) -> int:
+        while self.nbits < width:
+            if self.pos >= len(self.data):
+                raise ValueError("FLAC bitstream truncated")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= width
+        v = (self.acc >> self.nbits) & ((1 << width) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+
+    def byte_pos(self) -> int:
+        assert self.nbits % 8 == 0
+        return self.pos - self.nbits // 8
+
+
+def _zigzag(r: np.ndarray) -> np.ndarray:
+    """Signed residual -> FLAC's folded unsigned mapping."""
+    r = r.astype(np.int64)
+    return np.where(r >= 0, r << 1, ((-r) << 1) - 1)
+
+
+def _best_rice_k(u: np.ndarray) -> int:
+    """Rice parameter minimizing the exact coded length."""
+    if len(u) == 0:
+        return 0
+    best_k, best_bits = 0, None
+    for k in range(15):
+        bits = int(np.sum(u >> k)) + (k + 1) * len(u)
+        if best_bits is None or bits < best_bits:
+            best_k, best_bits = k, bits
+    return best_k
+
+
+def _utf8_number(n: int) -> bytes:
+    """FLAC's UTF-8-style coded number for the frame index."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    nbytes = 2
+    # nbytes bytes carry (7 - nbytes) + 6*(nbytes - 1) payload bits
+    while nbytes < 7 and n >= (1 << ((7 - nbytes) + 6 * (nbytes - 1))):
+        nbytes += 1
+    prefix = (0xFF << (8 - nbytes)) & 0xFF
+    out.append(prefix | (n >> (6 * (nbytes - 1))))
+    for i in range(nbytes - 2, -1, -1):
+        out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+    return bytes(out)
+
+
+def _read_utf8_number(br: _BitReader) -> int:
+    first = br.read(8)
+    if first < 0x80:
+        return first
+    nbytes = 0
+    mask = 0x80
+    while first & mask:
+        nbytes += 1
+        mask >>= 1
+    n = first & (mask - 1)
+    for _ in range(nbytes - 1):
+        cont = br.read(8)
+        if cont & 0xC0 != 0x80:
+            raise ValueError("bad UTF-8 continuation in frame number")
+        n = (n << 6) | (cont & 0x3F)
+    return n
+
+
+def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
+    return np.diff(x.astype(np.int64), n=order) if order else x.astype(np.int64)
+
+
+def _reconstruct_fixed(
+    order: int, warmup: np.ndarray, resid: np.ndarray
+) -> np.ndarray:
+    """Invert the k-th finite difference: iterated cumsum seeded by the
+    warmup's lower-order differences."""
+    a = resid.astype(np.int64)
+    w = warmup.astype(np.int64)
+    for j in range(order, 0, -1):
+        first = np.diff(w, n=j - 1)[0] if j > 1 else w[0]
+        a = np.cumsum(np.concatenate(([first], a)))
+    return a
+
+
+def _write_subframe(bw: _BitWriter, x: np.ndarray) -> None:
+    """One channel of one frame: pick CONSTANT / best FIXED order."""
+    n = len(x)
+    if n and np.all(x == x[0]):
+        bw.write(0, 1)  # zero pad bit
+        bw.write(0, 6)  # CONSTANT
+        bw.write(0, 1)  # no wasted bits
+        bw.write(int(x[0]) & 0xFFFF, 16)
+        return
+    best_order, best_cost = 0, None
+    for order in range(min(5, n)):
+        resid = _fixed_residual(x, order)
+        cost = int(np.sum(np.abs(resid)))
+        if best_cost is None or cost < best_cost:
+            best_order, best_cost = order, cost
+    order = best_order
+    resid = _fixed_residual(x, order)
+    bw.write(0, 1)
+    bw.write(8 + order, 6)  # FIXED, order 0-4
+    bw.write(0, 1)
+    for s in x[:order]:  # warmup, verbatim
+        bw.write(int(s) & 0xFFFF, 16)
+    u = _zigzag(resid)
+    bw.write(0, 2)  # residual coding method: 4-bit Rice
+    bw.write(0, 4)  # partition order 0: one partition
+    k = _best_rice_k(u)
+    if k >= 15 or (len(u) and int(u.max()) >> k > 4096):
+        # verbatim escape: raw residuals at a fixed width
+        width = max(int(u.max()).bit_length() + 1, 1) if len(u) else 1
+        bw.write(0xF, 4)
+        bw.write(width, 5)
+        for r in resid:
+            bw.write(int(r) & ((1 << width) - 1), width)
+    else:
+        bw.write(k, 4)
+        for val in u:
+            bw.write_unary(int(val) >> k)
+            if k:
+                bw.write(int(val) & ((1 << k) - 1), k)
+
+
+def _read_subframe(br: _BitReader, n: int) -> np.ndarray:
+    if br.read(1) != 0:
+        raise ValueError("subframe padding bit set")
+    sftype = br.read(6)
+    if br.read(1) != 0:
+        raise NotImplementedError("wasted bits not supported")
+    if sftype == 0:  # CONSTANT
+        v = br.read(16)
+        v -= 1 << 16 if v & 0x8000 else 0
+        return np.full(n, v, np.int64)
+    if sftype == 1:  # VERBATIM
+        out = np.empty(n, np.int64)
+        for i in range(n):
+            v = br.read(16)
+            out[i] = v - (1 << 16) if v & 0x8000 else v
+        return out
+    if not 8 <= sftype <= 12:
+        raise NotImplementedError(f"subframe type {sftype} (LPC?) not supported")
+    order = sftype - 8
+    warmup = np.empty(order, np.int64)
+    for i in range(order):
+        v = br.read(16)
+        warmup[i] = v - (1 << 16) if v & 0x8000 else v
+    if br.read(2) != 0:
+        raise NotImplementedError("5-bit Rice parameters not supported")
+    porder = br.read(4)
+    nparts = 1 << porder
+    resid_parts = []
+    for p in range(nparts):
+        count = n >> porder
+        if p == 0:
+            count -= order
+        k = br.read(4)
+        if k == 0xF:  # verbatim escape
+            width = br.read(5)
+            vals = np.empty(count, np.int64)
+            for i in range(count):
+                v = br.read(width)
+                vals[i] = v - (1 << width) if width and v >> (width - 1) else v
+            resid_parts.append(vals)
+        else:
+            vals = np.empty(count, np.int64)
+            for i in range(count):
+                q = br.read_unary()
+                u = (q << k) | (br.read(k) if k else 0)
+                vals[i] = -(u + 1) >> 1 if u & 1 else u >> 1
+            resid_parts.append(vals)
+    resid = np.concatenate(resid_parts) if resid_parts else np.empty(0, np.int64)
+    return _reconstruct_fixed(order, warmup, resid)
+
+
+def encode_flac(pcm: np.ndarray, sample_rate: int) -> bytes:
+    """int16 PCM, shape (n,) mono or (n, 2) stereo -> FLAC bytes."""
+    assert pcm.dtype == np.int16
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    n, channels = pcm.shape
+    assert channels in (1, 2)
+    md5 = hashlib.md5(
+        pcm.astype("<i2").tobytes()  # interleaved little-endian, as spec
+    ).digest()
+
+    frames = bytearray()
+    for fi, start in enumerate(range(0, n, _BLOCK)):
+        block = pcm[start : start + _BLOCK]
+        bs = len(block)
+        hdr = bytearray(b"\xff\xf8")  # sync + fixed-blocksize strategy
+        # blocksize code 7 = 16-bit value at end; rate code 0 = STREAMINFO
+        hdr.append(0x70)
+        # channel assignment (independent) | sample size 16 (code 4) | 0
+        hdr.append(((channels - 1) << 4) | (4 << 1))
+        hdr += _utf8_number(fi)
+        hdr += struct.pack(">H", bs - 1)
+        hdr.append(crc8(bytes(hdr)))
+        bw = _BitWriter()
+        for ch in range(channels):
+            _write_subframe(bw, block[:, ch].astype(np.int64))
+        body = bw.flush()
+        frame = bytes(hdr) + body
+        frames += frame + struct.pack(">H", crc16(frame))
+
+    streaminfo = bytearray()
+    streaminfo += struct.pack(">HH", _BLOCK, _BLOCK)  # min/max blocksize
+    streaminfo += b"\x00\x00\x00" * 2  # min/max frame size: unknown
+    # 20-bit rate | 3-bit channels-1 | 5-bit bps-1 | 36-bit total samples
+    packed = (sample_rate << 44) | ((channels - 1) << 41) | (15 << 36) | n
+    streaminfo += packed.to_bytes(8, "big")
+    streaminfo += md5
+    out = b"fLaC"
+    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big")  # last block
+    out += bytes(streaminfo)
+    return out + bytes(frames)
+
+
+def decode_flac(data: bytes, verify_md5: bool = True):
+    """FLAC bytes -> (int16 PCM (n,) or (n, 2), sample_rate).
+
+    Verifies every frame's CRC-8 and CRC-16 and (by default) the
+    STREAMINFO MD5 over the decoded stream — corruption raises, never
+    mis-decodes."""
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    info = None
+    while True:  # metadata blocks
+        header = data[pos : pos + 4]
+        if len(header) < 4:
+            raise ValueError("FLAC metadata truncated")
+        last = header[0] & 0x80
+        btype = header[0] & 0x7F
+        blen = int.from_bytes(header[1:4], "big")
+        body = data[pos + 4 : pos + 4 + blen]
+        if btype == 0:
+            if blen < 34:
+                raise ValueError("STREAMINFO too short")
+            packed = int.from_bytes(body[10:18], "big")
+            info = {
+                "sample_rate": packed >> 44,
+                "channels": ((packed >> 41) & 0x7) + 1,
+                "bps": ((packed >> 36) & 0x1F) + 1,
+                "total": packed & ((1 << 36) - 1),
+                "md5": body[18:34],
+            }
+        pos += 4 + blen
+        if last:
+            break
+    if info is None:
+        raise ValueError("no STREAMINFO block")
+    if info["bps"] != 16:
+        raise NotImplementedError(f"{info['bps']}-bit FLAC not supported")
+    if info["channels"] > 2:
+        raise NotImplementedError("more than 2 channels not supported")
+
+    chunks = []
+    while pos < len(data):
+        frame_start = pos
+        br = _BitReader(data, pos)
+        sync = br.read(14)
+        if sync != 0x3FFE:
+            raise ValueError(f"bad frame sync at byte {frame_start}")
+        if br.read(1) != 0:
+            raise ValueError("reserved bit set")
+        if br.read(1) != 0:
+            raise NotImplementedError("variable blocksize not supported")
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        chan_code = br.read(4)
+        size_code = br.read(3)
+        br.read(1)  # reserved
+        _read_utf8_number(br)
+        if bs_code == 6:
+            bs = br.read(8) + 1
+        elif bs_code == 7:
+            bs = br.read(16) + 1
+        elif bs_code == 1:
+            bs = 192
+        elif 2 <= bs_code <= 5:
+            bs = 576 << (bs_code - 2)
+        elif 8 <= bs_code <= 15:
+            bs = 256 << (bs_code - 8)
+        else:
+            raise ValueError("reserved blocksize code")
+        if sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        elif sr_code > 11:
+            raise ValueError("invalid sample-rate code")
+        if size_code == 4:
+            pass  # 16-bit
+        elif size_code == 0:
+            pass  # from STREAMINFO (16 here)
+        else:
+            raise NotImplementedError("only 16-bit frames supported")
+        if chan_code >= 8:
+            raise NotImplementedError("stereo decorrelation not supported")
+        channels = chan_code + 1
+        if channels != info["channels"]:
+            raise ValueError("frame/STREAMINFO channel mismatch")
+        hdr_end = br.byte_pos()
+        expect_crc8 = br.read(8)
+        if crc8(data[frame_start:hdr_end]) != expect_crc8:
+            raise ValueError(f"frame header CRC-8 mismatch at {frame_start}")
+        chans = [_read_subframe(br, bs) for _ in range(channels)]
+        br.align()
+        body_end = br.byte_pos()
+        (expect_crc16,) = struct.unpack(">H", data[body_end : body_end + 2])
+        if crc16(data[frame_start:body_end]) != expect_crc16:
+            raise ValueError(f"frame CRC-16 mismatch at {frame_start}")
+        pos = body_end + 2
+        chunks.append(np.stack(chans, axis=1))
+
+    pcm = np.concatenate(chunks) if chunks else np.empty((0, 1), np.int64)
+    if info["total"] and len(pcm) != info["total"]:
+        raise ValueError(
+            f"decoded {len(pcm)} samples, STREAMINFO declares {info['total']}"
+        )
+    if (pcm > 32767).any() or (pcm < -32768).any():
+        raise ValueError("decoded sample out of int16 range")
+    pcm16 = pcm.astype(np.int16)
+    if verify_md5:
+        if hashlib.md5(pcm16.astype("<i2").tobytes()).digest() != info["md5"]:
+            raise ValueError("STREAMINFO MD5 mismatch: corrupt stream")
+    if pcm16.shape[1] == 1:
+        pcm16 = pcm16[:, 0]
+    return pcm16, int(info["sample_rate"])

@@ -491,6 +491,62 @@ def decode_audio_ulaw(audio_id: str, data: bytes, n_samples: int) -> np.ndarray:
     raise ValueError(f"{audio_id}: no data chunk")
 
 
+def decode_audio_flac(audio_id: str, data: bytes, n_samples: int) -> np.ndarray:
+    """REAL decoder for FLAC (webcollector_spark.flac: fixed
+    predictors + partitioned Rice, CRC-8/CRC-16/MD5 all verified) ->
+    float32 [-1,1]. Mono 16-bit in this corpus; lossless, so the
+    waveform is bit-identical to the pre-encode PCM."""
+    from webcollector_spark import flac
+
+    pcm, _sr = flac.decode_flac(data)
+    if pcm.ndim != 1:
+        raise NotImplementedError(f"{audio_id}: stereo features not wired")
+    if len(pcm) != n_samples:
+        raise ValueError(
+            f"{audio_id}: {len(pcm)} samples in stream, "
+            f"metadata says {n_samples}"
+        )
+    return pcm.astype(np.float32) / 32767.0
+
+
+def flac_corpus_rows(n: int = 16, seed: int = 48) -> list[dict]:
+    """Row dicts for the FLAC corpus — shared by the Spark fixture and
+    the oracle rebuild (the adpcm_corpus_rows convention). The oracle
+    computes features from the PRE-ENCODE PCM, so a driver match
+    proves the decode is bit-exact through the whole Rice/CRC path."""
+    from webcollector_spark import flac
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        sr = int(rng.choice([8000, 16000]))
+        ns = int(rng.integers(sr // 2, sr))
+        pcm = np.round(adpcm_waveform(i, sr, ns) * 32767.0).astype(np.int16)
+        rows.append(
+            {
+                "audio_id": f"flc{i:06d}",
+                "bytes": flac.encode_flac(pcm, sr),
+                "sample_rate": sr,
+                "n_samples": ns,
+                "fmt": "flac",
+            }
+        )
+    return rows
+
+
+def make_flac_audio_corpus(spark: SparkSession, n: int = 16) -> DataFrame:
+    """Audio table whose payloads are REAL FLAC bitstreams (fmt='flac',
+    16-bit mono) — lossless compressed audio, end to end."""
+    rows = [
+        (
+            r["audio_id"], r["bytes"], r["sample_rate"],
+            r["n_samples"], r["fmt"],
+        )
+        for r in flac_corpus_rows(n)
+    ]
+    return spark.createDataFrame(rows, schema=AUDIO_SCHEMA)
+
+
 def ulaw_corpus_rows(n: int = 16, seed: int = 47) -> list[dict]:
     """Row dicts for the mu-law corpus — shared by the Spark fixture
     and the oracle rebuild (the adpcm_corpus_rows convention)."""
@@ -572,6 +628,7 @@ _AUDIO_CODECS = {
     "wav": decode_audio_real,
     "adpcm": decode_audio_adpcm,
     "ulaw": decode_audio_ulaw,
+    "flac": decode_audio_flac,
 }
 
 

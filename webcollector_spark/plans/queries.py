@@ -2301,6 +2301,27 @@ def q_audio_features_ulaw(spark, sf):
 
 
 @register(
+    "audio_features_flac",
+    _oracle_parquet(
+        "audio_features_flac", "audio_id, duration_sec, rms, zero_crossings"
+    ),
+)
+def q_audio_features_flac(spark, sf):
+    """Same feature dataflow over REAL FLAC bitstreams — the dominant
+    lossless-audio format on the web (webcollector_spark.flac: fixed
+    predictors order 0-4, partitioned Rice coding, CRC-8/CRC-16/MD5
+    verified on decode). The committed oracle computes features from
+    the PRE-ENCODE PCM and never runs the decoder, so a driver match
+    proves the decode is bit-exact through the whole Rice/CRC path —
+    a stronger check than re-running the codec on both sides.
+    Reference anchor: Page content bytes are real compressed payloads
+    (model/Page.java:323-330)."""
+    from webcollector_spark.operators import media
+
+    return media.audio_features(media.make_flac_audio_corpus(spark, 16))
+
+
+@register(
     "video_scene_cuts",
     _oracle_parquet("video_scene_cuts", "video_id, frame_idx, delta"),
 )
