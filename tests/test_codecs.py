@@ -340,3 +340,78 @@ def struct_height_is_negative(data: bytes) -> bool:
     import struct
 
     return struct.unpack("<i", data[22:26])[0] < 0
+
+
+# ------------------------------------------------------------------- ICO
+
+
+def test_ico_multi_entry_roundtrip_and_largest_dispatch():
+    """DIB entries (doubled-height header, 32-bit-padded AND mask) and
+    embedded-PNG entries round trip; magic dispatch serves the largest
+    — the favicon convention."""
+    rng = np.random.default_rng(21)
+    imgs = [rng.integers(0, 256, (s, s, 3)).astype(np.uint8) for s in (16, 32, 64)]
+    data = codecs.encode_ico(imgs)
+    out = codecs.decode_ico(data)
+    assert len(out) == 3
+    for a, b in zip(imgs, out):
+        assert np.array_equal(a, b)
+    assert np.array_equal(codecs.decode(data), imgs[2])
+    assert codecs.sniff_header(data[:60]) == ("ico", 64, 64)
+    # 64px entry is PNG, smaller are DIB
+    import struct as _s
+
+    offsets = [
+        _s.unpack("<II", data[6 + 16 * i + 8 : 6 + 16 * i + 16])
+        for i in range(3)
+    ]
+    payload0 = data[offsets[0][1] : offsets[0][1] + 8]
+    payload2 = data[offsets[2][1] : offsets[2][1] + 8]
+    assert payload0[:8] != b"\x89PNG\r\n\x1a\n"
+    assert payload2[:8] == b"\x89PNG\r\n\x1a\n"
+    # DIB biHeight is doubled (XOR + AND masks)
+    (hh,) = _s.unpack("<i", data[offsets[0][1] + 8 : offsets[0][1] + 12])
+    assert hh == 32  # 16px entry
+
+
+def test_ico_256_stored_as_zero_and_odd_width_padding():
+    rng = np.random.default_rng(22)
+    big = [rng.integers(0, 256, (256, 256, 3)).astype(np.uint8)]
+    d = codecs.encode_ico(big)
+    assert d[6] == 0 and d[7] == 0  # 256 -> 0 in the directory
+    assert codecs.sniff_header(d[:60]) == ("ico", 256, 256)
+    assert np.array_equal(codecs.decode(d), big[0])
+    odd = [rng.integers(0, 256, (9, 9, 3)).astype(np.uint8)]
+    assert np.array_equal(codecs.decode_ico(codecs.encode_ico(odd))[0], odd[0])
+
+
+def test_ico_rejections():
+    import struct as _s
+
+    import pytest
+
+    rng = np.random.default_rng(23)
+    ok = codecs.encode_ico([rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)])
+    with pytest.raises(ValueError, match="not an ICO"):
+        codecs.decode_ico(b"\x00\x00\x02\x00" + ok[4:])  # CUR, not ICO
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_ico(ok[:-10])
+    with pytest.raises(ValueError, match="256x256"):
+        codecs.encode_ico([np.zeros((300, 300, 3), np.uint8)])
+    rle = bytearray(ok)
+    off = _s.unpack("<II", ok[14:22])[1]
+    _s.pack_into("<I", rle, off + 16, 2)  # DIB compression field
+    with pytest.raises(NotImplementedError, match="compression=2"):
+        codecs.decode_ico(bytes(rle))
+
+
+def test_ico_corpus_mixes_payload_forms():
+    corpus = fixtures.make_corpus_ico(6)
+    n_entries = []
+    for r in corpus.to_dict("records"):
+        out = codecs.decode_ico(bytes(r["bytes"]))
+        n_entries.append(len(out))
+        got = codecs.decode(bytes(r["bytes"]))
+        truth = fixtures.ground_truth_pixels(r["image_id"], r["w"], r["h"])
+        assert np.array_equal(got, truth)
+    assert 2 in n_entries and 3 in n_entries  # DIB-only and mixed rows

@@ -318,6 +318,90 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(rgb)
 
 
+def encode_ico(images: list[np.ndarray], png_from: int = 64) -> bytes:
+    """RGB8 images (each <= 256x256) -> Windows ICO favicon.
+
+    Real-world layout: entries at least ``png_from`` px wide are stored
+    as embedded PNG (the modern convention for large sizes), smaller
+    ones as the classic headerless DIB — a BITMAPINFOHEADER whose
+    biHeight is DOUBLED to cover the 24bpp bottom-up XOR raster plus
+    the 1bpp AND (transparency) mask, rows padded to 32 bits."""
+    if not images:
+        raise ValueError("need at least one image")
+    entries = []
+    for px in images:
+        h, w, c = px.shape
+        assert c == 3 and px.dtype == np.uint8
+        if w > 256 or h > 256:
+            raise ValueError("ICO entries are at most 256x256")
+        if w >= png_from:
+            entries.append((w, h, encode_png(px)))
+            continue
+        xor_pad = (-w * 3) % 4
+        xor_rows = px[::-1, :, ::-1].reshape(h, -1)
+        if xor_pad:
+            xor_rows = np.concatenate(
+                [xor_rows, np.zeros((h, xor_pad), np.uint8)], axis=1
+            )
+        and_stride = ((w + 31) // 32) * 4  # 1bpp rows padded to 32 bits
+        and_mask = np.zeros((h, and_stride), np.uint8)  # fully opaque
+        dib = struct.pack(
+            "<IiiHHIIiiII",
+            40, w, h * 2, 1, 24, 0,
+            xor_rows.size + and_mask.size, 0, 0, 0, 0,
+        )
+        entries.append((w, h, dib + xor_rows.tobytes() + and_mask.tobytes()))
+    out = struct.pack("<HHH", 0, 1, len(entries))
+    offset = 6 + 16 * len(entries)
+    directory = b""
+    payloads = b""
+    for w, h, payload in entries:
+        directory += struct.pack(
+            "<BBBBHHII",
+            w % 256, h % 256, 0, 0, 1, 24, len(payload), offset,
+        )
+        offset += len(payload)
+        payloads += payload
+    return out + directory + payloads
+
+
+def decode_ico(data: bytes) -> list[np.ndarray]:
+    """ICO bytes -> list of RGB8 HxWx3, one per directory entry.
+    Embedded PNG entries route through decode_png; DIB entries parse
+    the doubled-height BITMAPINFOHEADER (24/32bpp BI_RGB; the AND mask
+    is skipped — this engine's pixel model is RGB)."""
+    if len(data) < 6 or data[:4] != b"\x00\x00\x01\x00":
+        raise ValueError("not an ICO")
+    (count,) = struct.unpack("<H", data[4:6])
+    images = []
+    for i in range(count):
+        entry = data[6 + 16 * i : 6 + 16 * (i + 1)]
+        size, offset = struct.unpack("<II", entry[8:16])
+        payload = data[offset : offset + size]
+        if len(payload) < size:
+            raise ValueError(f"ICO entry {i} payload truncated")
+        if payload[:8] == _PNG_SIG:
+            images.append(decode_png(payload))
+            continue
+        (bisize,) = struct.unpack("<I", payload[:4])
+        if bisize < 40:
+            raise NotImplementedError("ICO core-header DIB not supported")
+        w, hh, _planes, bpp, compression = struct.unpack("<iiHHI", payload[4:20])
+        if compression != 0 or bpp not in (24, 32):
+            raise NotImplementedError(
+                f"ICO DIB bpp={bpp} compression={compression} not supported"
+            )
+        h = abs(hh) // 2  # doubled height covers XOR + AND masks
+        nch = bpp // 8
+        stride = (w * nch + 3) & ~3
+        raster = np.frombuffer(payload, np.uint8, stride * h, bisize)
+        rows = raster.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+        images.append(np.ascontiguousarray(rows[::-1, :, 2::-1]))
+    if not images:
+        raise ValueError("empty ICO directory")
+    return images
+
+
 def decode(data: bytes) -> np.ndarray:
     """Dispatch on magic bytes."""
     if data[:8] == _PNG_SIG:
@@ -334,6 +418,9 @@ def decode(data: bytes) -> np.ndarray:
         return gif.decode_gif87a(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:4] == b"\x00\x00\x01\x00":
+        # favicon convention: serve the largest entry
+        return max(decode_ico(data), key=lambda im: im.shape[0] * im.shape[1])
     raise ValueError("unknown image container")
 
 
@@ -366,6 +453,20 @@ def sniff_header(data: bytes) -> tuple[str, int | None, int | None]:
     if data[:2] == b"BM" and len(data) >= 26:
         w, hh = struct.unpack("<ii", data[18:26])
         return "bmp", int(w), int(abs(hh))  # negative height = top-down
+    if data[:4] == b"\x00\x00\x01\x00" and len(data) >= 8:
+        # ICO: report the largest directory entry (0 means 256)
+        (count,) = struct.unpack("<H", data[4:6])
+        best = None
+        for i in range(count):
+            e = data[6 + 16 * i : 6 + 16 * i + 2]
+            if len(e) < 2:
+                break
+            w, h = e[0] or 256, e[1] or 256
+            if best is None or w * h > best[0] * best[1]:
+                best = (w, h)
+        if best:
+            return "ico", best[0], best[1]
+        return "ico", None, None
     if data[:2] == b"\xff\xd8":
         # marker walk: skip fill bytes and non-SOF segments until a
         # start-of-frame carries the dimensions (ITU T.81 B.2.2)

@@ -454,6 +454,36 @@ def make_corpus_bmp(
     return pd.DataFrame(rows)
 
 
+def make_corpus_ico(n: int = 100, seed: int = SEED) -> pd.DataFrame:
+    """input_hint-shaped corpus whose bytes are REAL Windows ICO
+    favicons (codecs.encode_ico): multi-size directories mixing the
+    classic doubled-height DIB payload (small entries) with embedded
+    PNG (64px — the modern convention). The row's w/h/phash describe
+    the LARGEST entry, which is what codecs.decode serves; every
+    payload form is lossless, so decode must be bit-exact."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        image_id = f"ico{i:08d}"
+        # every third icon is DIB-only (largest 32), else DIB+PNG mix
+        sizes = (16, 32) if i % 3 == 0 else (16, 32, 64)
+        imgs = [ground_truth_pixels(image_id, s, s) for s in sizes]
+        data = codecs.encode_ico(imgs)
+        big = max(sizes)
+        rows.append(
+            {
+                "image_id": image_id,
+                "bytes": data,
+                "w": big,
+                "h": big,
+                "fmt": "ico",
+                "caption": f"caption of {image_id}",
+                "phash": codecs.phash64(codecs.decode(data)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def make_site_graph(
     n_pages: int,
     n_hosts: int = 10,

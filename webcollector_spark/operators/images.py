@@ -149,6 +149,14 @@ def corpus_bmp_df(spark: SparkSession, n: int = 100) -> DataFrame:
     return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
 
 
+def corpus_ico_df(spark: SparkSession, n: int = 100) -> DataFrame:
+    """REAL-ICO favicon corpus (fixtures.make_corpus_ico) — multi-size
+    directories mixing DIB and embedded-PNG payloads; decode serves
+    the largest entry, bit-exact."""
+    pdf = fixtures.make_corpus_ico(n)
+    return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+
+
 def corpus_exif_df(spark: SparkSession, n: int = 120) -> DataFrame:
     """The real-JPEG corpus with APP1/EXIF segments spliced in
     (fixtures.make_corpus_exif): both byte orders, all 8 orientations,

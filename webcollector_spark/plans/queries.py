@@ -2018,6 +2018,27 @@ def q_image_decode_verify_bmp(spark, sf):
 
 
 @register(
+    "image_decode_verify_ico",
+    _oracle_parquet(
+        "image_decode_verify_ico",
+        "image_id, w, h, fmt, psnr_db, psnr_ok, phash_match",
+    ),
+)
+def q_image_decode_verify_ico(spark, sf):
+    """Same verify dataflow over REAL Windows ICO favicons — the
+    payload every crawler meets at /favicon.ico. Multi-size
+    directories mix the classic doubled-height DIB form with embedded
+    PNG (codecs.encode_ico/decode_ico); decode serves the largest
+    entry, and both payload forms are lossless, so every row must
+    decode bit-exact (psnr_db = 1e9 cap, psnr_ok, exact phash).
+    Reference anchor: payloads are opaque bytes + typed metadata
+    (model/Page.java:323-330)."""
+    from webcollector_spark.operators import images
+
+    return images.decode_verify(images.corpus_ico_df(spark))
+
+
+@register(
     "image_resize_meanpool",
     _oracle_parquet("image_resize_meanpool", "image_id, out_w, out_h, pixel_sum"),
 )
@@ -6120,6 +6141,10 @@ _SNAPSHOT_FIRST = [
     "registrable_domain_rollup",
     "audio_features_ulaw",
     "video_frames_avi",
+    # registered late in round 4 (animated GIF / BMP / FLAC codecs)
+    "video_frames_gif",
+    "image_decode_verify_bmp",
+    "audio_features_flac",
 ]
 
 
