@@ -1,0 +1,143 @@
+"""Baseline-RGB TIFF codec (webcollector_spark.tiff): lossless round
+trips across byte orders and compressions, PackBits as a standalone
+RLE, honest NotImplementedError boundaries, header sniff, and the
+Spark dataflow vs the committed oracle."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from webcollector_spark import codecs, fixtures, tiff
+
+
+@pytest.mark.parametrize("byte_order", ["<", ">"], ids=["II", "MM"])
+@pytest.mark.parametrize("compression", [1, 32773], ids=["none", "packbits"])
+def test_roundtrip_bit_exact(byte_order, compression):
+    rng = np.random.default_rng(31)
+    for h, w in [(1, 1), (16, 32), (33, 33), (17, 31)]:
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        data = tiff.encode_tiff(
+            px, byte_order=byte_order, compression=compression,
+            rows_per_strip=16,
+        )
+        assert np.array_equal(tiff.decode_tiff(data), px)
+        assert np.array_equal(codecs.decode(data), px)  # magic dispatch
+        fmt, sw, sh = codecs.sniff_header(data[:4096])
+        assert (fmt, sw, sh) == ("tiff", w, h)
+
+
+def test_packbits_unit_roundtrip_and_packet_shapes():
+    rng = np.random.default_rng(32)
+    for _ in range(100):
+        raw = bytes(rng.integers(0, 4, rng.integers(0, 300)).astype(np.uint8))
+        enc = tiff.packbits_encode(raw)
+        assert tiff.packbits_decode(enc, len(raw)) == raw
+    # a long run becomes repeat packets: 2 bytes per 128-byte run
+    run = b"\x07" * 300
+    enc = tiff.packbits_encode(run)
+    assert len(enc) <= 8
+    assert tiff.packbits_decode(enc, 300) == run
+    # the 0x80 no-op byte is skipped on decode
+    assert tiff.packbits_decode(b"\x80\x00A", 1) == b"A"
+    with pytest.raises(ValueError, match="truncated"):
+        tiff.packbits_decode(b"\x05AB", 6)
+
+
+def test_packbits_compresses_flat_strips():
+    flat = np.full((64, 64, 3), 7, np.uint8)
+    assert len(tiff.encode_tiff(flat, compression=32773)) < (
+        len(tiff.encode_tiff(flat)) / 10
+    )
+
+
+def test_multi_strip_layout_with_short_final_strip():
+    """33 rows at 16 rows/strip = 3 strips, the last only 1 row; the
+    strip table goes out-of-line (count > 1) and must still resolve."""
+    rng = np.random.default_rng(33)
+    px = rng.integers(0, 256, (33, 8, 3)).astype(np.uint8)
+    data = tiff.encode_tiff(px, rows_per_strip=16)
+    ifd_off = struct.unpack_from("<I", data, 4)[0]
+    n = struct.unpack_from("<H", data, ifd_off)[0]
+    tags = {}
+    for i in range(n):
+        tag, typ, count = struct.unpack_from("<HHI", data, ifd_off + 2 + 12 * i)
+        tags[tag] = (typ, count)
+    assert tags[273] == (4, 3) and tags[279] == (4, 3)  # 3 strips
+    assert np.array_equal(tiff.decode_tiff(data), px)
+
+
+def test_unsupported_features_raise():
+    px = np.zeros((8, 8, 3), np.uint8)
+    good = tiff.encode_tiff(px)
+    with pytest.raises(ValueError, match="not a TIFF"):
+        tiff.decode_tiff(b"XX" + good[2:])
+    with pytest.raises(ValueError, match="magic"):
+        tiff.decode_tiff(b"II" + struct.pack("<HI", 43, 8) + good[8:])
+
+    def patch_entry(data, tag, value):
+        out = bytearray(data)
+        ifd_off = struct.unpack_from("<I", out, 4)[0]
+        n = struct.unpack_from("<H", out, ifd_off)[0]
+        for i in range(n):
+            pos = ifd_off + 2 + 12 * i
+            t = struct.unpack_from("<H", out, pos)[0]
+            if t == tag:
+                struct.pack_into("<HH", out, pos + 8, value, 0)
+                return bytes(out)
+        raise AssertionError(f"tag {tag} not found")
+
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        tiff.decode_tiff(patch_entry(good, 259, 5))  # LZW
+    with pytest.raises(NotImplementedError, match="photometric 3"):
+        tiff.decode_tiff(patch_entry(good, 262, 3))  # palette
+    with pytest.raises(NotImplementedError, match="samples/pixel"):
+        tiff.decode_tiff(patch_entry(good, 277, 1))
+    with pytest.raises(NotImplementedError, match="planar"):
+        tiff.decode_tiff(patch_entry(good, 284, 2))
+    with pytest.raises(ValueError, match="strip out of range"):
+        tiff.decode_tiff(good[:-4])
+
+
+def test_corpus_is_lossless_and_mixes_variants():
+    corpus = fixtures.make_corpus_tiff(12)
+    orders, comps = set(), set()
+    for r in corpus.to_dict("records"):
+        data = bytes(r["bytes"])
+        got = codecs.decode(data)
+        truth = fixtures.ground_truth_pixels(r["image_id"], r["w"], r["h"])
+        assert np.array_equal(got, truth)
+        assert codecs.phash64(got) == r["phash"]
+        orders.add(data[:2])
+        e = "<" if data[:2] == b"II" else ">"
+        ifd_off = struct.unpack_from(e + "I", data, 4)[0]
+        n = struct.unpack_from(e + "H", data, ifd_off)[0]
+        for i in range(n):
+            pos = ifd_off + 2 + 12 * i
+            if struct.unpack_from(e + "H", data, pos)[0] == 259:
+                comps.add(struct.unpack_from(e + "H", data, pos + 8)[0])
+    assert orders == {b"II", b"MM"}
+    assert comps == {1, 32773}
+
+
+def test_spark_dataflow_matches_committed_oracle(spark):
+    import pandas as pd
+
+    from webcollector_spark.operators import images
+
+    got = (
+        images.decode_verify(images.corpus_tiff_df(spark))
+        .orderBy("image_id")
+        .toPandas()
+    )
+    exp = (
+        pd.read_parquet("oracles/image_decode_verify_tiff.parquet")
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) == 100
+    assert got["psnr_ok"].all() and got["phash_match"].all()
+    assert (got["image_id"].values == exp["image_id"].values).all()
+    assert np.allclose(got["psnr_db"].values, exp["psnr_db"].values)

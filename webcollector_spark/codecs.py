@@ -421,6 +421,10 @@ def decode(data: bytes) -> np.ndarray:
     if data[:4] == b"\x00\x00\x01\x00":
         # favicon convention: serve the largest entry
         return max(decode_ico(data), key=lambda im: im.shape[0] * im.shape[1])
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from webcollector_spark import tiff
+
+        return tiff.decode_tiff(data)
     raise ValueError("unknown image container")
 
 
@@ -453,6 +457,24 @@ def sniff_header(data: bytes) -> tuple[str, int | None, int | None]:
     if data[:2] == b"BM" and len(data) >= 26:
         w, hh = struct.unpack("<ii", data[18:26])
         return "bmp", int(w), int(abs(hh))  # negative height = top-down
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        # TIFF: dims live in the first IFD, which the writer may place
+        # anywhere — only report them when the IFD fits in the prefix
+        from webcollector_spark import tiff as _tiff
+
+        try:
+            e = "<" if data[:2] == b"II" else ">"
+            (ifd_off,) = struct.unpack_from(e + "I", data, 4)
+            from webcollector_spark.exif import _read_ifd
+
+            ifd = _read_ifd(data, ifd_off, e)
+            return (
+                "tiff",
+                _tiff._tag_uint(ifd, 256, e),
+                _tiff._tag_uint(ifd, 257, e),
+            )
+        except (ValueError, struct.error):
+            return "tiff", None, None
     if data[:4] == b"\x00\x00\x01\x00" and len(data) >= 8:
         # ICO: report the largest directory entry (0 means 256)
         (count,) = struct.unpack("<H", data[4:6])

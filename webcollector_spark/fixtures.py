@@ -484,6 +484,41 @@ def make_corpus_ico(n: int = 100, seed: int = SEED) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def make_corpus_tiff(n: int = 100, seed: int = SEED) -> pd.DataFrame:
+    """input_hint-shaped corpus whose bytes are REAL baseline-RGB TIFF
+    (webcollector_spark.tiff): alternating II/MM byte orders and
+    none/PackBits compression, multi-strip, including a height that
+    leaves a short final strip. Lossless: decode must be bit-exact."""
+    from webcollector_spark import tiff
+
+    rng = np.random.default_rng(seed)
+    sizes = np.array((32, 64, 33))
+    rows = []
+    for i in range(n):
+        image_id = f"tif{i:08d}"
+        w = int(sizes[rng.integers(0, len(sizes))])
+        h = int(sizes[rng.integers(0, len(sizes))])
+        pixels = ground_truth_pixels(image_id, w, h)
+        data = tiff.encode_tiff(
+            pixels,
+            byte_order="<" if i % 2 == 0 else ">",
+            compression=32773 if i % 3 == 0 else 1,
+            rows_per_strip=16,
+        )
+        rows.append(
+            {
+                "image_id": image_id,
+                "bytes": data,
+                "w": w,
+                "h": h,
+                "fmt": "tiff",
+                "caption": f"caption of {image_id}",
+                "phash": codecs.phash64(codecs.decode(data)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def make_site_graph(
     n_pages: int,
     n_hosts: int = 10,

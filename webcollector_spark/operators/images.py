@@ -157,6 +157,13 @@ def corpus_ico_df(spark: SparkSession, n: int = 100) -> DataFrame:
     return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
 
 
+def corpus_tiff_df(spark: SparkSession, n: int = 100) -> DataFrame:
+    """REAL-TIFF corpus (fixtures.make_corpus_tiff) — both byte
+    orders, none/PackBits strips; lossless, decode must be bit-exact."""
+    pdf = fixtures.make_corpus_tiff(n)
+    return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+
+
 def corpus_exif_df(spark: SparkSession, n: int = 120) -> DataFrame:
     """The real-JPEG corpus with APP1/EXIF segments spliced in
     (fixtures.make_corpus_exif): both byte orders, all 8 orientations,

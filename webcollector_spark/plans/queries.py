@@ -2039,6 +2039,26 @@ def q_image_decode_verify_ico(spark, sf):
 
 
 @register(
+    "image_decode_verify_tiff",
+    _oracle_parquet(
+        "image_decode_verify_tiff",
+        "image_id, w, h, fmt, psnr_db, psnr_ok, phash_match",
+    ),
+)
+def q_image_decode_verify_tiff(spark, sf):
+    """Same verify dataflow over REAL baseline-RGB TIFF bytes
+    (webcollector_spark.tiff — the IFD reader shared with the EXIF
+    layer): II and MM byte orders, multi-strip rasters with a short
+    final strip, Compression 1 and 32773 (PackBits, the spec's own
+    RLE). Lossless, so every row must decode bit-exact (psnr_db = 1e9
+    cap, psnr_ok, exact phash). Reference anchor: payloads are opaque
+    bytes + typed metadata (model/Page.java:323-330)."""
+    from webcollector_spark.operators import images
+
+    return images.decode_verify(images.corpus_tiff_df(spark))
+
+
+@register(
     "image_resize_meanpool",
     _oracle_parquet("image_resize_meanpool", "image_id, out_w, out_h, pixel_sum"),
 )
@@ -6145,6 +6165,8 @@ _SNAPSHOT_FIRST = [
     "video_frames_gif",
     "image_decode_verify_bmp",
     "audio_features_flac",
+    "image_decode_verify_ico",
+    "image_decode_verify_tiff",
 ]
 
 

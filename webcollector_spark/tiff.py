@@ -1,0 +1,263 @@
+"""TIFF codec (subset) — baseline RGB, both byte orders, strips,
+PackBits.
+
+The other container the EXIF layer already half-speaks: EXIF *is* a
+TIFF IFD (webcollector_spark/exif.py parses one inside JPEG APP1);
+this module reuses that exact IFD reader to decode standalone TIFF
+files — the format scanners/archives actually serve.
+
+Subset (TIFF 6.0 "baseline RGB"): 8-bit RGB, chunky planar config,
+strip-organized raster, little- ("II") and big-endian ("MM") files,
+Compression 1 (none) and 32773 (PackBits — the spec's own RLE, and a
+third real entropy-coding family in the codec layer after LZW and
+Huffman/Rice). Tiled TIFF, palette, LZW/JPEG/deflate compression and
+non-8-bit samples raise NotImplementedError honestly.
+
+Lossless both ways: decode(encode(px)) is bit-exact. Deterministic,
+numpy-vectorized PackBits. Reference anchor: fetched payloads are
+opaque bytes + typed metadata (model/Page.java:323-330).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from webcollector_spark.exif import _read_ifd
+
+_TAG_WIDTH = 256
+_TAG_LENGTH = 257
+_TAG_BITS = 258
+_TAG_COMPRESSION = 259
+_TAG_PHOTOMETRIC = 262
+_TAG_STRIP_OFFSETS = 273
+_TAG_SPP = 277
+_TAG_ROWS_PER_STRIP = 278
+_TAG_STRIP_COUNTS = 279
+_TAG_PLANAR = 284
+
+_COMP_NONE = 1
+_COMP_PACKBITS = 32773
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """TIFF PackBits: repeat packets for runs >= 3, literal packets
+    (up to 128 bytes) otherwise."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # measure the run at i
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)  # -(run-1) as unsigned
+            out.append(data[i])
+            i += run
+            continue
+        # literal segment: until the next >=3 run or 128 bytes
+        start = i
+        i += run
+        while i < n and i - start < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += run
+        seg = data[start : min(i, start + 128)]
+        i = start + len(seg)
+        out.append(len(seg) - 1)
+        out += seg
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < expected:
+        if i >= len(data):
+            raise ValueError("PackBits stream truncated")
+        n = data[i]
+        i += 1
+        if n == 128:  # no-op
+            continue
+        if n < 128:  # literal of n+1 bytes
+            if i + n + 1 > len(data):
+                raise ValueError("PackBits literal truncated")
+            out += data[i : i + n + 1]
+            i += n + 1
+        else:  # repeat next byte 257-n times
+            if i >= len(data):
+                raise ValueError("PackBits repeat truncated")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    if len(out) != expected:
+        raise ValueError("PackBits output overran strip size")
+    return bytes(out)
+
+
+def _entry(e: str, tag: int, typ: int, count: int, value: int) -> bytes:
+    if typ == 3 and count == 1:  # SHORT packed left-justified in 4 bytes
+        return struct.pack(e + "HHI", tag, typ, count) + struct.pack(
+            e + "HH", value, 0
+        )
+    return struct.pack(e + "HHII", tag, typ, count, value)
+
+
+def encode_tiff(
+    pixels: np.ndarray,
+    byte_order: str = "<",
+    compression: int = _COMP_NONE,
+    rows_per_strip: int = 16,
+) -> bytes:
+    """RGB8 HxWx3 -> baseline TIFF bytes. byte_order '<' writes an
+    'II' (Intel) file, '>' an 'MM' (Motorola) one; compression is 1
+    (none) or 32773 (PackBits), applied per strip."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    assert byte_order in ("<", ">")
+    if compression not in (_COMP_NONE, _COMP_PACKBITS):
+        raise ValueError(f"unsupported compression {compression}")
+    e = byte_order
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        raw = pixels[y0 : y0 + rows_per_strip].tobytes()
+        strips.append(
+            packbits_encode(raw) if compression == _COMP_PACKBITS else raw
+        )
+    n_strips = len(strips)
+
+    # layout: 8-byte header, IFD, then out-of-line values, then strips
+    n_entries = 10
+    ifd_off = 8
+    ifd_size = 2 + 12 * n_entries + 4
+    aux_off = ifd_off + ifd_size
+    bits_off = aux_off  # 3 SHORTs = 6 bytes
+    offsets_off = bits_off + 6
+    counts_off = offsets_off + 4 * n_strips
+    data_off = counts_off + 4 * n_strips
+    strip_offsets = []
+    pos = data_off
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+
+    entries = b"".join(
+        [
+            _entry(e, _TAG_WIDTH, 4, 1, w),
+            _entry(e, _TAG_LENGTH, 4, 1, h),
+            _entry(e, _TAG_BITS, 3, 3, bits_off),
+            _entry(e, _TAG_COMPRESSION, 3, 1, compression),
+            _entry(e, _TAG_PHOTOMETRIC, 3, 1, 2),  # RGB
+            _entry(
+                e, _TAG_STRIP_OFFSETS, 4, n_strips,
+                strip_offsets[0] if n_strips == 1 else offsets_off,
+            ),
+            _entry(e, _TAG_SPP, 3, 1, 3),
+            _entry(e, _TAG_ROWS_PER_STRIP, 4, 1, rows_per_strip),
+            _entry(
+                e, _TAG_STRIP_COUNTS, 4, n_strips,
+                len(strips[0]) if n_strips == 1 else counts_off,
+            ),
+            _entry(e, _TAG_PLANAR, 3, 1, 1),  # chunky
+        ]
+    )
+    out = bytearray()
+    out += (b"II" if e == "<" else b"MM") + struct.pack(e + "HI", 42, ifd_off)
+    out += struct.pack(e + "H", n_entries) + entries + struct.pack(e + "I", 0)
+    out += struct.pack(e + "HHH", 8, 8, 8)
+    if n_strips > 1:
+        out += struct.pack(e + f"{n_strips}I", *strip_offsets)
+        out += struct.pack(e + f"{n_strips}I", *(len(s) for s in strips))
+    else:
+        # single strip: offset/count were inlined in the IFD entries,
+        # but the aux slots were still reserved — zero-fill them
+        out += b"\x00" * (8 * n_strips)
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def _tag_uint(ifd: dict, tag: int, e: str, default=None):
+    v = ifd.get(tag)
+    if v is None:
+        return default
+    typ, _count, raw = v
+    if typ == 3:
+        return struct.unpack_from(e + "H", raw)[0]
+    if typ == 4:
+        return struct.unpack_from(e + "I", raw)[0]
+    raise ValueError(f"tag {tag}: unsupported type {typ}")
+
+
+def _tag_uint_list(ifd: dict, tag: int, e: str) -> list[int]:
+    typ, count, raw = ifd[tag]
+    fmt = "H" if typ == 3 else "I"
+    return list(struct.unpack_from(e + f"{count}{fmt}", raw))
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """TIFF bytes -> RGB8 HxWx3 (first IFD)."""
+    if data[:2] == b"II":
+        e = "<"
+    elif data[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF")
+    magic, ifd_off = struct.unpack_from(e + "HI", data, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    ifd = _read_ifd(data, ifd_off, e)
+    w = _tag_uint(ifd, _TAG_WIDTH, e)
+    h = _tag_uint(ifd, _TAG_LENGTH, e)
+    if w is None or h is None:
+        raise ValueError("TIFF missing dimensions")
+    compression = _tag_uint(ifd, _TAG_COMPRESSION, e, default=_COMP_NONE)
+    if compression not in (_COMP_NONE, _COMP_PACKBITS):
+        raise NotImplementedError(f"TIFF compression {compression} not supported")
+    photometric = _tag_uint(ifd, _TAG_PHOTOMETRIC, e)
+    if photometric != 2:
+        raise NotImplementedError(
+            f"TIFF photometric {photometric} not supported (RGB only)"
+        )
+    spp = _tag_uint(ifd, _TAG_SPP, e, default=1)
+    if spp != 3:
+        raise NotImplementedError(f"{spp} samples/pixel not supported")
+    if _TAG_BITS in ifd:
+        bits = _tag_uint_list(ifd, _TAG_BITS, e)
+        if any(b != 8 for b in bits):
+            raise NotImplementedError(f"bits/sample {bits} not supported")
+    planar = _tag_uint(ifd, _TAG_PLANAR, e, default=1)
+    if planar != 1:
+        raise NotImplementedError("planar TIFF not supported")
+    if 322 in ifd or 323 in ifd:  # TileWidth/TileLength
+        raise NotImplementedError("tiled TIFF not supported")
+    rows_per_strip = _tag_uint(ifd, _TAG_ROWS_PER_STRIP, e, default=h)
+    offsets = _tag_uint_list(ifd, _TAG_STRIP_OFFSETS, e)
+    counts = _tag_uint_list(ifd, _TAG_STRIP_COUNTS, e)
+    if len(offsets) != len(counts):
+        raise ValueError("strip offsets/counts length mismatch")
+    raster = bytearray()
+    remaining = h
+    for off, cnt in zip(offsets, counts):
+        nrows = min(rows_per_strip, remaining)
+        remaining -= nrows
+        if off + cnt > len(data):
+            raise ValueError("strip out of range")
+        chunk = data[off : off + cnt]
+        expected = nrows * w * 3
+        if compression == _COMP_PACKBITS:
+            raster += packbits_decode(chunk, expected)
+        else:
+            if cnt != expected:
+                raise ValueError("strip byte count mismatch")
+            raster += chunk
+    if remaining:
+        raise ValueError("strips cover fewer rows than ImageLength")
+    return (
+        np.frombuffer(bytes(raster), np.uint8, h * w * 3)
+        .reshape(h, w, 3)
+        .copy()
+    )
