@@ -1,0 +1,180 @@
+"""WebP lossless / VP8L codec (webcollector_spark.webp): bit-exact
+round trips across cache/transform settings, both prefix-code forms,
+LZ77 and color-cache behavior, container structure, honest
+NotImplementedError boundaries, and the Spark dataflow vs the
+committed oracle."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from webcollector_spark import codecs, fixtures, webp
+
+
+def _posterize(a):
+    return (a // 43 * 43).astype(np.uint8)
+
+
+@pytest.mark.parametrize("cache_bits", [0, 6, 8], ids=["nocache", "c6", "c8"])
+@pytest.mark.parametrize("subtract_green", [False, True], ids=["plain", "sg"])
+def test_roundtrip_bit_exact(cache_bits, subtract_green):
+    rng = np.random.default_rng(41)
+    cases = [
+        rng.integers(0, 256, (24, 31, 3)).astype(np.uint8),  # noise
+        _posterize(rng.integers(0, 256, (32, 32, 3))),  # paletted-ish
+        np.full((40, 40, 3), 99, np.uint8),  # flat (long LZ77 runs)
+        np.tile(
+            _posterize(rng.integers(0, 256, (1, 64, 3))), (64, 1, 1)
+        ),  # vertical repetition (distance = w)
+        np.array([[[1, 2, 3]]], np.uint8),  # 1x1
+    ]
+    for px in cases:
+        data = webp.encode_webp_lossless(
+            px, cache_bits=cache_bits, subtract_green=subtract_green
+        )
+        assert np.array_equal(webp.decode_webp_lossless(data), px)
+
+
+def test_container_structure_and_sniff():
+    px = fixtures.ground_truth_pixels("wbp00000001", 33, 17)
+    data = webp.encode_webp_lossless(px)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WEBP"
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    assert riff_size == len(data) - 8
+    assert data[12:16] == b"VP8L" and data[20] == 0x2F
+    assert codecs.sniff_header(data[:40]) == ("webp", 33, 17)
+    assert np.array_equal(codecs.decode(data), px)
+
+
+def test_compression_beats_raw_on_structured_images():
+    rng = np.random.default_rng(42)
+    flat = np.full((64, 64, 3), 7, np.uint8)
+    stripes = np.tile(_posterize(rng.integers(0, 256, (1, 64, 3))), (64, 1, 1))
+    grad = (
+        np.add.outer(np.arange(48), np.arange(48))[..., None]
+        .repeat(3, -1)
+        .astype(np.uint8)
+    )
+    for px, factor in [(flat, 0.05), (stripes, 0.05), (grad, 0.5)]:
+        data = webp.encode_webp_lossless(px)
+        assert len(data) < px.size * factor, (px.shape, len(data))
+
+
+def test_cache_helps_on_repeated_palette():
+    """A scattered (non-runnable) repeated palette is exactly what the
+    color cache compresses: cache symbols replace 4-channel literals."""
+    rng = np.random.default_rng(43)
+    palette = rng.integers(0, 256, (7, 3)).astype(np.uint8)
+    idx = rng.integers(0, 7, (64, 64))
+    # break runs so LZ77 can't cover it: add position-dependent jitter
+    px = palette[idx]
+    px[(np.arange(64)[:, None] + np.arange(64)) % 2 == 0] ^= 1
+    with_cache = webp.encode_webp_lossless(px, cache_bits=8)
+    without = webp.encode_webp_lossless(px, cache_bits=0)
+    assert len(with_cache) < len(without)
+    assert np.array_equal(webp.decode_webp_lossless(with_cache), px)
+    assert np.array_equal(webp.decode_webp_lossless(without), px)
+
+
+def test_both_prefix_code_forms_appear_in_corpus_paths():
+    """Flat image -> simple (1-2 symbol) codes; noise -> normal
+    code-length-coded trees. Both must round trip."""
+    flat = np.full((16, 16, 3), 5, np.uint8)
+    noise = np.random.default_rng(44).integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    for px in (flat, noise):
+        data = webp.encode_webp_lossless(px, cache_bits=0, subtract_green=False)
+        assert np.array_equal(webp.decode_webp_lossless(data), px)
+
+
+def test_huffman_lengths_respect_depth_limit_and_kraft():
+    rng = np.random.default_rng(45)
+    # 280 symbols under the 15-bit limit (the literal alphabets) and 19
+    # under the 7-bit limit (the code-length code) — a depth-d code can
+    # host at most 2^d symbols, so each limit gets a feasible alphabet
+    for n_syms, max_len in ((280, 15), (19, 7)):
+        freqs = {i: int(f) for i, f in enumerate(rng.zipf(1.3, n_syms))}
+        lengths = webp._huffman_lengths(freqs, max_len)
+        assert max(lengths.values()) <= max_len
+        assert sum(2.0 ** -l for l in lengths.values()) <= 1.0 + 1e-12
+    codes = webp._canonical_codes(lengths)
+    seen = set()
+    for sym, (code, ln) in codes.items():
+        assert (code, ln) not in seen
+        seen.add((code, ln))
+
+
+def test_length_code_scheme_is_exact_inverse():
+    for v in list(range(1, 300)) + [4096, 16504, 1 << 19]:
+        code, nbits, extra = webp._length_to_code(v)
+        if code < 4:
+            assert v == code + 1 and nbits == 0
+        else:
+            eb = (code - 2) >> 1
+            assert nbits == eb
+            assert v == ((2 + (code & 1)) << eb) + 1 + extra
+            assert 0 <= extra < (1 << eb)
+
+
+def test_rejections_and_honest_unsupported():
+    px = np.zeros((8, 8, 3), np.uint8)
+    good = webp.encode_webp_lossless(px)
+    with pytest.raises(ValueError, match="not a WebP"):
+        webp.decode_webp_lossless(b"XIFF" + good[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        webp.decode_webp_lossless(good[:-3])
+    # a lossy VP8 chunk is honestly refused, not mis-parsed
+    lossy = bytearray(good)
+    lossy[12:16] = b"VP8 "
+    with pytest.raises(NotImplementedError, match="lossy"):
+        webp.decode_webp_lossless(bytes(lossy))
+    # unsupported transform type: patch the transform bits (predictor)
+    bad = bytearray(good)
+    # transform-present=1, type=00 (predictor) right after the 29-bit
+    # dim header: flip via re-encode path instead — craft manually
+    from webcollector_spark.webp import _BitWriter
+
+    bw = _BitWriter()
+    bw.write(7, 14)
+    bw.write(7, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)  # transform present
+    bw.write(0, 2)  # predictor transform
+    payload = b"\x2f" + bw.flush() + b"\x00" * 8
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    riff = b"WEBP" + chunk
+    data = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    with pytest.raises(NotImplementedError, match="transform 0"):
+        webp.decode_webp_lossless(data)
+
+
+def test_corpus_is_lossless_and_cycles_settings():
+    corpus = fixtures.make_corpus_webp(9)
+    for r in corpus.to_dict("records"):
+        got = codecs.decode(bytes(r["bytes"]))
+        truth = fixtures.ground_truth_pixels(r["image_id"], r["w"], r["h"])
+        assert np.array_equal(got, truth)
+        assert codecs.phash64(got) == r["phash"]
+
+
+def test_spark_dataflow_matches_committed_oracle(spark):
+    import pandas as pd
+
+    from webcollector_spark.operators import images
+
+    got = (
+        images.decode_verify(images.corpus_webp_df(spark))
+        .orderBy("image_id")
+        .toPandas()
+    )
+    exp = (
+        pd.read_parquet("oracles/image_decode_verify_webp.parquet")
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) == 100
+    assert got["psnr_ok"].all() and got["phash_match"].all()
+    assert (got["image_id"].values == exp["image_id"].values).all()

@@ -79,6 +79,7 @@ SCHEMAS = {
     "image_decode_verify_bmp": _DECODE_VERIFY_SCHEMA,
     "image_decode_verify_ico": _DECODE_VERIFY_SCHEMA,
     "image_decode_verify_tiff": _DECODE_VERIFY_SCHEMA,
+    "image_decode_verify_webp": _DECODE_VERIFY_SCHEMA,
     # same verify shape over the chroma-subsampled (4:2:0/4:2:2) corpus
     "image_decode_verify_jpeg420": _DECODE_VERIFY_SCHEMA,
     # same verify shape over the progressive (SOF2) corpus
@@ -913,6 +914,9 @@ def build_all() -> dict[str, pd.DataFrame]:
         ),
         "image_decode_verify_tiff": build_image_decode_verify(
             fixtures.make_corpus_tiff(100)
+        ),
+        "image_decode_verify_webp": build_image_decode_verify(
+            fixtures.make_corpus_webp(100)
         ),
         # real 4:2:0/4:2:2 MCU-interleaved bytes over smooth truth
         "image_decode_verify_jpeg420": build_image_decode_verify(

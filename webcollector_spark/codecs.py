@@ -425,6 +425,10 @@ def decode(data: bytes) -> np.ndarray:
         from webcollector_spark import tiff
 
         return tiff.decode_tiff(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from webcollector_spark import webp
+
+        return webp.decode_webp_lossless(data)
     raise ValueError("unknown image container")
 
 
@@ -475,6 +479,15 @@ def sniff_header(data: bytes) -> tuple[str, int | None, int | None]:
             )
         except (ValueError, struct.error):
             return "tiff", None, None
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP" and len(data) >= 25:
+        # VP8L: 14-bit w-1 / h-1 straddle the bytes after the 0x2F
+        # signature (LSB-first packing)
+        if data[12:16] == b"VP8L" and data[20:21] == b"\x2f":
+            b0, b1, b2, b3 = data[21:25]
+            w = 1 + (b0 | ((b1 & 0x3F) << 8))
+            h = 1 + ((b1 >> 6) | (b2 << 2) | ((b3 & 0x0F) << 10))
+            return "webp", w, h
+        return "webp", None, None
     if data[:4] == b"\x00\x00\x01\x00" and len(data) >= 8:
         # ICO: report the largest directory entry (0 means 256)
         (count,) = struct.unpack("<H", data[4:6])

@@ -519,6 +519,41 @@ def make_corpus_tiff(n: int = 100, seed: int = SEED) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def make_corpus_webp(n: int = 100, seed: int = SEED) -> pd.DataFrame:
+    """input_hint-shaped corpus whose bytes are REAL lossless WebP
+    (webcollector_spark.webp, VP8L in RIFF): rows cycle color-cache
+    sizes (off/6/8 bits) and the subtract-green transform so every
+    entropy path — simple and normal prefix codes, LZ77 copies, cache
+    hits — appears in the corpus. Lossless: decode must be bit-exact."""
+    from webcollector_spark import webp
+
+    rng = np.random.default_rng(seed)
+    sizes = np.array((32, 64, 33))
+    rows = []
+    for i in range(n):
+        image_id = f"wbp{i:08d}"
+        w = int(sizes[rng.integers(0, len(sizes))])
+        h = int(sizes[rng.integers(0, len(sizes))])
+        pixels = ground_truth_pixels(image_id, w, h)
+        data = webp.encode_webp_lossless(
+            pixels,
+            cache_bits=(0, 6, 8)[i % 3],
+            subtract_green=bool(i % 2),
+        )
+        rows.append(
+            {
+                "image_id": image_id,
+                "bytes": data,
+                "w": w,
+                "h": h,
+                "fmt": "webp",
+                "caption": f"caption of {image_id}",
+                "phash": codecs.phash64(codecs.decode(data)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def make_site_graph(
     n_pages: int,
     n_hosts: int = 10,

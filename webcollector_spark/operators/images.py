@@ -164,6 +164,13 @@ def corpus_tiff_df(spark: SparkSession, n: int = 100) -> DataFrame:
     return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
 
 
+def corpus_webp_df(spark: SparkSession, n: int = 100) -> DataFrame:
+    """REAL lossless-WebP corpus (fixtures.make_corpus_webp) — VP8L
+    prefix codes + LZ77 + color cache; decode must be bit-exact."""
+    pdf = fixtures.make_corpus_webp(n)
+    return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+
+
 def corpus_exif_df(spark: SparkSession, n: int = 120) -> DataFrame:
     """The real-JPEG corpus with APP1/EXIF segments spliced in
     (fixtures.make_corpus_exif): both byte orders, all 8 orientations,

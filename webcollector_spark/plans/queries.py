@@ -2059,6 +2059,27 @@ def q_image_decode_verify_tiff(spark, sf):
 
 
 @register(
+    "image_decode_verify_webp",
+    _oracle_parquet(
+        "image_decode_verify_webp",
+        "image_id, w, h, fmt, psnr_db, psnr_ok, phash_match",
+    ),
+)
+def q_image_decode_verify_webp(spark, sf):
+    """Same verify dataflow over REAL lossless WebP (VP8L) bytes
+    (webcollector_spark.webp: canonical prefix codes in both spec
+    forms, LZ77 backward references over pixels, the multiplicative-
+    hash color cache, subtract-green — all decoded from the bitstream).
+    The corpus cycles cache sizes and the transform so every entropy
+    path appears. Lossless, so every row must decode bit-exact
+    (psnr_db = 1e9 cap, psnr_ok, exact phash). Reference anchor:
+    payloads are opaque bytes + typed metadata (model/Page.java:323-330)."""
+    from webcollector_spark.operators import images
+
+    return images.decode_verify(images.corpus_webp_df(spark))
+
+
+@register(
     "image_resize_meanpool",
     _oracle_parquet("image_resize_meanpool", "image_id, out_w, out_h, pixel_sum"),
 )
@@ -6167,6 +6188,7 @@ _SNAPSHOT_FIRST = [
     "audio_features_flac",
     "image_decode_verify_ico",
     "image_decode_verify_tiff",
+    "image_decode_verify_webp",
 ]
 
 
