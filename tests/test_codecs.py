@@ -415,3 +415,35 @@ def test_ico_corpus_mixes_payload_forms():
         truth = fixtures.ground_truth_pixels(r["image_id"], r["w"], r["h"])
         assert np.array_equal(got, truth)
     assert 2 in n_entries and 3 in n_entries  # DIB-only and mixed rows
+
+
+# ------------------------------------------------ PNG adaptive filtering
+
+
+def test_png_adaptive_filters_roundtrip_and_compress():
+    """filters=True picks Sub/Up/Average/Paeth per row by the libpng
+    MSAD heuristic: must round trip through the all-filter decoder,
+    beat filter-0 on smooth content, and never lose to it on noise
+    (the heuristic falls back to filter 0 there)."""
+    rng = np.random.default_rng(51)
+    grad = (
+        (np.add.outer(np.arange(64), np.arange(64))[..., None].repeat(3, -1))
+        % 256
+    ).astype(np.uint8)
+    noise = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    for interlace in (False, True):
+        plain = codecs.encode_png(grad, interlace=interlace)
+        filt = codecs.encode_png(grad, interlace=interlace, filters=True)
+        assert np.array_equal(codecs.decode_png(filt), grad)
+        assert len(filt) < len(plain) / 2
+        # the stream really uses non-zero filter types
+        raw = codecs.zlib.decompress(
+            filt[filt.find(b"IDAT") + 4 : filt.rfind(b"IEND") - 8]
+        )
+        stride = 1 + 64 * 3
+        if not interlace:
+            types = {raw[i] for i in range(0, len(raw), stride)}
+            assert types - {0}
+        n = codecs.encode_png(noise, interlace=interlace, filters=True)
+        assert np.array_equal(codecs.decode_png(n), noise)
+        assert len(n) <= len(codecs.encode_png(noise, interlace=interlace)) + 64

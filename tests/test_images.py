@@ -130,6 +130,13 @@ def test_multimodal_oracle_parquet_fresh():
         "image_letterbox",
         "image_exif_meta",
         "image_exif_upright",
+        # late-round-4 real-codec rows
+        "video_frames_gif",
+        "image_decode_verify_bmp",
+        "image_decode_verify_ico",
+        "image_decode_verify_tiff",
+        "image_decode_verify_webp",
+        "audio_features_flac",
     }
     for name, pdf in built.items():
         fresh = pa.Table.from_pandas(

@@ -44,6 +44,13 @@ def main() -> int:
         "baseline_444_q98": fixtures.make_corpus_jpeg(120),
         "subsampled_420_422_q92": fixtures.make_corpus_jpeg_subsampled(120),
         "progressive_q92": fixtures.make_corpus_jpeg_progressive(120),
+        # the round-4 container additions: each a real bitstream through
+        # the same magic-dispatch decode the curation operators use
+        "gif87a_lzw": fixtures.make_corpus_gif(100),
+        "bmp_24bpp": fixtures.make_corpus_bmp(100),
+        "ico_dib_png": fixtures.make_corpus_ico(100),
+        "tiff_packbits_mix": fixtures.make_corpus_tiff(100),
+        "webp_vp8l": fixtures.make_corpus_webp(100),
     }
     out = {}
     for name, pdf in corpora.items():

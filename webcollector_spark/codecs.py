@@ -53,30 +53,74 @@ _ADAM7 = (
 )
 
 
-def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
-    """RGB8 HxWx3 array -> PNG bytes (filter 0, zlib level 6).
+def _filter_scanlines(sub: np.ndarray) -> bytes:
+    """Per-row adaptive filtering (libpng's minimum-sum-of-absolute-
+    differences heuristic): try all five spec filters on each scanline
+    and keep the one whose filtered bytes, as signed residuals, have
+    the smallest magnitude sum — the standard proxy for DEFLATE size."""
+    ph, pw = sub.shape[:2]
+    flat = sub.reshape(ph, pw * 3).astype(np.int16)
+    left = np.zeros_like(flat)
+    left[:, 3:] = flat[:, :-3]
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    upleft = np.zeros_like(flat)
+    upleft[1:, 3:] = flat[:-1, :-3]
+    p = left + up - upleft
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+    paeth = np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+    )
+    candidates = [
+        (0, flat),
+        (1, flat - left),
+        (2, flat - up),
+        (3, flat - ((left + up) >> 1)),
+        (4, flat - paeth),
+    ]
+    out = bytearray()
+    for y in range(ph):
+        best = min(
+            candidates,
+            key=lambda t: int(np.abs(((t[1][y] + 128) % 256) - 128).sum()),
+        )
+        out.append(best[0])
+        out += (best[1][y] & 0xFF).astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def encode_png(
+    pixels: np.ndarray, interlace: bool = False, filters: bool = False
+) -> bytes:
+    """RGB8 HxWx3 array -> PNG bytes (zlib level 6). filters=True
+    turns on per-row adaptive filtering (Sub/Up/Average/Paeth chosen
+    by the libpng MSAD heuristic) — real encoders' behavior, and a
+    2-4x byte saving on smooth content; the default stays filter 0 so
+    committed fixture bytes (compression-stats oracles) are stable.
     interlace=True writes Adam7: seven sub-images, each filtered
     independently, concatenated into one zlib stream (spec §8.2)."""
     h, w, c = pixels.shape
     assert c == 3 and pixels.dtype == np.uint8
-    if not interlace:
-        # one filter byte (0 = None) per scanline, then raw RGB
-        raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
-        raw[:, 0] = 0
-        raw[:, 1:] = pixels.reshape(h, w * 3)
-        payload = raw.tobytes()
-    else:
-        parts = []
-        for x0, y0, dx, dy in _ADAM7:
-            sub = pixels[y0::dy, x0::dx]
+    subs = (
+        [pixels]
+        if not interlace
+        else [
+            pixels[y0::dy, x0::dx]
+            for x0, y0, dx, dy in _ADAM7
+            if pixels[y0::dy, x0::dx].size
+        ]
+    )
+    parts = []
+    for sub in subs:
+        if filters:
+            parts.append(_filter_scanlines(sub))
+        else:
             ph, pw = sub.shape[:2]
-            if ph == 0 or pw == 0:
-                continue  # empty pass: contributes NOTHING, not a row
             raw = np.empty((ph, 1 + pw * 3), dtype=np.uint8)
             raw[:, 0] = 0
             raw[:, 1:] = sub.reshape(ph, pw * 3)
             parts.append(raw.tobytes())
-        payload = b"".join(parts)
+    payload = b"".join(parts)
     ihdr = struct.pack(
         ">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0
     )  # 8-bit, color type 2 (RGB)
