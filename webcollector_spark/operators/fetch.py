@@ -99,14 +99,32 @@ def _fetch_one(
         out["status"], out["code"] = STATUS_DB_FAILED, CODE_ROBOTS_DENIED
         return out
 
-    resp = requester.fetch(url, attempt=out["execute_count"])
+    stored_etag = (row.get("meta") or {}).get("etag") if cfg.revalidate else None
+    resp = requester.fetch(url, attempt=out["execute_count"], etag=stored_etag)
     out["code"] = resp.code
     out["location"] = resp.location
+    if resp.code == 304:
+        # Not Modified: the stored validator still matches — SUCCESS
+        # with zero payload bytes. Prior harvest (caption/phash) stays
+        # authoritative in the fetched history; meta records the reuse
+        # so curation can route it like a WARC revisit record.
+        meta = dict(row.get("meta") or {})
+        meta["not_modified"] = "1"
+        if resp.etag:
+            meta["etag"] = resp.etag
+        out["meta"] = meta
+        out["status"] = STATUS_DB_SUCCESS
+        return out
     if resp.code not in SUCCESS_CODES:
         out["status"] = STATUS_DB_FAILED
         return out
 
     out["status"] = STATUS_DB_SUCCESS
+    if cfg.revalidate and resp.etag:
+        meta = dict(row.get("meta") or {})
+        meta["etag"] = resp.etag
+        meta.pop("not_modified", None)
+        out["meta"] = meta
     out["content_type"] = resp.content_type
     content = resp.content[: cfg.max_receive_size] if resp.content else None
     if cfg.keep_content or (
@@ -262,6 +280,7 @@ def fetch(
         keep_content=cfg.keep_content, next_filter=cfg.next_filter,
         parse_sitemaps=cfg.parse_sitemaps,
         min_image_quality=cfg.min_image_quality,
+        revalidate=cfg.revalidate,
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

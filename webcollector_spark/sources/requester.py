@@ -34,12 +34,21 @@ class Response:
     content_type: str | None = None
     content: bytes | None = None
     error: str | None = None
+    # Entity validator (RFC 9110 §8.8.3). A 200 carries the current
+    # ETag; a conditional fetch whose validator still matches yields
+    # code 304 with NO body — the recrawl bandwidth saver.
+    etag: str | None = None
 
 
 class Requester:
-    def fetch(self, url: str, attempt: int = 1) -> Response:  # pragma: no cover
+    def fetch(
+        self, url: str, attempt: int = 1, etag: str | None = None
+    ) -> Response:  # pragma: no cover
         """`attempt` is 1-based (execute_count+1) so deterministic flaky
-        behavior keys on crawl state, not process-local counters."""
+        behavior keys on crawl state, not process-local counters.
+        `etag` is the stored validator from the previous fetch of this
+        url; implementations send it as If-None-Match and may answer
+        304 Not Modified with an empty body."""
         raise NotImplementedError
 
     def robots_txt(self, host: str) -> str | None:
@@ -66,14 +75,33 @@ class SyntheticRequester(Requester):
         # raw_pages: url -> (content_type, bytes) served verbatim —
         # non-HTML fixtures (sitemap XML, binary payloads)
         self._raw = dict(raw_pages or {})
+        # url -> content version; bump_page simulates an edited page so
+        # revalidation tests can see the validator change
+        self._versions: dict[str, int] = {}
 
     def robots_txt(self, host: str) -> str | None:
         return self._robots.get(host)
 
-    def fetch(self, url: str, attempt: int = 1) -> Response:
+    def bump_page(self, url: str) -> None:
+        """Simulate a content change: the page's rendered body (and so
+        its ETag) differs from every earlier version."""
+        self._versions[url] = self._versions.get(url, 0) + 1
+
+    @staticmethod
+    def _etag_of(body: bytes) -> str:
+        import hashlib
+
+        return f'"{hashlib.md5(body).hexdigest()}"'  # strong validator
+
+    def fetch(self, url: str, attempt: int = 1, etag: str | None = None) -> Response:
         raw = self._raw.get(url)
         if raw is not None:
-            return Response(code=200, content_type=raw[0], content=raw[1])
+            tag = self._etag_of(raw[1])
+            if etag is not None and etag == tag:
+                return Response(code=304, etag=tag)
+            return Response(
+                code=200, content_type=raw[0], content=raw[1], etag=tag
+            )
         page = self._pages.get(url)
         if page is None:
             return Response(code=-1, error="connect timeout (no such host/page)")
@@ -85,11 +113,21 @@ class SyntheticRequester(Requester):
             return Response(code=page["http_code"])
         img = self._images.get(page["image_id"]) if page["image_id"] else None
         caption = img["caption"] if img else None
-        body = _render_page(url, list(page["out_links"]), caption, img)
-        return Response(code=200, content_type="text/html", content=body)
+        body = _render_page(
+            url, list(page["out_links"]), caption, img,
+            version=self._versions.get(url, 0),
+        )
+        tag = self._etag_of(body)
+        if etag is not None and etag == tag:
+            return Response(code=304, etag=tag)
+        return Response(
+            code=200, content_type="text/html", content=body, etag=tag
+        )
 
 
-def _render_page(url: str, links: list[str], caption: str | None, img) -> bytes:
+def _render_page(
+    url: str, links: list[str], caption: str | None, img, version: int = 0
+) -> bytes:
     anchors = "\n".join(f'<a href="{u}">link</a>' for u in links)
     cap = f'<p class="caption">{caption}</p>' if caption else ""
     img_tag = ""
@@ -97,10 +135,11 @@ def _render_page(url: str, links: list[str], caption: str | None, img) -> bytes:
         b64 = base64.b64encode(bytes(img["bytes"])).decode("ascii")
         mime = "image/png" if img["fmt"] == "png" else "image/jpeg"
         img_tag = f'<img src="data:{mime};base64,{b64}"/>'
+    ver = f"<!-- v{version} -->" if version else ""
     html = (
         f"<html><head><title>{url}</title>"
         '<meta http-equiv="Content-Type" content="text/html; charset=utf-8"/></head>'
-        f"<body>{cap}\n{img_tag}\n{anchors}</body></html>"
+        f"<body>{cap}\n{img_tag}\n{anchors}{ver}</body></html>"
     )
     return html.encode("utf-8")
 
@@ -174,7 +213,9 @@ class HttpRequester(Requester):
             )
         return urllib.request.build_opener(*handlers)
 
-    def fetch(self, url: str, attempt: int = 1) -> Response:  # pragma: no cover - needs network
+    def fetch(
+        self, url: str, attempt: int = 1, etag: str | None = None
+    ) -> Response:  # pragma: no cover - needs network
         import urllib.error
         import urllib.request
 
@@ -183,6 +224,8 @@ class HttpRequester(Requester):
             req.add_header("User-Agent", self.user_agent)
         if self.cookie:
             req.add_header("Cookie", self.cookie)
+        if etag:
+            req.add_header("If-None-Match", etag)
         opener = self._build_opener()
         try:
             with opener.open(req, timeout=self.timeout) as resp:
@@ -191,8 +234,11 @@ class HttpRequester(Requester):
                     code=resp.status,
                     content_type=resp.headers.get("Content-Type"),
                     content=body,
+                    etag=resp.headers.get("ETag"),
                 )
         except urllib.error.HTTPError as e:
+            if e.code == 304:
+                return Response(code=304, etag=etag)
             return Response(code=e.code, location=e.headers.get("Location"))
         except Exception as e:  # transport error -> FAILED
             return Response(code=-1, error=str(e))
