@@ -277,3 +277,114 @@ def test_revisit_export_byte_identical_across_parallelism(spark, tmp_path):
             ).hexdigest()
         outs.append(digest)
     assert outs[0] == outs[1]
+
+
+# ------------------------------------------- server-not-modified (304)
+
+
+def _round1_and_304_round(spark):
+    """Round 1: full captures. Round 2: every key re-fetched via
+    conditional revalidation — two changed (fresh bytes), the rest
+    304s (meta.not_modified, NULL content)."""
+    r1 = _fetched(spark, 12).withColumn(
+        "meta", F.create_map().cast("map<string,string>")
+    )
+    rows2 = []
+    for r in r1.collect():
+        changed = r.key.endswith(("0000", "0001"))
+        rows2.append(
+            (
+                r.key, r.url,
+                (b"NEW" + bytes(r.content)) if changed else None,
+                r.content_type,
+                r.execute_time + 10_000_000,
+                {} if changed else {"not_modified": "1"},
+            )
+        )
+    r2 = spark.createDataFrame(
+        rows2,
+        "key string, url string, content binary, content_type string, "
+        "execute_time long, meta map<string,string>",
+    )
+    return r1, r2
+
+
+def test_not_modified_plan_marks_only_revalidated_with_prior(spark):
+    from webcollector_spark.operators.warc import revisit_plan_not_modified
+
+    r1, r2 = _round1_and_304_round(spark)
+    planned = {r.key: r for r in revisit_plan_not_modified(r2, r1).collect()}
+    assert len(planned) == 12
+    for k, row in planned.items():
+        if k.endswith(("0000", "0001")):
+            assert row.revisit_of is None and row.revisit_profile is None
+        else:
+            assert row.revisit_of == k
+            assert row.revisit_profile == "server-not-modified"
+            assert row.refers_to_url == row.url
+            assert row.refers_to_ms == row.execute_time - 10_000_000
+    # a 304 with NO prior capture stays a resource
+    orphan = spark.createDataFrame(
+        [("http://x/only", "http://x/only", None, "text/html",
+          1_700_000_000_000, {"not_modified": "1"})],
+        "key string, url string, content binary, content_type string, "
+        "execute_time long, meta map<string,string>",
+    )
+    got = revisit_plan_not_modified(orphan, r1).collect()[0]
+    assert got.revisit_of is None
+
+
+def test_not_modified_records_resolve_across_archives(spark, tmp_path):
+    from webcollector_spark.operators.warc import (
+        read_warc,
+        resolve_revisits,
+        revisit_plan_not_modified,
+        write_warc,
+    )
+
+    r1, r2 = _round1_and_304_round(spark)
+    out1, out2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    _export(spark, r1.drop("meta"), out1)
+
+    planned = revisit_plan_not_modified(r2, r1)
+    assigned = pack_shards(
+        planned.withColumn(
+            "sz",
+            F.when(F.col("revisit_of").isNull(), F.octet_length("content"))
+            .otherwise(F.lit(0)),
+        ),
+        key="key",
+        size="sz",
+        target_bytes=2000,
+        carry=("url", "content", "content_type", "execute_time",
+               "revisit_of", "refers_to_url", "refers_to_ms",
+               "revisit_profile"),
+    )
+    write_warc(
+        assigned, out2,
+        revisit_of_col="revisit_of", profile_col="revisit_profile",
+    ).collect()
+
+    recs = read_warc(spark, out1).unionByName(read_warc(spark, out2))
+    revs = recs.filter(F.col("record_type") == "revisit").collect()
+    assert len(revs) == 10
+    for r in revs:
+        assert r.profile.endswith("/revisit/server-not-modified")
+        assert r.payload_digest is None  # no bytes were transferred
+        assert r.payload == b""
+
+    resolved = {
+        r.url: r
+        for r in resolve_revisits(recs)
+        .filter(F.col("record_type") == "revisit")
+        .collect()
+    }
+    originals = {r.key: bytes(r.content) for r in r1.collect()}
+    assert len(resolved) == 10
+    for url, r in resolved.items():
+        assert r.resolved_ok, url
+        assert bytes(r.payload) == originals[url]  # key == url here
+    # a server-not-modified record's id is capture-unique: it must not
+    # collide with the id of the referent it points at
+    for r in revs:
+        assert r.record_id != r.refers_to

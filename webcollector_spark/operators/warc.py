@@ -154,6 +154,48 @@ def revisit_plan(
     )
 
 
+def revisit_plan_not_modified(
+    current: DataFrame,
+    prior: DataFrame,
+    *,
+    key: str = "key",
+    url_col: str = "url",
+    date_ms_col: str = "execute_time",
+) -> DataFrame:
+    """The 304 twin of `revisit_plan`: rows this round's fetch marked
+    `meta['not_modified']` (conditional revalidation, RFC 9110) become
+    WARC 1.1 `revisit` records with the **server-not-modified**
+    profile, referring to the SAME key's prior capture — the archive
+    records that a capture happened without re-storing (or even
+    re-transferring) the bytes.
+
+    `prior` is the earlier capture set (typically the rows previously
+    archived); its latest capture per key supplies WARC-Refers-To-*.
+    A not-modified row with no prior capture stays a plain resource
+    (nothing to refer to). Adds `revisit_of` / `refers_to_url` /
+    `refers_to_ms` / `revisit_profile` — feed to `write_warc` with
+    revisit_of_col='revisit_of', profile_col='revisit_profile'.
+
+    Shape: one groupBy(key) of the prior set to O(keys), one key join
+    — both sides O(rows), nothing unbounded broadcast."""
+    latest = prior.groupBy(F.col(key).alias("__pk")).agg(
+        F.max_by(F.col(url_col), F.col(date_ms_col)).alias("__p_url"),
+        F.max(date_ms_col).alias("__p_ms"),
+    )
+    flag = F.col("meta").getItem("not_modified") == F.lit("1")
+    is_rev = flag & F.col("__pk").isNotNull()
+    return (
+        current.join(latest, F.col(key) == F.col("__pk"), "left")
+        .withColumn("revisit_of", F.when(is_rev, F.col(key)))
+        .withColumn("refers_to_url", F.when(is_rev, F.col("__p_url")))
+        .withColumn("refers_to_ms", F.when(is_rev, F.col("__p_ms")))
+        .withColumn(
+            "revisit_profile", F.when(is_rev, F.lit("server-not-modified"))
+        )
+        .drop("__pk", "__p_url", "__p_ms")
+    )
+
+
 def write_warc(
     df: DataFrame,
     out_dir: str,
@@ -167,6 +209,7 @@ def write_warc(
     software: str = "webcollector-spark",
     overwrite: bool = False,
     revisit_of_col: str | None = None,
+    profile_col: str | None = None,
 ) -> DataFrame:
     """Write shard-assigned fetched rows as .warc.gz files; returns the
     per-shard lineage manifest (shard, n_records, warc_bytes, sha256,
@@ -180,7 +223,14 @@ def write_warc(
     original's deterministic record id, WARC-Refers-To-Target-URI /
     -Date from the plan's refers_to_url/refers_to_ms columns — so the
     duplicate's BYTES never hit the archive while its capture event
-    stays fully recorded and resolvable (`resolve_revisits`)."""
+    stays fully recorded and resolvable (`resolve_revisits`).
+
+    With `profile_col` (from `revisit_plan_not_modified`): a revisit
+    row whose profile is `server-not-modified` uses that WARC 1.1
+    profile URI, records NO payload digest (the bytes were never
+    transferred — a 304 is the server's word, not a hash we computed),
+    and takes a capture-unique record id (`key@date`) so it cannot
+    collide with the prior capture of the same key it refers to."""
     import pandas as pd
 
     out_schema = (
@@ -235,10 +285,11 @@ def write_warc(
             rev = pdf[revisit_of_col] if revisit_of_col else [None] * len(pdf)
             r_url = pdf["refers_to_url"] if revisit_of_col else rev
             r_ms = pdf["refers_to_ms"] if revisit_of_col else rev
-            for sid, k, url, data, ct, ms, rof, ruri, rms in zip(
+            prof = pdf[profile_col] if profile_col else [None] * len(pdf)
+            for sid, k, url, data, ct, ms, rof, ruri, rms, pr in zip(
                 pdf[shard_col], pdf[key], pdf[url_col],
                 pdf[bytes_col], pdf[content_type_col], pdf[date_ms_col],
-                rev, r_url, r_ms,
+                rev, r_url, r_ms, prof,
             ):
                 sid = int(sid)
                 if cur is None or cur["shard"] != sid:
@@ -250,25 +301,36 @@ def write_warc(
                     continue
                 payload = bytes(data) if data is not None else b""
                 if rof is not None:
-                    # duplicate capture: digest recorded, bytes elided
-                    rec = _record(
-                        [
-                            ("WARC-Type", "revisit"),
-                            ("WARC-Record-ID", record_id_for(str(k))),
-                            ("WARC-Date", _iso_date(ms)),
-                            ("WARC-Target-URI", str(url)),
-                            ("WARC-Profile",
-                             "http://netpreserve.org/warc/1.1/revisit/"
-                             "identical-payload-digest"),
-                            ("WARC-Refers-To", record_id_for(str(rof))),
-                            ("WARC-Refers-To-Target-URI", str(ruri)),
-                            ("WARC-Refers-To-Date", _iso_date(rms)),
-                            ("WARC-Payload-Digest", _payload_digest(payload)),
-                            ("Content-Type",
-                             str(ct) if ct else "application/octet-stream"),
-                        ],
-                        b"",
+                    # duplicate capture: bytes elided either way; the
+                    # identical-payload profile records OUR digest of
+                    # the bytes, server-not-modified records none (a
+                    # 304 transferred no bytes to hash) and takes a
+                    # capture-unique id so it can refer to the same
+                    # key's earlier record without colliding
+                    snm = pr == "server-not-modified"
+                    headers = [
+                        ("WARC-Type", "revisit"),
+                        ("WARC-Record-ID",
+                         record_id_for(f"{k}@{int(ms)}" if snm else str(k))),
+                        ("WARC-Date", _iso_date(ms)),
+                        ("WARC-Target-URI", str(url)),
+                        ("WARC-Profile",
+                         "http://netpreserve.org/warc/1.1/revisit/"
+                         + ("server-not-modified" if snm
+                            else "identical-payload-digest")),
+                        ("WARC-Refers-To", record_id_for(str(rof))),
+                        ("WARC-Refers-To-Target-URI", str(ruri)),
+                        ("WARC-Refers-To-Date", _iso_date(rms)),
+                    ]
+                    if not snm:
+                        headers.append(
+                            ("WARC-Payload-Digest", _payload_digest(payload))
+                        )
+                    headers.append(
+                        ("Content-Type",
+                         str(ct) if ct else "application/octet-stream")
                     )
+                    rec = _record(headers, b"")
                 else:
                     rec = _record(
                         [
@@ -297,6 +359,8 @@ def write_warc(
     cols = [shard_col, key, url_col, bytes_col, content_type_col, date_ms_col]
     if revisit_of_col:
         cols += [revisit_of_col, "refers_to_url", "refers_to_ms"]
+    if profile_col:
+        cols.append(profile_col)
     return (
         df.select(*cols)
         .repartition(F.col(shard_col))
@@ -422,7 +486,8 @@ def read_warc(spark, out_dir: str) -> DataFrame:
     out_schema = (
         "path string, record_type string, record_id string, url string, "
         "warc_date string, content_type string, payload binary, "
-        "digest_ok boolean, refers_to string, payload_digest string"
+        "digest_ok boolean, refers_to string, payload_digest string, "
+        "profile string"
     )
 
     def parse_partition(batches):
@@ -471,6 +536,7 @@ def read_warc(spark, out_dir: str) -> DataFrame:
                             ),
                             "refers_to": headers.get("WARC-Refers-To"),
                             "payload_digest": digest,
+                            "profile": headers.get("WARC-Profile"),
                         }
                     )
             yield pd.DataFrame(
@@ -478,7 +544,7 @@ def read_warc(spark, out_dir: str) -> DataFrame:
                 columns=[
                     "path", "record_type", "record_id", "url",
                     "warc_date", "content_type", "payload", "digest_ok",
-                    "refers_to", "payload_digest",
+                    "refers_to", "payload_digest", "profile",
                 ],
             )
 
@@ -516,10 +582,16 @@ def resolve_revisits(records: DataFrame) -> DataFrame:
             # transitively verified, pure JVM: the original's digest_ok
             # (read_warc recomputed sha1-base32 over its actual bytes)
             # proves recorded == computed; equal recorded digests then
-            # prove the original's bytes hash to the revisit's digest
+            # prove the original's bytes hash to the revisit's digest.
+            # A server-not-modified revisit recorded NO digest (a 304
+            # transferred no bytes) — there the original's self-check
+            # is the whole integrity claim.
             F.col("__orig_payload").isNotNull()
             & F.col("__orig_ok")
-            & (F.col("payload_digest") == F.col("__orig_digest")),
+            & (
+                F.col("payload_digest").isNull()
+                | (F.col("payload_digest") == F.col("__orig_digest"))
+            ),
         )
         .withColumn("payload", F.col("__orig_payload"))
         .drop("__orig_payload", "__orig_digest", "__orig_ok")
