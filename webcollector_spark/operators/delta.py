@@ -111,3 +111,46 @@ def frontier_backlog(
         ),
         F.max("execute_count").alias("max_tries"),
     )
+
+
+def revalidation_savings(fetch_log: DataFrame) -> DataFrame:
+    """Per-host conditional-revalidation telemetry: how much of a
+    recrawl round the 304 path actually saved (the operations view of
+    CrawlerConfig.revalidate).
+
+    Input: one row per fetch with `host`, `code` (200 or 304), and
+    `size_bytes` — for a 200 the transferred payload size, for a 304
+    the size the stored validator's payload had (what WOULD have been
+    re-transferred; the fetched history carries it). Output one row per
+    host: fetch count, 304 count, integer not-modified percent (`div`,
+    bit-reproducible cross-engine), bytes actually transferred, and
+    bytes saved. One map-side-combinable aggregate, O(hosts) output —
+    feeds the same scheduler dashboard as frontier_backlog; a host
+    whose save-rate collapses is churning content and belongs on a
+    shorter recrawl interval (change_rate_intervals)."""
+    is_304 = (F.col("code") == 304).cast("long")
+    return (
+        fetch_log.groupBy("host")
+        .agg(
+            F.count("*").alias("fetches"),
+            F.sum(is_304).alias("n_not_modified"),
+            F.sum(
+                F.when(F.col("code") == 200, F.col("size_bytes")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("bytes_transferred"),
+            F.sum(
+                F.when(F.col("code") == 304, F.col("size_bytes")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("bytes_saved"),
+        )
+        .withColumn(
+            "not_modified_pct",
+            F.expr("n_not_modified * 100 div fetches").cast("long"),
+        )
+        .select(
+            "host", "fetches", "n_not_modified", "not_modified_pct",
+            "bytes_transferred", "bytes_saved",
+        )
+    )

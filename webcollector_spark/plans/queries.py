@@ -5826,6 +5826,52 @@ def q_host_fetch_latency(spark, sf):
     )
 
 
+# Conditional-revalidation telemetry (operators/delta.py
+# revalidation_savings) — the operations view of CrawlerConfig.
+# revalidate: per host, how much of a recrawl round the 304 path
+# saved. events analog: user_id ≙ host, event_id % 5 == 0 ≙ the
+# validator still matched (304), size = deterministic per-event
+# payload size (what a 304 avoided re-transferring). Integer percent
+# via div; one map-side-combinable aggregate, O(hosts).
+@register(
+    "revalidation_savings",
+    """
+    WITH log AS (
+      SELECT 'h' || CAST(user_id % 23 AS VARCHAR) AS host,
+             CASE WHEN event_id % 5 = 0 THEN 304 ELSE 200 END AS code,
+             CAST((event_id % 997) * 97 + 200 AS BIGINT) AS size_bytes
+      FROM events
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS fetches,
+           CAST(sum(CASE WHEN code = 304 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_not_modified,
+           CAST(sum(CASE WHEN code = 304 THEN 1 ELSE 0 END) * 100
+                // count(*) AS BIGINT) AS not_modified_pct,
+           CAST(sum(CASE WHEN code = 200 THEN size_bytes ELSE 0 END)
+             AS BIGINT) AS bytes_transferred,
+           CAST(sum(CASE WHEN code = 304 THEN size_bytes ELSE 0 END)
+             AS BIGINT) AS bytes_saved
+    FROM log GROUP BY host
+    """,
+)
+def q_revalidation_savings(spark, sf):
+    """Per-host 304 share + bytes saved over a derived fetch log —
+    the recrawl-efficiency dashboard row (tests/test_revalidate.py
+    pins the live 304 path this telemetry reports on)."""
+    from webcollector_spark.operators.delta import revalidation_savings
+
+    e = F.col("event_id")
+    log = _t(spark, sf, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 23).cast("string")).alias(
+            "host"
+        ),
+        F.when(e % 5 == 0, F.lit(304)).otherwise(F.lit(200)).alias("code"),
+        ((e % 997) * 97 + 200).cast("long").alias("size_bytes"),
+    )
+    return revalidation_savings(log)
+
+
 # ---------------------------------------------------------------------------
 # UCB1 host-budget priority (operators/rank.py ucb_host_scores) — the
 # bandit view of crawl scheduling: every host is an arm, a fetch is a
@@ -6189,6 +6235,7 @@ _SNAPSHOT_FIRST = [
     "image_decode_verify_ico",
     "image_decode_verify_tiff",
     "image_decode_verify_webp",
+    "revalidation_savings",
 ]
 
 
