@@ -14,19 +14,54 @@ from webcollector_spark import codecs, fixtures, tiff
 
 
 @pytest.mark.parametrize("byte_order", ["<", ">"], ids=["II", "MM"])
-@pytest.mark.parametrize("compression", [1, 32773], ids=["none", "packbits"])
-def test_roundtrip_bit_exact(byte_order, compression):
+@pytest.mark.parametrize(
+    "compression,predictor",
+    [(1, 1), (32773, 1), (5, 1), (5, 2)],
+    ids=["none", "packbits", "lzw", "lzw-pred2"],
+)
+def test_roundtrip_bit_exact(byte_order, compression, predictor):
     rng = np.random.default_rng(31)
     for h, w in [(1, 1), (16, 32), (33, 33), (17, 31)]:
         px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
         data = tiff.encode_tiff(
             px, byte_order=byte_order, compression=compression,
-            rows_per_strip=16,
+            rows_per_strip=16, predictor=predictor,
         )
         assert np.array_equal(tiff.decode_tiff(data), px)
         assert np.array_equal(codecs.decode(data), px)  # magic dispatch
         fmt, sw, sh = codecs.sniff_header(data[:4096])
         assert (fmt, sw, sh) == ("tiff", w, h)
+
+
+def test_lzw_earlychange_and_clear_boundaries():
+    """The TIFF-LZW specifics: MSB-first packing, width bumps one code
+    EARLY (decoder one entry earlier than encoder), mid-stream Clear
+    at 4094 entries — exercised by streams long enough to cross every
+    width boundary and force table resets."""
+    rng = np.random.default_rng(32)
+    cases = [
+        b"",
+        b"A",
+        b"AB" * 5000,  # crosses 9->10->11 bit widths
+        bytes(rng.integers(0, 256, 20000).astype(np.uint8)),  # full-width
+        bytes(rng.integers(0, 4, 100000).astype(np.uint8)),  # multi-Clear
+        b"\x00" * 70000,  # degenerate run
+    ]
+    for data in cases:
+        enc = tiff.tiff_lzw_encode(data)
+        assert tiff.tiff_lzw_decode(enc, len(data)) == data
+    with pytest.raises(ValueError, match="truncated"):
+        tiff.tiff_lzw_decode(tiff.tiff_lzw_encode(b"hello world")[:3], 11)
+
+
+def test_lzw_predictor_compresses_smooth_content():
+    smooth = (
+        128 + 90 * np.sin(np.add.outer(np.arange(48) / 7, np.arange(40) / 5))
+    )[..., None].repeat(3, -1).astype(np.uint8)
+    none_sz = len(tiff.encode_tiff(smooth))
+    lzw = len(tiff.encode_tiff(smooth, compression=5))
+    pred = len(tiff.encode_tiff(smooth, compression=5, predictor=2))
+    assert pred < lzw < none_sz  # differencing beats raw LZW beats raw
 
 
 def test_packbits_unit_roundtrip_and_packet_shapes():
@@ -89,8 +124,11 @@ def test_unsupported_features_raise():
                 return bytes(out)
         raise AssertionError(f"tag {tag} not found")
 
-    with pytest.raises(NotImplementedError, match="compression 5"):
-        tiff.decode_tiff(patch_entry(good, 259, 5))  # LZW
+    with pytest.raises(NotImplementedError, match="compression 7"):
+        tiff.decode_tiff(patch_entry(good, 259, 7))  # JPEG-in-TIFF
+    with pytest.raises(NotImplementedError, match="predictor 3"):
+        lzw = tiff.encode_tiff(px, compression=5, predictor=2)
+        tiff.decode_tiff(patch_entry(lzw, 317, 3))  # float predictor
     with pytest.raises(NotImplementedError, match="photometric 3"):
         tiff.decode_tiff(patch_entry(good, 262, 3))  # palette
     with pytest.raises(NotImplementedError, match="samples/pixel"):
@@ -119,7 +157,7 @@ def test_corpus_is_lossless_and_mixes_variants():
             if struct.unpack_from(e + "H", data, pos)[0] == 259:
                 comps.add(struct.unpack_from(e + "H", data, pos + 8)[0])
     assert orders == {b"II", b"MM"}
-    assert comps == {1, 32773}
+    assert comps == {1, 5, 32773}
 
 
 def test_spark_dataflow_matches_committed_oracle(spark):

@@ -486,9 +486,10 @@ def make_corpus_ico(n: int = 100, seed: int = SEED) -> pd.DataFrame:
 
 def make_corpus_tiff(n: int = 100, seed: int = SEED) -> pd.DataFrame:
     """input_hint-shaped corpus whose bytes are REAL baseline-RGB TIFF
-    (webcollector_spark.tiff): alternating II/MM byte orders and
-    none/PackBits compression, multi-strip, including a height that
-    leaves a short final strip. Lossless: decode must be bit-exact."""
+    (webcollector_spark.tiff): alternating II/MM byte orders and a
+    PackBits / none / LZW+Predictor-2 compression cycle, multi-strip,
+    including a height that leaves a short final strip. Lossless:
+    decode must be bit-exact."""
     from webcollector_spark import tiff
 
     rng = np.random.default_rng(seed)
@@ -499,11 +500,13 @@ def make_corpus_tiff(n: int = 100, seed: int = SEED) -> pd.DataFrame:
         w = int(sizes[rng.integers(0, len(sizes))])
         h = int(sizes[rng.integers(0, len(sizes))])
         pixels = ground_truth_pixels(image_id, w, h)
+        comp = (32773, 1, 5)[i % 3]
         data = tiff.encode_tiff(
             pixels,
             byte_order="<" if i % 2 == 0 else ">",
-            compression=32773 if i % 3 == 0 else 1,
+            compression=comp,
             rows_per_strip=16,
+            predictor=2 if comp == 5 else 1,
         )
         rows.append(
             {

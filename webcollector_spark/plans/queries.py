@@ -2049,10 +2049,13 @@ def q_image_decode_verify_tiff(spark, sf):
     """Same verify dataflow over REAL baseline-RGB TIFF bytes
     (webcollector_spark.tiff — the IFD reader shared with the EXIF
     layer): II and MM byte orders, multi-strip rasters with a short
-    final strip, Compression 1 and 32773 (PackBits, the spec's own
-    RLE). Lossless, so every row must decode bit-exact (psnr_db = 1e9
-    cap, psnr_ok, exact phash). Reference anchor: payloads are opaque
-    bytes + typed metadata (model/Page.java:323-330)."""
+    final strip, and a Compression cycle of 32773 (PackBits, the
+    spec's own RLE), 1 (none) and 5 (LZW — MSB-first with EarlyChange,
+    the opposite byte order of GIF's LZW — under the horizontal-
+    differencing Predictor 2 real LZW TIFFs use). Lossless, so every
+    row must decode bit-exact (psnr_db = 1e9 cap, psnr_ok, exact
+    phash). Reference anchor: payloads are opaque bytes + typed
+    metadata (model/Page.java:323-330)."""
     from webcollector_spark.operators import images
 
     return images.decode_verify(images.corpus_tiff_df(spark))

@@ -6,12 +6,15 @@ TIFF IFD (webcollector_spark/exif.py parses one inside JPEG APP1);
 this module reuses that exact IFD reader to decode standalone TIFF
 files — the format scanners/archives actually serve.
 
-Subset (TIFF 6.0 "baseline RGB"): 8-bit RGB, chunky planar config,
-strip-organized raster, little- ("II") and big-endian ("MM") files,
-Compression 1 (none) and 32773 (PackBits — the spec's own RLE, and a
-third real entropy-coding family in the codec layer after LZW and
-Huffman/Rice). Tiled TIFF, palette, LZW/JPEG/deflate compression and
-non-8-bit samples raise NotImplementedError honestly.
+Subset (TIFF 6.0 "baseline RGB" + the LZW extension): 8-bit RGB,
+chunky planar config, strip-organized raster, little- ("II") and
+big-endian ("MM") files, Compression 1 (none), 32773 (PackBits — the
+spec's own RLE) and 5 (LZW — TIFF's variant is MSB-first bit packing
+with the EarlyChange code-width bump, the OPPOSITE byte order of
+GIF's LZW; both directions implemented, including the horizontal-
+differencing Predictor=2 most real LZW TIFFs use). Tiled TIFF,
+palette, JPEG/deflate compression and non-8-bit samples raise
+NotImplementedError honestly.
 
 Lossless both ways: decode(encode(px)) is bit-exact. Deterministic,
 numpy-vectorized PackBits. Reference anchor: fetched payloads are
@@ -37,8 +40,115 @@ _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
 _TAG_PLANAR = 284
 
+_TAG_PREDICTOR = 317
+
 _COMP_NONE = 1
+_COMP_LZW = 5
 _COMP_PACKBITS = 32773
+
+
+def tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW (spec §13): MSB-first bit packing (the opposite
+    of GIF), 9-bit initial width, Clear=256 EOI=257, EarlyChange width
+    bumps at 511/1023/2047 minus one, Clear emitted when the table
+    reaches 4094."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+
+    width = 9
+    table: dict[tuple[int, int], int] = {}
+    nxt = 258
+    put(256, width)  # initial Clear
+    if not data:
+        put(257, width)
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(out)
+    prefix = data[0]
+    for byte in data[1:]:
+        e = table.get((prefix, byte))
+        if e is not None:
+            prefix = e
+            continue
+        put(prefix, width)
+        table[(prefix, byte)] = nxt
+        nxt += 1
+        if nxt == (1 << width) - 1 and width < 12:  # EarlyChange
+            width += 1
+        if nxt >= 4094:
+            put(256, width)
+            table.clear()
+            width, nxt = 9, 258
+        prefix = byte
+    put(prefix, width)
+    put(257, width)  # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """Inverse of tiff_lzw_encode, KwKwK case included."""
+    pos = acc = nbits = 0
+
+    def get(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("TIFF LZW stream truncated")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        v = (acc >> nbits) & ((1 << width) - 1)
+        return v
+
+    out = bytearray()
+    width = 9
+    table: dict[int, bytes] = {}
+    nxt = 258
+    prev: bytes | None = None
+    while len(out) < expected:
+        code = get(width)
+        if code == 257:  # EOI before enough output
+            break
+        if code == 256:  # Clear
+            width, nxt, prev = 9, 258, None
+            table.clear()
+            continue
+        if code < 256:
+            entry = bytes([code])
+        elif code in table:
+            entry = table[code]
+        elif code == nxt and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"bad TIFF LZW code {code} (next free {nxt})")
+        out += entry
+        if prev is not None:
+            table[nxt] = prev + entry[:1]
+            nxt += 1
+            # EarlyChange, one entry EARLIER than the encoder: the
+            # decoder's table lags the encoder by exactly one entry, so
+            # when its next-free hits 2^w - 2 the NEXT code on the wire
+            # was already emitted at the wider size
+            if nxt == (1 << width) - 2 and width < 12:
+                width += 1
+        prev = entry
+    if len(out) != expected:
+        raise ValueError(
+            f"TIFF LZW produced {len(out)} bytes, strip is {expected}"
+        )
+    return bytes(out)
 
 
 def packbits_encode(data: bytes) -> bytes:
@@ -106,31 +216,49 @@ def _entry(e: str, tag: int, typ: int, count: int, value: int) -> bytes:
     return struct.pack(e + "HHII", tag, typ, count, value)
 
 
+def _hdiff(strip: np.ndarray) -> np.ndarray:
+    """Predictor 2: per-row per-channel horizontal differencing."""
+    d = strip.astype(np.int16)
+    d[:, 1:, :] -= strip[:, :-1, :].astype(np.int16)
+    return (d & 0xFF).astype(np.uint8)
+
+
 def encode_tiff(
     pixels: np.ndarray,
     byte_order: str = "<",
     compression: int = _COMP_NONE,
     rows_per_strip: int = 16,
+    predictor: int = 1,
 ) -> bytes:
     """RGB8 HxWx3 -> baseline TIFF bytes. byte_order '<' writes an
     'II' (Intel) file, '>' an 'MM' (Motorola) one; compression is 1
-    (none) or 32773 (PackBits), applied per strip."""
+    (none), 5 (LZW) or 32773 (PackBits), applied per strip; predictor
+    2 applies horizontal differencing before compression (what real
+    LZW TIFFs do — deltas of smooth content are far more repetitive
+    than raw samples)."""
     h, w, c = pixels.shape
     assert c == 3 and pixels.dtype == np.uint8
     assert byte_order in ("<", ">")
-    if compression not in (_COMP_NONE, _COMP_PACKBITS):
+    if compression not in (_COMP_NONE, _COMP_LZW, _COMP_PACKBITS):
         raise ValueError(f"unsupported compression {compression}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported predictor {predictor}")
     e = byte_order
     strips = []
     for y0 in range(0, h, rows_per_strip):
-        raw = pixels[y0 : y0 + rows_per_strip].tobytes()
-        strips.append(
-            packbits_encode(raw) if compression == _COMP_PACKBITS else raw
-        )
+        block = pixels[y0 : y0 + rows_per_strip]
+        if predictor == 2:
+            block = _hdiff(block)
+        raw = block.tobytes()
+        if compression == _COMP_PACKBITS:
+            raw = packbits_encode(raw)
+        elif compression == _COMP_LZW:
+            raw = tiff_lzw_encode(raw)
+        strips.append(raw)
     n_strips = len(strips)
 
     # layout: 8-byte header, IFD, then out-of-line values, then strips
-    n_entries = 10
+    n_entries = 10 + (1 if predictor != 1 else 0)
     ifd_off = 8
     ifd_size = 2 + 12 * n_entries + 4
     aux_off = ifd_off + ifd_size
@@ -144,26 +272,29 @@ def encode_tiff(
         strip_offsets.append(pos)
         pos += len(s)
 
-    entries = b"".join(
-        [
-            _entry(e, _TAG_WIDTH, 4, 1, w),
-            _entry(e, _TAG_LENGTH, 4, 1, h),
-            _entry(e, _TAG_BITS, 3, 3, bits_off),
-            _entry(e, _TAG_COMPRESSION, 3, 1, compression),
-            _entry(e, _TAG_PHOTOMETRIC, 3, 1, 2),  # RGB
-            _entry(
-                e, _TAG_STRIP_OFFSETS, 4, n_strips,
-                strip_offsets[0] if n_strips == 1 else offsets_off,
-            ),
-            _entry(e, _TAG_SPP, 3, 1, 3),
-            _entry(e, _TAG_ROWS_PER_STRIP, 4, 1, rows_per_strip),
-            _entry(
-                e, _TAG_STRIP_COUNTS, 4, n_strips,
-                len(strips[0]) if n_strips == 1 else counts_off,
-            ),
-            _entry(e, _TAG_PLANAR, 3, 1, 1),  # chunky
-        ]
-    )
+    entry_list = [
+        _entry(e, _TAG_WIDTH, 4, 1, w),
+        _entry(e, _TAG_LENGTH, 4, 1, h),
+        _entry(e, _TAG_BITS, 3, 3, bits_off),
+        _entry(e, _TAG_COMPRESSION, 3, 1, compression),
+        _entry(e, _TAG_PHOTOMETRIC, 3, 1, 2),  # RGB
+        _entry(
+            e, _TAG_STRIP_OFFSETS, 4, n_strips,
+            strip_offsets[0] if n_strips == 1 else offsets_off,
+        ),
+        _entry(e, _TAG_SPP, 3, 1, 3),
+        _entry(e, _TAG_ROWS_PER_STRIP, 4, 1, rows_per_strip),
+        _entry(
+            e, _TAG_STRIP_COUNTS, 4, n_strips,
+            len(strips[0]) if n_strips == 1 else counts_off,
+        ),
+        _entry(e, _TAG_PLANAR, 3, 1, 1),  # chunky
+    ]
+    if predictor != 1:
+        entry_list.append(_entry(e, _TAG_PREDICTOR, 3, 1, predictor))
+    # IFD entries must be sorted by tag (spec requirement)
+    entry_list.sort(key=lambda b: struct.unpack(e + "H", b[:2])[0])
+    entries = b"".join(entry_list)
     out = bytearray()
     out += (b"II" if e == "<" else b"MM") + struct.pack(e + "HI", 42, ifd_off)
     out += struct.pack(e + "H", n_entries) + entries + struct.pack(e + "I", 0)
@@ -215,8 +346,11 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if w is None or h is None:
         raise ValueError("TIFF missing dimensions")
     compression = _tag_uint(ifd, _TAG_COMPRESSION, e, default=_COMP_NONE)
-    if compression not in (_COMP_NONE, _COMP_PACKBITS):
+    if compression not in (_COMP_NONE, _COMP_LZW, _COMP_PACKBITS):
         raise NotImplementedError(f"TIFF compression {compression} not supported")
+    predictor = _tag_uint(ifd, _TAG_PREDICTOR, e, default=1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} not supported")
     photometric = _tag_uint(ifd, _TAG_PHOTOMETRIC, e)
     if photometric != 2:
         raise NotImplementedError(
@@ -249,11 +383,19 @@ def decode_tiff(data: bytes) -> np.ndarray:
         chunk = data[off : off + cnt]
         expected = nrows * w * 3
         if compression == _COMP_PACKBITS:
-            raster += packbits_decode(chunk, expected)
+            block = packbits_decode(chunk, expected)
+        elif compression == _COMP_LZW:
+            block = tiff_lzw_decode(chunk, expected)
         else:
             if cnt != expected:
                 raise ValueError("strip byte count mismatch")
-            raster += chunk
+            block = chunk
+        if predictor == 2:  # undo horizontal differencing per row
+            arr = np.frombuffer(block, np.uint8).reshape(nrows, w, 3)
+            block = (
+                np.cumsum(arr, axis=1, dtype=np.int64) & 0xFF
+            ).astype(np.uint8).tobytes()
+        raster += block
     if remaining:
         raise ValueError("strips cover fewer rows than ImageLength")
     return (
