@@ -137,6 +137,7 @@ def test_multimodal_oracle_parquet_fresh():
         "image_decode_verify_tiff",
         "image_decode_verify_webp",
         "audio_features_flac",
+        "video_frames_apng",
     }
     for name, pdf in built.items():
         fresh = pa.Table.from_pandas(

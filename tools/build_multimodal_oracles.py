@@ -130,6 +130,15 @@ SCHEMAS = {
             ("frame_hash", pa.int64()),
         ]
     ),
+    "video_frames_apng": pa.schema(
+        [
+            ("video_id", pa.string()),
+            ("frame_idx", pa.int32()),
+            ("ts_sec", pa.float64()),
+            ("frame_mean", pa.float64()),
+            ("frame_hash", pa.int64()),
+        ]
+    ),
     "video_frames_gif": pa.schema(
         [
             ("video_id", pa.string()),
@@ -686,6 +695,35 @@ def build_video_frames_gif(vids: list[dict], every_n: int = 2):
     return pd.DataFrame(rows)
 
 
+def build_video_frames_apng(vids: list[dict], every_n: int = 2):
+    """Frame features over REAL animated-PNG payloads, decoded
+    straight-line via the full rendering model (media.decode_video_apng
+    -> apng.decode_apng). Codec fidelity is pinned in tests/test_apng.py;
+    this oracle pins the distributed dataflow around it."""
+    rows = []
+    for r in vids:
+        for idx, frame in media.decode_video_apng(
+            r["video_id"], bytes(r["bytes"]), r["n_frames"], r["w"], r["h"]
+        ):
+            if idx % every_n:
+                continue
+            rows.append(
+                {
+                    "video_id": r["video_id"],
+                    "frame_idx": idx,
+                    "ts_sec": idx / r["fps"],
+                    "frame_mean": round(float(frame.mean()), 4),
+                    "frame_hash": int(
+                        np.int64(
+                            int.from_bytes(frame.tobytes()[:8], "big", signed=False)
+                            >> 1
+                        )
+                    ),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
 def build_audio_features(clips: list[dict]):
     rows = []
     for r in clips:
@@ -968,6 +1006,10 @@ def build_all() -> dict[str, pd.DataFrame]:
         # real animated GIF89a through the full rendering model
         "video_frames_gif": build_video_frames_gif(
             media.gif_corpus_rows(10), every_n=2
+        ),
+        # real animated PNG through the full rendering model
+        "video_frames_apng": build_video_frames_apng(
+            media.apng_corpus_rows(10), every_n=2
         ),
         "caption_corpus_meta": noisy_meta,
         # header-only triage over all four container formats

@@ -237,6 +237,77 @@ def decode_video_gif(video_id: str, data: bytes, n_frames: int, w: int, h: int):
         yield i, fr
 
 
+def decode_video_apng(video_id: str, data: bytes, n_frames: int, w: int, h: int):
+    """REAL decoder for animated PNG (webcollector_spark.apng): fcTL/
+    fdAT sub-rect frames composed through the APNG rendering model
+    (dispose none/background/previous), scanline filters inverted by
+    the shared PNG machinery. Cross-checks canvas size and frame count
+    against the row's typed metadata."""
+    from webcollector_spark import apng as apng_codec
+
+    frames = apng_codec.decode_apng(data)
+    if len(frames) != n_frames:
+        raise ValueError(
+            f"{video_id}: container carries {len(frames)} frames, "
+            f"metadata says {n_frames}"
+        )
+    for i, (_dn, _dd, fr) in enumerate(frames):
+        fh, fw = fr.shape[:2]
+        if (fw, fh) != (w, h):
+            raise ValueError(
+                f"{video_id}: frame {i} is {fw}x{fh}, metadata says {w}x{h}"
+            )
+        yield i, fr
+
+
+def apng_corpus_rows(
+    n: int = 10, n_frames: int = 6, w: int = 32, h: int = 24
+) -> list[dict]:
+    """Row dicts for the APNG corpus (the oracle-sharing convention).
+    Frames are the FULL-COLOR smooth AVI pattern — APNG's 24-bit
+    advantage over GIF's palette — and every third clip cycles the
+    dispose ops so composition, not just happy deltas, is exercised."""
+    from webcollector_spark import apng as apng_codec
+
+    rows = []
+    for c in range(n):
+        fps = [10.0, 20.0, 25.0][c % 3]
+        frames = [avi_demo_frame(c, i, w, h) for i in range(n_frames)]
+        disposes = (
+            [(0, 1, 2)[i % 3] for i in range(n_frames)] if c % 3 == 2 else None
+        )
+        rows.append(
+            {
+                "video_id": f"apng{c:06d}",
+                "bytes": apng_codec.encode_apng(
+                    frames,
+                    delays=[(1, int(fps))] * n_frames,
+                    disposes=disposes,
+                ),
+                "n_frames": n_frames,
+                "fps": fps,
+                "w": w,
+                "h": h,
+                "fmt": "apng",
+                "caption": f"caption of apng{c:06d}",
+            }
+        )
+    return rows
+
+
+def make_apng_video_corpus(spark: SparkSession, n: int = 10) -> DataFrame:
+    """Video table whose payloads are REAL animated PNG (fmt='apng'):
+    24-bit frames, delta sub-rects, mixed dispose ops."""
+    rows = [
+        (
+            r["video_id"], r["bytes"], r["n_frames"], r["fps"],
+            r["w"], r["h"], r["fmt"], r["caption"],
+        )
+        for r in apng_corpus_rows(n)
+    ]
+    return spark.createDataFrame(rows, schema=VIDEO_SCHEMA)
+
+
 def gif_anim_frame(clip: int, i: int, w: int = 32, h: int = 24) -> np.ndarray:
     """Deterministic paletted animation frame: the AVI demo pattern
     posterized to 6 levels/channel (<= 216 unique colors across ALL
@@ -622,6 +693,7 @@ _VIDEO_CODECS = {
     "mjpeg": decode_video_mjpeg,
     "avi": decode_video_avi,
     "gif": decode_video_gif,
+    "apng": decode_video_apng,
 }
 _AUDIO_CODECS = {
     "fakeaud": _decode_audio_stub,

@@ -2440,6 +2440,27 @@ def q_video_frames_gif(spark, sf):
     return media.sample_frames(media.make_gif_video_corpus(spark, 10), every_n=2)
 
 
+@register(
+    "video_frames_apng",
+    _oracle_parquet(
+        "video_frames_apng", "video_id, frame_idx, ts_sec, frame_mean, frame_hash"
+    ),
+)
+def q_video_frames_apng(spark, sf):
+    """Same frame-sample dataflow over REAL animated PNG — the other
+    animation payload the modern web serves, carrying the 24-bit color
+    GIF's palette cannot (webcollector_spark.apng: acTL/fcTL/fdAT,
+    delta sub-rect frames, dispose none/background/previous composed
+    through the APNG rendering model, scanline filters inverted by the
+    shared PNG machinery). Codec fidelity (bit-exact composition) is
+    pinned in tests/test_apng.py; this row pins the distributed
+    dataflow. Reference anchor: Page content bytes are real compressed
+    payloads (model/Page.java:323-330)."""
+    from webcollector_spark.operators import media
+
+    return media.sample_frames(media.make_apng_video_corpus(spark, 10), every_n=2)
+
+
 # ---------------------------------------------------------------------------
 # Training-data curation: deterministic hash-based sampling and split
 # assignment. Both are shuffle-free at any scale (a pure map over the
@@ -6391,6 +6412,7 @@ _SNAPSHOT_FIRST = [
     "revalidation_savings",
     "bpe_merges",
     "bpe_token_counts",
+    "video_frames_apng",
 ]
 
 
