@@ -138,6 +138,7 @@ def test_multimodal_oracle_parquet_fresh():
         "image_decode_verify_webp",
         "audio_features_flac",
         "video_frames_apng",
+        "audio_fingerprint",
     }
     for name, pdf in built.items():
         fresh = pa.Table.from_pandas(

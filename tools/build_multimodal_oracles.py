@@ -172,6 +172,12 @@ SCHEMAS = {
             ("zero_crossings", pa.int64()),
         ]
     ),
+    "audio_fingerprint": pa.schema(
+        [
+            ("audio_id", pa.string()),
+            ("afp", pa.int64()),
+        ]
+    ),
     "audio_features_flac": pa.schema(
         [
             ("audio_id", pa.string()),
@@ -773,6 +779,27 @@ def build_audio_features_ulaw(clips: list[dict]):
     return pd.DataFrame(rows)
 
 
+def build_audio_fingerprint(clips: list[dict]):
+    """Straight-line Haitsma-Kalker fingerprints over the WAV corpus —
+    decode via the engine's WAV reader (lossless PCM16, not the kernel
+    under test; the fingerprint kernel is shared by design, the oracle
+    pins the distributed dataflow around it)."""
+    from webcollector_spark.operators import audiofp
+
+    rows = []
+    for r in clips:
+        wave = media.decode_audio_real(
+            r["audio_id"], bytes(r["bytes"]), r["n_samples"]
+        )
+        rows.append(
+            {
+                "audio_id": r["audio_id"],
+                "afp": audiofp.hk_fingerprint(wave, r["sample_rate"]),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def build_audio_features_flac(clips: list[dict]):
     """Features over FLAC clips computed from the PRE-ENCODE PCM
     (adpcm_waveform re-quantized exactly as flac_corpus_rows does) —
@@ -997,6 +1024,11 @@ def build_all() -> dict[str, pd.DataFrame]:
         # PCM, so a match proves bit-exact lossless decode
         "audio_features_flac": build_audio_features_flac(
             media.flac_corpus_rows(16)
+        ),
+        # acoustic fingerprints over the dup-variant WAV corpus
+        "audio_fingerprint": build_audio_fingerprint(
+            __import__("webcollector_spark.operators.audiofp",
+                       fromlist=["fp_corpus_rows"]).fp_corpus_rows(12, 6)
         ),
         "video_scene_cuts": build_video_scene_cuts(frames2, threshold=1.0),
         # real MJPEG-in-AVI container bytes through the container walk

@@ -2387,6 +2387,47 @@ def q_audio_features_flac(spark, sf):
 
 
 @register(
+    "audio_fingerprint",
+    _oracle_parquet("audio_fingerprint", "audio_id, afp"),
+)
+def q_audio_fingerprint(spark, sf):
+    """Haitsma-Kalker acoustic fingerprint per clip — the audio member
+    of the near-dup family (operators/audiofp.py): log band energies
+    on a 17x5 time-frequency grid, 64 sign bits of the double
+    difference, GAIN-INVARIANT by construction. Decode + FFT inside
+    Arrow batches; committed straight-line oracle."""
+    from webcollector_spark.operators import audiofp
+
+    return audiofp.audio_fingerprints(audiofp.make_fp_audio_corpus(spark))
+
+
+@register(
+    "audio_neardup_pairs",
+    """
+    WITH f AS (SELECT audio_id, afp
+               FROM read_parquet('{odir}/audio_fingerprint.parquet'))
+    SELECT a.audio_id AS aud_a, b.audio_id AS aud_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+    FROM f a JOIN f b ON a.audio_id < b.audio_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 8
+    """.replace("{odir}", str(_ORACLE_DIR)),
+)
+def q_audio_neardup_pairs(spark, sf):
+    """Near-dup audio pairs (hamming <= 8 over the fingerprints) via
+    the pigeonhole banded bucket join — the identical scale machinery
+    the image hashes use, so nothing all-pairs survives at 10^9 clips.
+    The oracle recomputes the PAIRING independently in SQL (xor +
+    bit_count over the committed fingerprint table), so the join logic
+    itself is cross-checked, not just replayed. The gain-scaled and
+    re-noised duplicate variants in the corpus must pair with their
+    originals (tests/test_audiofp.py pins recall)."""
+    from webcollector_spark.operators import audiofp
+
+    fps = audiofp.audio_fingerprints(audiofp.make_fp_audio_corpus(spark))
+    return audiofp.audio_neardup_banded(fps, max_hamming=8)
+
+
+@register(
     "video_scene_cuts",
     _oracle_parquet("video_scene_cuts", "video_id, frame_idx, delta"),
 )
@@ -6413,6 +6454,8 @@ _SNAPSHOT_FIRST = [
     "bpe_merges",
     "bpe_token_counts",
     "video_frames_apng",
+    "audio_fingerprint",
+    "audio_neardup_pairs",
 ]
 
 
