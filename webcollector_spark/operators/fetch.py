@@ -125,6 +125,15 @@ def _fetch_one(
         meta["etag"] = resp.etag
         meta.pop("not_modified", None)
         out["meta"] = meta
+    if resp.content_encoding not in (None, "identity"):
+        # remove wire compression (gzip/deflate) BEFORE the byte cap
+        # and every parse below; a broken encoded body is a transport
+        # failure, not a parse problem — the row keeps its retry budget
+        try:
+            resp.content = resp.decoded_content()
+        except Exception:
+            out["status"], out["code"] = STATUS_DB_FAILED, resp.code
+            return out
     out["content_type"] = resp.content_type
     content = resp.content[: cfg.max_receive_size] if resp.content else None
     if cfg.keep_content or (

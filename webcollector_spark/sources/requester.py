@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import base64
 import time
+import zlib
 from dataclasses import dataclass
 from functools import lru_cache
 
@@ -38,6 +39,38 @@ class Response:
     # ETag; a conditional fetch whose validator still matches yields
     # code 304 with NO body — the recrawl bandwidth saver.
     etag: str | None = None
+    # Content-Encoding of `content` (RFC 9110 §8.4): None/identity, or
+    # "gzip"/"deflate" — the wire compression most real servers apply
+    # to HTML. The fetch pass decompresses BEFORE the byte cap and
+    # parse; requesters pass the body through verbatim so the cap and
+    # the decode live in one place.
+    content_encoding: str | None = None
+
+    def decoded_content(self, max_encoded: int = 64 << 20) -> bytes | None:
+        """Body with the transfer compression removed (identity/gzip/
+        deflate). `max_encoded` guards the decompression-bomb case:
+        an encoded body above it raises instead of inflating."""
+        if self.content is None or self.content_encoding in (None, "identity"):
+            return self.content
+        if len(self.content) > max_encoded:
+            raise ValueError(
+                f"encoded body {len(self.content)} bytes exceeds guard"
+            )
+        import gzip
+        import zlib
+
+        if self.content_encoding == "gzip":
+            return gzip.decompress(self.content)
+        if self.content_encoding == "deflate":
+            try:
+                return zlib.decompress(self.content)
+            except zlib.error:
+                # some servers send RAW deflate under this label — the
+                # historical ambiguity every real client tolerates
+                return zlib.decompress(self.content, -15)
+        raise NotImplementedError(
+            f"Content-Encoding {self.content_encoding!r} not supported"
+        )
 
 
 class Requester:
@@ -67,6 +100,7 @@ class SyntheticRequester(Requester):
         flaky_until: dict[str, int] | None = None,
         robots: dict[str, str] | None = None,
         raw_pages: dict[str, tuple[str, bytes]] | None = None,
+        gzip_pages: bool = False,
     ):
         self._pages = {r["url"]: r for r in graph_rows}
         self._images = {r["image_id"]: r for r in corpus_rows}
@@ -78,6 +112,10 @@ class SyntheticRequester(Requester):
         # url -> content version; bump_page simulates an edited page so
         # revalidation tests can see the validator change
         self._versions: dict[str, int] = {}
+        # gzip_pages: serve every page whose url hash is even with
+        # Content-Encoding: gzip — the wire compression real servers
+        # apply to HTML; deterministic so replays agree
+        self._gzip_pages = gzip_pages
 
     def robots_txt(self, host: str) -> str | None:
         return self._robots.get(host)
@@ -120,8 +158,16 @@ class SyntheticRequester(Requester):
         tag = self._etag_of(body)
         if etag is not None and etag == tag:
             return Response(code=304, etag=tag)
+        enc = None
+        if self._gzip_pages and (zlib.crc32(url.encode()) & 1) == 0:
+            import gzip as _gzip
+
+            # mtime=0 + fixed compresslevel keep the bytes deterministic
+            body = _gzip.compress(body, compresslevel=6, mtime=0)
+            enc = "gzip"
         return Response(
-            code=200, content_type="text/html", content=body, etag=tag
+            code=200, content_type="text/html", content=body, etag=tag,
+            content_encoding=enc,
         )
 
 
@@ -226,6 +272,7 @@ class HttpRequester(Requester):
             req.add_header("Cookie", self.cookie)
         if etag:
             req.add_header("If-None-Match", etag)
+        req.add_header("Accept-Encoding", "gzip, deflate")
         opener = self._build_opener()
         try:
             with opener.open(req, timeout=self.timeout) as resp:
@@ -235,6 +282,7 @@ class HttpRequester(Requester):
                     content_type=resp.headers.get("Content-Type"),
                     content=body,
                     etag=resp.headers.get("ETag"),
+                    content_encoding=resp.headers.get("Content-Encoding"),
                 )
         except urllib.error.HTTPError as e:
             if e.code == 304:
