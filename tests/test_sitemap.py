@@ -180,3 +180,55 @@ def test_crawl_reaches_orphans_via_sitemap(spark, tmp_path):
     visited_with = run(True)
     assert set(orphans) <= visited_with  # all orphans crawled
     assert sm_index in visited_with and sm_child in visited_with
+
+
+def test_gz_sitemap_is_gunzipped_and_crawled(spark):
+    """sitemap.xml.gz — FILE compression (application/gzip), the form
+    large sites actually publish — must gunzip in the fetch pass and
+    route the crawl exactly like plain XML."""
+    import gzip
+
+    corpus = fixtures.make_corpus(30)
+    graph = fixtures.make_site_graph(20, n_hosts=3, out_degree=2)
+    seed = sorted(graph["url"])[0]
+    from webcollector_spark.schema import host_of
+
+    host = host_of(seed)
+    orphans = [f"http://{host}/gzorphan/{i}" for i in range(3)]
+    orphan_rows = pd.DataFrame(
+        {
+            "url": orphans,
+            "host": host,
+            "image_id": [f"img{i:08d}" for i in range(3)],
+            "out_links": [[], [], []],
+            "http_code": 200,
+            "location": None,
+        }
+    )
+    graph = pd.concat([graph, orphan_rows], ignore_index=True)
+    sm = f"http://{host}/sitemap.xml.gz"
+    raw_pages = {
+        sm: (
+            "application/gzip",
+            gzip.compress(
+                render_sitemap([{"loc": u} for u in orphans]), mtime=0
+            ),
+        ),
+    }
+    req = SyntheticRequester(
+        graph.to_dict("records"),
+        corpus.to_dict("records"),
+        robots={host: f"User-agent: *\nSitemap: {sm}"},
+        raw_pages=raw_pages,
+    )
+    c = RamCrawler(spark, req, config=CrawlerConfig(parse_sitemaps=True))
+    c.add_seed(seed)
+    c.start(4)
+    done = {
+        r.key
+        for r in c.frontier()
+        .filter(F.col("status") == STATUS_DB_SUCCESS)
+        .collect()
+    }
+    for u in orphans:
+        assert u in done, u

@@ -136,6 +136,26 @@ def _fetch_one(
             return out
     out["content_type"] = resp.content_type
     content = resp.content[: cfg.max_receive_size] if resp.content else None
+    if (
+        cfg.parse_sitemaps
+        and content
+        and content[:2] == b"\x1f\x8b"
+        and url.endswith(".gz")
+    ):
+        # sitemap.xml.gz: FILE compression (served as application/gzip),
+        # distinct from transfer Content-Encoding — gunzip, re-cap on
+        # the inflated side, and only adopt it if it IS a sitemap
+        import gzip as _gzip
+
+        try:
+            inflated = _gzip.decompress(content)[: cfg.max_receive_size]
+            if (
+                b"<urlset" in inflated[:4096]
+                or b"<sitemapindex" in inflated[:4096]
+            ):
+                content = inflated
+        except Exception:
+            pass  # not a sitemap archive after all; keep raw bytes
     if cfg.keep_content or (
         cfg.parse_sitemaps
         and content
