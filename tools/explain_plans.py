@@ -54,6 +54,11 @@ CHECKS = {
     # decontamination benchmark set is genuinely small -> explicit hint
     "decontaminate_ngram": ["BroadcastHashJoin", "!EvalPython"],
     "char_entropy": ["HashAggregate", "!EvalPython"],
+    # BPE: training is driver-side bounded collects; the APPLY chain
+    # (k nested replaces + explode + agg) must stay pure JVM
+    "bpe_token_counts": ["HashAggregate", "!EvalPython"],
+    # one map-side-combinable aggregate, integer-div percent, no Python
+    "revalidation_savings": ["HashAggregate", "!EvalPython"],
     # LSH-bounded exact Jaccard: banded candidates, no quadratic stage,
     # all JVM; exact verify is size(array_intersect()) over per-doc
     # shingle arrays — the exploded shingle table feeds ONLY the
