@@ -138,3 +138,84 @@ def test_latency_percentiles_interpolate_like_quantile_cont(spark):
     assert out["p50"] == 2.5
     assert out["p95"] == 8.95
     assert "host_fetch_latency" in Q
+
+
+def test_kn_bigram_logprob_matches_straightline_python(spark):
+    """The interpolated Kneser-Ney bigram scorer vs an independent
+    pure-Python recompute: per-doc average log-prob equal to 4
+    decimals, every per-context conditional distribution sums to 1
+    (the property KN smoothing exists to preserve), and the vocabulary
+    tables are never broadcast."""
+    import math
+    from collections import Counter, defaultdict
+
+    from webcollector_spark.plans.queries import Q
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the hat",
+        "a dog sat on a log",
+        "the dog and the cat",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+
+    import webcollector_spark.plans.queries as qmod
+
+    orig = qmod._t
+    qmod._t = lambda s, sf, name: docs  # route the registry fn at our table
+    try:
+        got = {
+            r.doc_id: (r.n_bigrams, r.avg_logp_kn)
+            for r in Q["kn_bigram_logprob"](spark, "unused").collect()
+        }
+    finally:
+        qmod._t = orig
+
+    D = 0.75
+    bigrams = []
+    per_doc = defaultdict(list)
+    for i, t in enumerate(texts):
+        toks = ["<s>"] + t.split()
+        for a, b in zip(toks, toks[1:]):
+            bigrams.append((a, b))
+            per_doc[i].append((a, b))
+    c12 = Counter(bigrams)
+    c1 = Counter()
+    fwd = defaultdict(set)
+    back = defaultdict(set)
+    for (a, b), c in c12.items():
+        c1[a] += c
+        fwd[a].add(b)
+        back[b].add(a)
+    n_types = len(c12)
+
+    def p_kn(a, b):
+        return max(c12[(a, b)] - D, 0) / c1[a] + (
+            D * len(fwd[a]) / c1[a]
+        ) * (len(back[b]) / n_types)
+
+    for i in per_doc:
+        logs = [math.log(p_kn(a, b)) for a, b in per_doc[i]]
+        assert got[i] == (len(logs), round(sum(logs) / len(logs), 4)), i
+
+    # the KN conditional must be a proper distribution per context:
+    # summing over every OBSERVED w2 (continuation mass covers exactly
+    # the observed vocabulary here since scoring == training corpus)
+    vocab = {b for _, b in bigrams}
+    for a in c1:
+        assert abs(sum(p_kn(a, b) for b in vocab) - 1.0) < 1e-9, a
+
+
+def test_kn_bigram_plan_never_broadcasts_vocab(spark):
+    """The count-table joins must be plain shuffle joins at scale — the
+    explicit-broadcast is only the 1-row totals frame. At sf sizes AQE
+    may still pick broadcast physically; what we pin is that the PLAN
+    carries no user broadcast hint on the O(vocab) frames."""
+    from webcollector_spark.plans.queries import Q
+
+    df = Q["kn_bigram_logprob"](spark, "/root/testdata/sf0.001")
+    logical = df._jdf.queryExecution().logical().toString()
+    # exactly one user hint: the 1-row totals broadcast
+    assert logical.count("UnresolvedHint broadcast") <= 1

@@ -3863,6 +3863,107 @@ def q_unigram_logprob(spark, sf):
     )
 
 
+# Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995; the
+# smoothing KenLM defaults to — CCNet's perplexity filter is a 5-gram
+# KenLM, and this is its exact 2-gram form, fixed discount D=0.75):
+#   P(w2|w1) = max(c(w1,w2)-D, 0)/c(w1) + D·N1+(w1,·)/c(w1) · Pcont(w2)
+#   Pcont(w2) = N1+(·,w2) / |distinct bigram types|
+# A per-doc <s> boundary token gives the first word a context. Scoring
+# the training corpus itself means every scored bigram has c >= 1 > D,
+# so probabilities never hit zero. Scale shape: ONE explode to the
+# bigram stream (built JVM-side from the token array — no window, no
+# self-join), three bounded count tables (bigram types, contexts,
+# continuations) that join back on their own keys as plain shuffle
+# joins (vocabulary NEVER broadcast — the unigram_logprob discipline),
+# and the two scalar totals ride a 1-row broadcast. A doc scoring far
+# below the corpus is boilerplate/junk; far above is template spam —
+# the same head/tail cut CCNet makes, with a sharper LM than unigram.
+_KN_D = 0.75
+
+_KN_BIGRAMS_SQL = r"""
+    docs AS (
+      SELECT doc_id,
+             list_prepend('<s>', regexp_extract_all(text, '\S+')) AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2
+      FROM (
+        SELECT doc_id, unnest(list_zip(
+            list_slice(toks, 1, len(toks) - 1), list_slice(toks, 2, len(toks))
+          )::STRUCT(w1 VARCHAR, w2 VARCHAR)[]) AS pr
+        FROM docs WHERE len(toks) > 1
+      ) t
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS n1p_fwd
+            FROM bc GROUP BY w1),
+    cont AS (SELECT w2, count(*) AS n1p_back FROM bc GROUP BY w2),
+    tot AS (SELECT count(*) AS n_types FROM bc)
+"""
+
+
+@register(
+    "kn_bigram_logprob",
+    f"""
+    WITH {_KN_BIGRAMS_SQL}
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln(
+             (greatest(c12 - {_KN_D}, 0) / c1)
+             + ({_KN_D} * n1p_fwd / c1) * (n1p_back / CAST(n_types AS DOUBLE))
+           )), 4) AS avg_logp_kn
+    FROM bg JOIN bc USING (w1, w2) JOIN ctx USING (w1)
+            JOIN cont USING (w2), tot
+    GROUP BY doc_id
+    """,
+)
+def q_kn_bigram_logprob(spark, sf):
+    toks = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.array(F.lit("<s>")),
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0)),
+        ).alias("toks"),
+    )
+    n = F.size(F.col("toks"))
+    bg = (
+        toks.filter(n > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("toks"), 1, n - 1).alias("w1"),
+                    F.slice(F.col("toks"), 2, n - 1).alias("w2"),
+                )
+            ).alias("pr"),
+        )
+        .select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1p_fwd")
+    )
+    cont = bc.groupBy("w2").agg(F.count("*").alias("n1p_back"))
+    tot = bc.agg(F.count("*").alias("n_types"))
+    p = (
+        F.greatest(F.col("c12") - F.lit(_KN_D), F.lit(0.0)) / F.col("c1")
+        + (F.lit(_KN_D) * F.col("n1p_fwd") / F.col("c1"))
+        * (F.col("n1p_back") / F.col("n_types").cast("double"))
+    )
+    return (
+        bg.join(bc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 4).alias("avg_logp_kn"),
+        )
+    )
+
+
 # DSIR importance weights (Xie et al. 2023, "Data Selection for
 # Language Models via Importance Resampling"): score each doc by the
 # mean token log-ratio ln p_target(term) - ln p_source(term), where the
@@ -6456,6 +6557,7 @@ _SNAPSHOT_FIRST = [
     "video_frames_apng",
     "audio_fingerprint",
     "audio_neardup_pairs",
+    "kn_bigram_logprob",
 ]
 
 
