@@ -118,3 +118,94 @@ def test_revalidate_off_keeps_reference_behavior(spark, web):
     crawler.start(2)
     for r in crawler.store.load().filter(F.col("code") == 200).collect():
         assert not (r.meta or {}).get("etag")
+
+
+def test_last_modified_validator_cycle(web):
+    """ETag-less servers (validators='last-modified'): If-Modified-Since
+    must drive the 304 path, and a content change rotates the date."""
+    graph, corpus = web
+    req = SyntheticRequester(
+        graph.to_dict("records"), corpus.to_dict("records"),
+        validators="last-modified",
+    )
+    url = graph["url"].iloc[0]
+    first = req.fetch(url)
+    assert first.code == 200 and first.etag is None
+    assert first.last_modified and first.last_modified.endswith("GMT")
+    again = req.fetch(url, last_modified=first.last_modified)
+    assert again.code == 304 and again.content is None
+    req.bump_page(url)
+    changed = req.fetch(url, last_modified=first.last_modified)
+    assert changed.code == 200
+    assert changed.last_modified != first.last_modified
+    assert req.fetch(url, last_modified=changed.last_modified).code == 304
+
+
+def test_etag_precedence_over_last_modified(web):
+    """RFC 9110 §13.1: a server holding an ETag evaluates If-None-Match
+    and ignores If-Modified-Since — a stale date with a fresh tag is
+    still 304; a stale tag with a fresh date is a full 200."""
+    graph, corpus = web
+    req = SyntheticRequester(
+        graph.to_dict("records"), corpus.to_dict("records"), validators="both"
+    )
+    url = graph["url"].iloc[0]
+    first = req.fetch(url)
+    assert first.etag and first.last_modified
+    assert (
+        req.fetch(url, etag=first.etag, last_modified="Mon, 01 Jan 1990").code
+        == 304
+    )
+    assert (
+        req.fetch(
+            url, etag='"stale"', last_modified=first.last_modified
+        ).code
+        == 200
+    )
+
+
+def test_crawl_recrawl_304_via_last_modified_only(spark, web):
+    """The end-to-end recrawl flow against an ETag-less web: stored
+    Last-Modified drives the 304s; the changed page refetches with a
+    rotated date."""
+    graph, corpus = web
+    req = SyntheticRequester(
+        graph.to_dict("records"), corpus.to_dict("records"),
+        validators="last-modified",
+    )
+    crawler = RamCrawler(spark, req, config=CrawlerConfig(revalidate=True))
+    crawler.add_seed(fixtures.seeds_for(graph, 4))
+    crawler.start(2)
+
+    ok = crawler.store.load().filter(
+        (F.col("status") == STATUS_DB_SUCCESS) & (F.col("code") == 200)
+    )
+    lms = {r.key: r.meta["last_modified"] for r in ok.collect()}
+    assert lms and all(v.endswith("GMT") for v in lms.values())
+    assert all("etag" not in (r.meta or {}) for r in ok.collect())
+
+    bumped = sorted(lms)[0]
+    req.bump_page(bumped)
+    import time
+
+    n = schedule_recrawl(
+        crawler.store, now_ms=int(time.time() * 1000), min_age_ms=0
+    )
+    assert n >= len(lms)
+    crawler.start(3)
+
+    after = {
+        r.key: r
+        for r in crawler.store.load()
+        .filter(F.col("key").isin(list(lms)))
+        .collect()
+    }
+    for key, row in after.items():
+        assert row.status == STATUS_DB_SUCCESS
+        if key == bumped:
+            assert row.code == 200
+            assert row.meta["last_modified"] != lms[key]
+        else:
+            assert row.code == 304, key
+            assert row.meta["last_modified"] == lms[key]
+            assert row.meta["not_modified"] == "1"

@@ -99,19 +99,29 @@ def _fetch_one(
         out["status"], out["code"] = STATUS_DB_FAILED, CODE_ROBOTS_DENIED
         return out
 
-    stored_etag = (row.get("meta") or {}).get("etag") if cfg.revalidate else None
-    resp = requester.fetch(url, attempt=out["execute_count"], etag=stored_etag)
+    row_meta = row.get("meta") or {}
+    stored_etag = row_meta.get("etag") if cfg.revalidate else None
+    stored_lm = row_meta.get("last_modified") if cfg.revalidate else None
+    resp = requester.fetch(
+        url,
+        attempt=out["execute_count"],
+        etag=stored_etag,
+        last_modified=stored_lm,
+    )
     out["code"] = resp.code
     out["location"] = resp.location
     if resp.code == 304:
-        # Not Modified: the stored validator still matches — SUCCESS
-        # with zero payload bytes. Prior harvest (caption/phash) stays
-        # authoritative in the fetched history; meta records the reuse
-        # so curation can route it like a WARC revisit record.
-        meta = dict(row.get("meta") or {})
+        # Not Modified: a stored validator (ETag, or Last-Modified for
+        # ETag-less servers) still matches — SUCCESS with zero payload
+        # bytes. Prior harvest (caption/phash) stays authoritative in
+        # the fetched history; meta records the reuse so curation can
+        # route it like a WARC revisit record.
+        meta = dict(row_meta)
         meta["not_modified"] = "1"
         if resp.etag:
             meta["etag"] = resp.etag
+        if resp.last_modified:
+            meta["last_modified"] = resp.last_modified
         out["meta"] = meta
         out["status"] = STATUS_DB_SUCCESS
         return out
@@ -120,9 +130,12 @@ def _fetch_one(
         return out
 
     out["status"] = STATUS_DB_SUCCESS
-    if cfg.revalidate and resp.etag:
-        meta = dict(row.get("meta") or {})
-        meta["etag"] = resp.etag
+    if cfg.revalidate and (resp.etag or resp.last_modified):
+        meta = dict(row_meta)
+        if resp.etag:
+            meta["etag"] = resp.etag
+        if resp.last_modified:
+            meta["last_modified"] = resp.last_modified
         meta.pop("not_modified", None)
         out["meta"] = meta
     if resp.content_encoding not in (None, "identity"):

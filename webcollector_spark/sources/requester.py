@@ -45,6 +45,9 @@ class Response:
     # parse; requesters pass the body through verbatim so the cap and
     # the decode live in one place.
     content_encoding: str | None = None
+    # Last-Modified (RFC 9110 §8.8.2) — the weak validator servers
+    # send when they have no ETag; echoed back as If-Modified-Since.
+    last_modified: str | None = None
 
     def decoded_content(self, max_encoded: int = 64 << 20) -> bytes | None:
         """Body with the transfer compression removed (identity/gzip/
@@ -75,13 +78,19 @@ class Response:
 
 class Requester:
     def fetch(
-        self, url: str, attempt: int = 1, etag: str | None = None
+        self,
+        url: str,
+        attempt: int = 1,
+        etag: str | None = None,
+        last_modified: str | None = None,
     ) -> Response:  # pragma: no cover
         """`attempt` is 1-based (execute_count+1) so deterministic flaky
         behavior keys on crawl state, not process-local counters.
-        `etag` is the stored validator from the previous fetch of this
-        url; implementations send it as If-None-Match and may answer
-        304 Not Modified with an empty body."""
+        `etag` / `last_modified` are the stored validators from the
+        previous fetch of this url; implementations send them as
+        If-None-Match / If-Modified-Since and may answer 304 Not
+        Modified with an empty body (RFC 9110 §13.1: a server that has
+        an ETag evaluates If-None-Match and ignores If-Modified-Since)."""
         raise NotImplementedError
 
     def robots_txt(self, host: str) -> str | None:
@@ -101,6 +110,7 @@ class SyntheticRequester(Requester):
         robots: dict[str, str] | None = None,
         raw_pages: dict[str, tuple[str, bytes]] | None = None,
         gzip_pages: bool = False,
+        validators: str = "etag",
     ):
         self._pages = {r["url"]: r for r in graph_rows}
         self._images = {r["image_id"]: r for r in corpus_rows}
@@ -116,6 +126,11 @@ class SyntheticRequester(Requester):
         # Content-Encoding: gzip — the wire compression real servers
         # apply to HTML; deterministic so replays agree
         self._gzip_pages = gzip_pages
+        # validators: which revalidation headers this server emits —
+        # "etag" (default), "last-modified" (the ETag-less servers
+        # conditional recrawls must still work against), "both", "none"
+        assert validators in ("etag", "last-modified", "both", "none")
+        self._validators = validators
 
     def robots_txt(self, host: str) -> str | None:
         return self._robots.get(host)
@@ -131,14 +146,49 @@ class SyntheticRequester(Requester):
 
         return f'"{hashlib.md5(body).hexdigest()}"'  # strong validator
 
-    def fetch(self, url: str, attempt: int = 1, etag: str | None = None) -> Response:
+    def _last_modified_of(self, url: str) -> str:
+        """Deterministic HTTP-date advancing with every bump_page."""
+        from email.utils import formatdate
+
+        epoch = (
+            1_700_000_000
+            + zlib.crc32(url.encode()) % 1_000_000
+            + self._versions.get(url, 0) * 3600
+        )
+        return formatdate(epoch, usegmt=True)
+
+    def _validate(self, url: str, body: bytes, etag, last_modified):
+        """(is_not_modified, etag_hdr, lm_hdr) per the server's
+        validator mode. RFC 9110 §13.1 precedence: when the server has
+        an ETag, If-None-Match decides and If-Modified-Since is
+        ignored."""
+        tag = self._etag_of(body) if self._validators in ("etag", "both") else None
+        lm = (
+            self._last_modified_of(url)
+            if self._validators in ("last-modified", "both")
+            else None
+        )
+        if tag is not None:
+            return etag is not None and etag == tag, tag, lm
+        if lm is not None:
+            return last_modified is not None and last_modified == lm, tag, lm
+        return False, None, None
+
+    def fetch(
+        self,
+        url: str,
+        attempt: int = 1,
+        etag: str | None = None,
+        last_modified: str | None = None,
+    ) -> Response:
         raw = self._raw.get(url)
         if raw is not None:
-            tag = self._etag_of(raw[1])
-            if etag is not None and etag == tag:
-                return Response(code=304, etag=tag)
+            nm, tag, lm = self._validate(url, raw[1], etag, last_modified)
+            if nm:
+                return Response(code=304, etag=tag, last_modified=lm)
             return Response(
-                code=200, content_type=raw[0], content=raw[1], etag=tag
+                code=200, content_type=raw[0], content=raw[1], etag=tag,
+                last_modified=lm,
             )
         page = self._pages.get(url)
         if page is None:
@@ -155,9 +205,9 @@ class SyntheticRequester(Requester):
             url, list(page["out_links"]), caption, img,
             version=self._versions.get(url, 0),
         )
-        tag = self._etag_of(body)
-        if etag is not None and etag == tag:
-            return Response(code=304, etag=tag)
+        nm, tag, lm = self._validate(url, body, etag, last_modified)
+        if nm:
+            return Response(code=304, etag=tag, last_modified=lm)
         enc = None
         if self._gzip_pages and (zlib.crc32(url.encode()) & 1) == 0:
             import gzip as _gzip
@@ -167,7 +217,7 @@ class SyntheticRequester(Requester):
             enc = "gzip"
         return Response(
             code=200, content_type="text/html", content=body, etag=tag,
-            content_encoding=enc,
+            content_encoding=enc, last_modified=lm,
         )
 
 
@@ -260,7 +310,11 @@ class HttpRequester(Requester):
         return urllib.request.build_opener(*handlers)
 
     def fetch(
-        self, url: str, attempt: int = 1, etag: str | None = None
+        self,
+        url: str,
+        attempt: int = 1,
+        etag: str | None = None,
+        last_modified: str | None = None,
     ) -> Response:  # pragma: no cover - needs network
         import urllib.error
         import urllib.request
@@ -272,6 +326,8 @@ class HttpRequester(Requester):
             req.add_header("Cookie", self.cookie)
         if etag:
             req.add_header("If-None-Match", etag)
+        if last_modified:
+            req.add_header("If-Modified-Since", last_modified)
         req.add_header("Accept-Encoding", "gzip, deflate")
         opener = self._build_opener()
         try:
@@ -283,10 +339,13 @@ class HttpRequester(Requester):
                     content=body,
                     etag=resp.headers.get("ETag"),
                     content_encoding=resp.headers.get("Content-Encoding"),
+                    last_modified=resp.headers.get("Last-Modified"),
                 )
         except urllib.error.HTTPError as e:
             if e.code == 304:
-                return Response(code=304, etag=etag)
+                return Response(
+                    code=304, etag=etag, last_modified=last_modified
+                )
             return Response(code=e.code, location=e.headers.get("Location"))
         except Exception as e:  # transport error -> FAILED
             return Response(code=-1, error=str(e))
