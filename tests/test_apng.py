@@ -161,3 +161,15 @@ def test_oracle_rebuild_is_stable():
         .reset_index(drop=True)
         .astype({"frame_idx": fresh["frame_idx"].dtype}),
     )
+
+
+def test_static_png_decoder_renders_frame_zero():
+    """An APNG is a valid PNG whose IDAT is frame 0 — a decoder without
+    animation support (our static path, old browsers) must render the
+    first frame, never error. That back-compat property is WHY the
+    format puts frame 0 in IDAT rather than fdAT."""
+    frames = [media.gif_anim_frame(0, i, 16, 12) for i in range(3)]
+    data = apng.encode_apng(frames)
+    assert np.array_equal(codecs.decode_png(data), frames[0])
+    assert np.array_equal(codecs.decode(data), frames[0])  # magic dispatch
+    assert codecs.sniff_header(data[:64])[0] == "png"
