@@ -6457,107 +6457,65 @@ def q_lsh_incremental_dedup(spark, sf):
 # sf0.001 and sf0.01 locally regardless of snapshot position.
 
 _SNAPSHOT_FIRST = [
-    # round-4 registrations — need their first driver row
-    "dsir_importance",
-    "chunk_dedup_exact",
-    "image_letterbox",
-    "recrawl_due",
-    "host_budget_plan",
-    "caption_conflict_flags",
-    "image_decode_verify_jpeg",
-    "audio_features_adpcm",
-    "image_decode_verify_gif",
-    "semdedup_keepers",
-    "image_meta_sniff",
-    "image_compression_stats",
-    "dhash_neardup_blocked",
-    "image_neardup_keepers",
-    "image_channel_stats",
-    "imagetext_filter",
-    "aspect_bucket_assign",
-    "shard_assign",
-    "shard_manifest",
-    "shard_member_index",
-    "image_features_fused",
-    "image_neardup_best_keepers",
-    "source_mixture_weights",
-    "mixture_interleave",
-    "image_sharpness",
-    # caption curation (registered r3 after the snapshot freeze)
-    "caption_dedup",
-    "caption_spam",
-    "caption_conflict",
-    "caption_quality",
-    # scheduler priority source + text analytics
-    "pagerank",
-    "hits_scores",
-    "url_trap_templates",
-    "url_trap_hll",
-    "trustrank",
-    "recrawl_intervals",
-    "tfidf_top_terms",
-    "char_entropy",
-    "gopher_repetition",
-    "text_normalize",
-    "url_canonicalize",
-    "unigram_logprob",
-    "dup_rate_by_source",
-    # sketches
-    "hll_registers",
-    "cm_registers",
-    # ANN quantization family
-    "ivf_ann_topk",
-    "pq_adc_topk",
-    "ivfadc_ann_topk",
-    "embed_quantize_int8",
-    # pipeline hygiene
-    "decontaminate_ngram",
-    "train_val_split",
-    # ---- positions 51+: beyond the observed 50-row snapshot cap.
-    # Still never driver-checked; listed so the order is explicit if
-    # the cap is larger, and so round 5 only needs to rotate this list
-    # (move whatever CORRECTNESS_r04 did not cover to the top).
-    "lsh_incremental_dedup",
-    "warc_revisit_plan",
-    "bm25_rank",
-    "perplexity_bucket",
-    "opic_scores",
-    "ucb_host_priority",
+    # r05 backlog: the 40 registry entries that have never appeared in any
+    # driver CORRECTNESS snapshot (r01-r04). 40 < 50-row cap, so this round
+    # clears the whole backlog (VERDICT r4 item 1).
+    "image_decode_verify_jpeg420",
+    "image_decode_verify_jpegprog",
+    "image_progressive_preview",
+    "image_decode_verify_pngi",
+    "image_decode_verify_bmp",
+    "image_decode_verify_ico",
+    "image_decode_verify_tiff",
+    "image_decode_verify_webp",
+    "audio_features_ulaw",
+    "audio_features_flac",
+    "audio_fingerprint",
+    "audio_neardup_pairs",
+    "video_frames_avi",
+    "video_frames_gif",
+    "video_frames_apng",
+    "kn_bigram_logprob",
     "substring_span_dedup",
     "anchor_text_agg",
     "anchor_caption_candidates",
     "sitemap_extract",
     "image_exif_meta",
-    "image_exif_upright",
     "image_jpeg_quality",
-    "image_decode_verify_jpeg420",
-    "image_decode_verify_jpegprog",
-    "image_progressive_preview",
-    "image_decode_verify_pngi",
+    "image_exif_upright",
     "soft404_hosts",
     "soft404_filter",
     "frontier_delta",
     "frontier_delta_summary",
     "frontier_backlog",
     "link_degree_stats",
+    "opic_scores",
+    "bm25_rank",
+    "perplexity_bucket",
     "host_fetch_latency",
-    "registrable_domain_rollup",
-    "audio_features_ulaw",
-    "video_frames_avi",
-    # registered late in round 4 (animated GIF / BMP / FLAC codecs)
-    "video_frames_gif",
-    "image_decode_verify_bmp",
-    "audio_features_flac",
-    "image_decode_verify_ico",
-    "image_decode_verify_tiff",
-    "image_decode_verify_webp",
     "revalidation_savings",
     "bpe_merges",
     "bpe_token_counts",
-    "video_frames_apng",
-    "audio_fingerprint",
-    "audio_neardup_pairs",
-    "kn_bigram_logprob",
+    "ucb_host_priority",
+    "registrable_domain_rollup",
+    "warc_revisit_plan",
+    "lsh_incremental_dedup",
+    # rotation slots 41-50: the stalest previously-green rows (last driver
+    # row r02/r03) so long-green entries keep getting re-verified.
+    "video_frame_sample",
+    "audio_features",
+    "video_scene_cuts",
+    "sample_hash_stratified",
+    "generate_topn",
+    "inject_antijoin",
+    "merge_lastwins",
+    "perhost_topk",
+    "regex_rule_filter",
+    "dispatch_routing",
+    # ---- positions 51+ fall out of the observed 50-row snapshot cap.
+    # Registrations made after this reorder are FROZEN out of the top-50
+    # until r06: _snapshot_ordered appends unlisted keys after this list,
+    # so new entries cannot displace the backlog above.
 ]
 
 
