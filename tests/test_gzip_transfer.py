@@ -81,3 +81,67 @@ def test_crawl_over_gzip_web_equals_identity_crawl(spark, small_web):
         }
 
     assert crawl(True) == crawl(False)
+
+
+def test_inflated_side_bomb_guard():
+    """ADVICE r4: the encoded-size guard alone admits ~1000x gzip
+    expansion; the INFLATED side must be capped during streaming, and
+    partial=True must degrade to truncation instead of raising."""
+    bomb = gzip.compress(b"\x00" * (8 << 20))  # ~8 MiB -> ~8 KiB encoded
+    assert len(bomb) < 64 << 10
+    r = Response(200, content=bomb, content_encoding="gzip")
+    with pytest.raises(ValueError, match="inflated"):
+        r.decoded_content(max_inflated=1 << 20)
+    got = r.decoded_content(max_inflated=1 << 20, partial=True)
+    assert got == b"\x00" * (1 << 20)  # exactly the cap, correct prefix
+    # under-cap body is untouched by the guard
+    ok = gzip.compress(b"abc" * 100)
+    assert Response(
+        200, content=ok, content_encoding="gzip"
+    ).decoded_content(max_inflated=1 << 20) == b"abc" * 100
+
+
+def test_truncated_encoded_stream_salvages_prefix():
+    """A byte-capped fetch truncates the ENCODED body; partial=True
+    must return the decodable inflated prefix (usable truncated HTML)
+    rather than failing the row (ADVICE r4)."""
+    body = b"<html>" + b"word " * 20000 + b"</html>"
+    enc = gzip.compress(body)
+    cut = Response(200, content=enc[: len(enc) // 2], content_encoding="gzip")
+    with pytest.raises(zlib.error):
+        cut.decoded_content()  # strict mode still refuses
+    prefix = cut.decoded_content(partial=True)
+    assert prefix and body.startswith(prefix)
+    assert len(prefix) > 1000  # a real salvage, not an empty string
+    # deflate path, both zlib-wrapped and raw
+    for wrap in (True, False):
+        co = zlib.compressobj(6, zlib.DEFLATED, 15 if wrap else -15)
+        denc = co.compress(body) + co.flush()
+        dcut = Response(
+            200, content=denc[: len(denc) // 2], content_encoding="deflate"
+        )
+        dprefix = dcut.decoded_content(partial=True)
+        assert dprefix and body.startswith(dprefix)
+
+
+def test_robots_txt_gzip_decoded(monkeypatch):
+    """ADVICE r4: a server that gzips robots.txt must still yield
+    parsed rules — not binary garbage that silently allows all."""
+    from webcollector_spark.sources.requester import HttpRequester, RobotsCache
+
+    body = b"User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"
+    req = HttpRequester()
+    monkeypatch.setattr(
+        req,
+        "fetch",
+        lambda url, **kw: Response(
+            200,
+            content=gzip.compress(body),
+            content_encoding="gzip",
+            content_type="text/plain",
+        ),
+    )
+    got = req.robots_txt("example.test")
+    assert got == body.decode()
+    rules, delay = RobotsCache.parse_rules(got)
+    assert rules == [("/private/", False)] and delay == 2.0

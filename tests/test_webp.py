@@ -178,3 +178,23 @@ def test_spark_dataflow_matches_committed_oracle(spark):
     assert len(got) == len(exp) == 100
     assert got["psnr_ok"].all() and got["phash_match"].all()
     assert (got["image_id"].values == exp["image_id"].values).all()
+
+
+def test_simple_two_symbol_code_is_stream_ordered():
+    """Spec: in the 'simple' 2-symbol prefix code the FIRST written
+    symbol gets code 0 — assignment is positional, not canonical-by-
+    symbol. A third-party stream may write s0 > s1; decoding must not
+    swap them (ADVICE r4: silent pixel corruption otherwise)."""
+    for s0, s1 in [(200, 3), (3, 200), (255, 0)]:
+        bw = webp._BitWriter()
+        bw.write(1, 1)  # simple code
+        bw.write(1, 1)  # two symbols
+        bw.write(1, 1)  # first symbol in 8 bits
+        bw.write(s0, 8)
+        bw.write(s1, 8)
+        br = webp._BitReader(bw.flush() + b"\x00")
+        tree = webp._read_prefix_code(br, 256)
+        r0 = webp._BitReader(b"\x00")  # bit 0
+        r1 = webp._BitReader(b"\x01")  # bit 1
+        assert tree.read(r0) == s0
+        assert tree.read(r1) == s1

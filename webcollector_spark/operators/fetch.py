@@ -139,11 +139,16 @@ def _fetch_one(
         meta.pop("not_modified", None)
         out["meta"] = meta
     if resp.content_encoding not in (None, "identity"):
-        # remove wire compression (gzip/deflate) BEFORE the byte cap
-        # and every parse below; a broken encoded body is a transport
-        # failure, not a parse problem — the row keeps its retry budget
+        # remove wire compression (gzip/deflate) BEFORE every parse
+        # below; a broken encoded body is a transport failure, not a
+        # parse problem — the row keeps its retry budget. The inflated
+        # side is hard-capped at the receive cap (partial=True): a
+        # decompression bomb degrades to a truncated page, never to an
+        # unbounded executor-memory inflation (ADVICE r4).
         try:
-            resp.content = resp.decoded_content()
+            resp.content = resp.decoded_content(
+                max_inflated=cfg.max_receive_size, partial=True
+            )
         except Exception:
             out["status"], out["code"] = STATUS_DB_FAILED, resp.code
             return out
@@ -156,12 +161,16 @@ def _fetch_one(
         and url.endswith(".gz")
     ):
         # sitemap.xml.gz: FILE compression (served as application/gzip),
-        # distinct from transfer Content-Encoding — gunzip, re-cap on
-        # the inflated side, and only adopt it if it IS a sitemap
-        import gzip as _gzip
+        # distinct from transfer Content-Encoding — gunzip with the cap
+        # enforced DURING inflation (a post-hoc slice caps only after a
+        # potential multi-GB decompression, ADVICE r4), and only adopt
+        # it if it IS a sitemap
+        from ..sources.requester import capped_inflate
 
         try:
-            inflated = _gzip.decompress(content)[: cfg.max_receive_size]
+            inflated = capped_inflate(
+                content, "gzip", cfg.max_receive_size, partial=True
+            )
             if (
                 b"<urlset" in inflated[:4096]
                 or b"<sitemapindex" in inflated[:4096]

@@ -28,6 +28,66 @@ from functools import lru_cache
 SUCCESS_CODES = frozenset({200, 301, 302, 404})
 
 
+def capped_inflate(
+    data: bytes,
+    encoding: str,
+    max_out: int,
+    partial: bool = False,
+) -> bytes:
+    """Streaming gzip/deflate decompression with a hard cap on the
+    INFLATED size (ADVICE r4: gzip expands ~1000x, so capping only the
+    encoded side lets a ~10MB crafted body inflate to ~10GB in executor
+    memory). Decompresses through zlib.decompressobj with max_length so
+    the output buffer never exceeds ``max_out`` + one chunk budget.
+
+    partial=False: raise ValueError the moment the cap is hit.
+    partial=True: degrade to truncation — return the first ``max_out``
+    inflated bytes; also salvage the decodable prefix of a TRUNCATED
+    encoded stream (the byte-capped fetch case) instead of raising."""
+    if encoding == "gzip":
+        makers = [lambda: zlib.decompressobj(16 + zlib.MAX_WBITS)]
+    elif encoding == "deflate":
+        # some servers send RAW deflate under this label — the
+        # historical ambiguity every real client tolerates
+        makers = [
+            lambda: zlib.decompressobj(),
+            lambda: zlib.decompressobj(-zlib.MAX_WBITS),
+        ]
+    else:
+        raise NotImplementedError(
+            f"Content-Encoding {encoding!r} not supported"
+        )
+    last_err: Exception | None = None
+    for make in makers:
+        d = make()
+        out = bytearray()
+        try:
+            for i in range(0, len(data), 1 << 16):
+                budget = max_out + 1 - len(out)
+                out += d.decompress(data[i : i + (1 << 16)], budget)
+                if len(out) > max_out or d.unconsumed_tail:
+                    if partial:
+                        return bytes(out[:max_out])
+                    raise ValueError(
+                        f"inflated body exceeds {max_out}-byte guard"
+                    )
+        except zlib.error as e:
+            if partial and out:
+                return bytes(out)
+            last_err = e
+            continue
+        if not d.eof and not partial:
+            # decompressobj returns the decodable prefix of a truncated
+            # stream without raising; strict mode must refuse it (the
+            # old gzip.decompress raised EOFError here)
+            last_err = zlib.error(
+                f"{encoding} stream truncated before end-of-stream marker"
+            )
+            continue
+        return bytes(out)
+    raise last_err if last_err is not None else ValueError("empty stream")
+
+
 @dataclass
 class Response:
     code: int
@@ -49,30 +109,28 @@ class Response:
     # send when they have no ETag; echoed back as If-Modified-Since.
     last_modified: str | None = None
 
-    def decoded_content(self, max_encoded: int = 64 << 20) -> bytes | None:
+    def decoded_content(
+        self,
+        max_encoded: int = 64 << 20,
+        max_inflated: int = 64 << 20,
+        partial: bool = False,
+    ) -> bytes | None:
         """Body with the transfer compression removed (identity/gzip/
-        deflate). `max_encoded` guards the decompression-bomb case:
-        an encoded body above it raises instead of inflating."""
+        deflate). Both sides are bomb-guarded: an encoded body above
+        `max_encoded` raises before any work, and the INFLATED output
+        is streamed through zlib with a `max_inflated` cap (ADVICE r4 —
+        gzip expands ~1000x, so an encoded-only guard still admits a
+        multi-GB inflation). partial=True degrades over-cap or
+        truncated-encoded bodies to a truncated prefix instead of
+        raising (the byte-capped fetch / robots paths)."""
         if self.content is None or self.content_encoding in (None, "identity"):
             return self.content
         if len(self.content) > max_encoded:
             raise ValueError(
                 f"encoded body {len(self.content)} bytes exceeds guard"
             )
-        import gzip
-        import zlib
-
-        if self.content_encoding == "gzip":
-            return gzip.decompress(self.content)
-        if self.content_encoding == "deflate":
-            try:
-                return zlib.decompress(self.content)
-            except zlib.error:
-                # some servers send RAW deflate under this label — the
-                # historical ambiguity every real client tolerates
-                return zlib.decompress(self.content, -15)
-        raise NotImplementedError(
-            f"Content-Encoding {self.content_encoding!r} not supported"
+        return capped_inflate(
+            self.content, self.content_encoding, max_inflated, partial=partial
         )
 
 
@@ -332,13 +390,34 @@ class HttpRequester(Requester):
         opener = self._build_opener()
         try:
             with opener.open(req, timeout=self.timeout) as resp:
-                body = resp.read(self.max_receive_size)
+                # read max+1 so over-cap is DETECTED, not silently
+                # truncated: a truncated ENCODED body would otherwise
+                # be undecodable and burn the row's retry budget as
+                # STATUS_DB_FAILED (ADVICE r4). Identity bodies degrade
+                # to plain truncation; compressed bodies degrade to the
+                # decodable prefix of the inflated stream — usable
+                # truncated HTML either way.
+                body = resp.read(self.max_receive_size + 1)
+                encoding = resp.headers.get("Content-Encoding")
+                if len(body) > self.max_receive_size:
+                    body = body[: self.max_receive_size]
+                    if encoding not in (None, "identity"):
+                        try:
+                            body = capped_inflate(
+                                body,
+                                encoding,
+                                self.max_receive_size,
+                                partial=True,
+                            )
+                            encoding = None
+                        except Exception:
+                            pass  # keep raw; fetch pass marks FAILED
                 return Response(
                     code=resp.status,
                     content_type=resp.headers.get("Content-Type"),
                     content=body,
                     etag=resp.headers.get("ETag"),
-                    content_encoding=resp.headers.get("Content-Encoding"),
+                    content_encoding=encoding,
                     last_modified=resp.headers.get("Last-Modified"),
                 )
         except urllib.error.HTTPError as e:
@@ -353,7 +432,18 @@ class HttpRequester(Requester):
     def robots_txt(self, host: str) -> str | None:  # pragma: no cover
         r = self.fetch(f"http://{host}/robots.txt")
         if r.code == 200 and r.content:
-            return r.content.decode("utf-8", "replace")
+            # fetch() advertises Accept-Encoding, so robots.txt may
+            # arrive gzipped — decoding r.content directly would turn
+            # it into binary garbage that parse_rules reads as zero
+            # rules, silently disabling robots compliance for the host
+            # (ADVICE r4). RFC 9309 §2.5: parse at least 500 KiB; cap
+            # the inflated side there and degrade to truncation.
+            try:
+                body = r.decoded_content(max_inflated=1 << 20, partial=True)
+            except Exception:
+                return None  # undecodable robots: allow-all, like 4xx
+            if body:
+                return body.decode("utf-8", "replace")
         return None
 
 

@@ -255,7 +255,13 @@ def _read_prefix_code(br: _BitReader, alphabet: int) -> _Tree:
             s0 = br.read(1)
         if num == 2:
             s1 = br.read(8)
-            return _Tree({s0: 1, s1: 1})
+            # Spec: codes are assigned in STREAM order — the first
+            # written symbol gets code 0 — not canonically by symbol
+            # value. A third-party stream with s0 > s1 must not swap
+            # (the canonical _Tree ctor would sort by symbol).
+            t = _Tree({s0: 1, s1: 1})
+            t.map = {(1, 0): s0, (1, 1): s1}
+            return t
         t = _Tree({s0: 1})
         t.map = {}  # 0-bit code: no bits consumed per symbol
         return t
