@@ -145,3 +145,45 @@ def test_degenerate_inputs(spark, k):
         [(0, "a b c")], "doc_id int, text string"
     )  # only single-char words: nothing to merge
     assert bpe.train_bpe(docs, k) == []
+
+
+def test_deep_training_matches_golden_at_k64(spark):
+    """VERDICT r4 item 2 done-criterion: the trainer must handle real-
+    tokenizer merge depths. k=64 over the corpus, golden equality, and
+    the merge sequence runs until genuine pair exhaustion."""
+    golden, _, _ = _golden_bpe(TEXTS, 64)
+    got = bpe.train_bpe(_docs(spark), 64)
+    assert got == golden
+    assert len(got) == 38  # exhausts every pair, well past the old k=8
+
+
+def test_job_count_is_constant_in_k(spark):
+    """The one-Spark-job-per-merge loop was the driver-side scale
+    killer (k=50k real tokenizers -> 50k sequential jobs). Training is
+    now ONE distributed word-frequency pass + a local loop: the Spark
+    job count must not grow with k."""
+    tracker = spark.sparkContext.statusTracker()
+    docs = _docs(spark)
+
+    def jobs_for(k):
+        before = len(tracker.getJobIdsForGroup())
+        bpe.train_bpe(docs, k)
+        return len(tracker.getJobIdsForGroup()) - before
+
+    j8, j64 = jobs_for(8), jobs_for(64)
+    assert j64 == j8, (j8, j64)
+    assert j8 <= 3  # collect + at most a couple of planning jobs
+
+
+def test_train_local_matches_golden_directly():
+    """train_local over a hand-built word-frequency table (no Spark):
+    the heap/index bookkeeping equals the naive O(n*k) recount."""
+    wf = Counter(
+        w for t in TEXTS for w in re.split(r"\s+", t.lower()) if w
+    )
+    golden, _, _ = _golden_bpe(TEXTS, 30)
+    got = bpe.train_local(sorted(wf.items()), 30)
+    assert got == golden
+    # order of the collected rows must not matter
+    got_rev = bpe.train_local(sorted(wf.items(), reverse=True), 30)
+    assert got_rev == golden

@@ -4,16 +4,14 @@ SentencePiece-BPE shape).
 
 Classic BPE trains on the WORD-FREQUENCY table, not the raw corpus:
 one whitespace pre-tokenization pass folds 100 TB of text to O(distinct
-words) rows (Zipf: millions, not trillions), and every merge iteration
-then runs over that bounded table. Iteration k:
-
-1. pair counts — explode each word's adjacent symbol pairs weighted by
-   word frequency, one map-side-combinable aggregate (overlapping
-   pairs counted per position, the HF convention);
-2. argmax — orderBy(count desc, pair asc) limit 1, ONE row to the
-   driver (the pagerank collect discipline: bounded, never O(data));
-3. merge — a single JVM `replace` over the word's encoded symbol
-   string; no Python touches the rows.
+words) rows (Zipf: millions, not trillions). That table is collected
+ONCE and the k-merge loop runs locally (train_local: lazy max-heap +
+inverted pair index — each merge touches only the words holding the
+winning pair), so the Spark job count is O(1) in k. A real tokenizer is
+k=32,000-50,000 merges; a one-job-per-merge distributed loop is days of
+scheduler latency at that k regardless of cluster size (VERDICT r4).
+The distributed building blocks (pair_counts over the encoded symbol
+table) remain for the SQL-oracle story and for bpe_apply.
 
 **Symbol encoding** (the part that makes blind string replace EXACT):
 each symbol is stored as ``SEP len SEP chars`` (SEP = the 0x1F unit
@@ -120,39 +118,107 @@ def pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+def train_local(
+    word_freq_rows: list[tuple[str, int]], k: int
+) -> list[tuple[int, str, str, int]]:
+    """The merge loop over an in-memory word-frequency table: classic
+    fast BPE training (lazy max-heap over pair counts + an inverted
+    pair->words index, so each merge touches only the words containing
+    the winning pair). Identical semantics to the distributed argmax —
+    overlapping pair counts per position, leftmost-greedy merge, ties
+    (freq desc, lhs asc, rhs asc) — pinned by the golden-BPE equality
+    test at k=20 and k>=64."""
+    import heapq
+
+    words = [list(w) for w, _ in word_freq_rows]
+    freqs = [f for _, f in word_freq_rows]
+    counts: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set[int]] = {}
+    for wi, syms in enumerate(words):
+        f = freqs[wi]
+        for p in zip(syms, syms[1:]):
+            counts[p] = counts.get(p, 0) + f
+            index.setdefault(p, set()).add(wi)
+    heap = [(-c, a, b) for (a, b), c in counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < k and heap:
+        negc, lhs, rhs = heapq.heappop(heap)
+        p = (lhs, rhs)
+        cur = counts.get(p, 0)
+        if cur != -negc or cur <= 0:
+            continue  # stale heap entry: the pair's count moved on
+        merges.append((len(merges) + 1, lhs, rhs, cur))
+        merged = lhs + rhs
+        touched: set[tuple[str, str]] = set()
+        for wi in list(index.get(p, ())):
+            syms, f = words[wi], freqs[wi]
+            out, i, changed = [], 0, False
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == lhs
+                    and syms[i + 1] == rhs
+                ):
+                    out.append(merged)
+                    i += 2
+                    changed = True
+                else:
+                    out.append(syms[i])
+                    i += 1
+            if not changed:  # stale index membership
+                index[p].discard(wi)
+                continue
+            for q in zip(syms, syms[1:]):
+                counts[q] -= f
+                touched.add(q)
+            for q in zip(out, out[1:]):
+                counts[q] = counts.get(q, 0) + f
+                index.setdefault(q, set()).add(wi)
+                touched.add(q)
+            words[wi] = out
+        for q in touched:
+            c = counts.get(q, 0)
+            if c <= 0:
+                counts.pop(q, None)
+                index.pop(q, None)
+            elif q != p:
+                heapq.heappush(heap, (-c, q[0], q[1]))
+        counts.pop(p, None)
+        index.pop(p, None)
+    return merges
+
+
 def train_bpe(
     docs: DataFrame,
     k: int,
     text_col: str = "text",
-    checkpoint_every: int = 6,
+    checkpoint_every: int = 6,  # retained for API compat; unused
+    max_distinct_words: int | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """Learn the first k merges; returns [(rank, lhs, rhs, freq)].
     Ties break on (freq desc, lhs asc, rhs asc) so the sequence is
-    engine- and parallelism-independent."""
-    words = with_syms(word_freqs(docs, text_col)).select("syms", "freq")
-    merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, k + 1):
-        best = (
-            pair_counts(words)
-            .orderBy(F.desc("f"), F.asc("lhs"), F.asc("rhs"))
-            .limit(1)
-            .collect()
+    engine- and parallelism-independent.
+
+    ONE distributed pass builds the word-frequency table — O(distinct
+    words), Zipf-bounded to ~10^7 rows at ANY corpus size — which is
+    collected once and trained locally (train_local). A real tokenizer
+    is k=32,000-50,000 merges; the previous one-Spark-job-per-merge
+    loop was the driver-side scale-killer class (VERDICT r4 item 2:
+    30k+ sequential jobs = days of scheduler latency regardless of
+    cluster size). The job count is now O(1) in k.
+
+    `max_distinct_words` optionally truncates the collected table to
+    the top-N words by (freq desc, word asc) — a documented
+    approximation knob for noise-heavy corpora (URL/hash tokens) where
+    the tail is not worth driver memory; None (default) is exact."""
+    wf = word_freqs(docs, text_col)
+    if max_distinct_words is not None:
+        wf = wf.orderBy(F.desc("freq"), F.asc("word")).limit(
+            max_distinct_words
         )
-        if not best:
-            break
-        lhs, rhs, f = best[0].lhs, best[0].rhs, int(best[0].f)
-        merges.append((rank, lhs, rhs, f))
-        words = words.withColumn(
-            "syms",
-            F.replace(
-                F.col("syms"),
-                F.lit(enc_pattern(lhs, rhs)),
-                F.lit(enc_replacement(lhs, rhs)),
-            ),
-        )
-        if rank % checkpoint_every == 0:
-            words = words.localCheckpoint(eager=True)
-    return merges
+    rows = wf.collect()
+    return train_local([(r.word, int(r.freq)) for r in rows], k)
 
 
 def merges_df(spark: SparkSession, merges) -> DataFrame:

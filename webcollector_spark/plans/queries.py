@@ -6140,8 +6140,9 @@ def _bpe_tokens_sql(k: int) -> str:
 
 
 #: per-session memo for the learned merge list (the _SHINGLE_CACHE
-#: discipline): training is an EAGER driver loop (8 bounded collects),
-#: so without the memo every bench repetition would retrain — the memo
+#: discipline): training is EAGER (one distributed word-frequency pass
+#: collected once, then a local merge loop — O(1) Spark jobs in k), so
+#: without the memo every bench repetition would retrain — the memo
 #: keeps repeated invocations honest about what they time (the plan
 #: under test, not the training prologue). Strong session ref prevents
 #: id() recycling.
@@ -6164,10 +6165,10 @@ def _trained_merges(spark, sf):
 @register("bpe_merges", _bpe_merges_sql(_BPE_K))
 def q_bpe_merges(spark, sf):
     """First K=8 BPE merges learned over the documents corpus: one
-    corpus pass to the word-frequency table, then per merge one
-    map-side-combinable pair count + a 1-row argmax collect + one JVM
-    replace (operators/bpe.py train_bpe). Ties break (freq desc, pair
-    asc) so the sequence is engine- and parallelism-independent."""
+    corpus pass to the Zipf-bounded word-frequency table (collected
+    once), then a local heap-based merge loop — O(1) Spark jobs in k
+    (operators/bpe.py train_bpe). Ties break (freq desc, pair asc) so
+    the sequence is engine- and parallelism-independent."""
     from webcollector_spark.operators import bpe
 
     merges = _trained_merges(spark, sf)
