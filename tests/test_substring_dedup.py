@@ -112,3 +112,110 @@ def test_duckdb_oracle_agrees_on_planted_corpus(spark, tmp_path):
     )
     want = {(a, b, c, float(r)) for a, b, c, r in want}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# True length-unbounded ExactSubstr spans (registry `exact_substr_spans`,
+# VERDICT r4 item 4): the maximal duplicated intervals themselves, via
+# the exact two-pass fixed-k->extend form at the paper's L=50 (here
+# exercised through the reusable helper at smaller L for fixtures).
+
+
+def _spans(spark, d, L):
+    from webcollector_spark.plans.queries import exact_substr_spans
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    return sorted(
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in exact_substr_spans(docs, L).collect()
+    )
+
+
+def test_64_token_duplicated_span_is_one_unbounded_span(spark, tmp_path):
+    """A >= 64-token duplicated region must come out as ONE maximal
+    span of its full length — not fixed-size chunks (the done-criterion
+    fixture from VERDICT r4 item 4)."""
+    shared = _tok("sh", 100)  # 100-token duplicated region
+    d = _docs(
+        spark,
+        tmp_path,
+        [
+            _tok("a", 7) + " " + shared + " " + _tok("b", 9),
+            _tok("c", 11) + " " + shared,
+            _tok("e", 120),  # long but unique: no spans
+        ],
+    )
+    assert _spans(spark, d, 64) == [(0, 7, 100), (1, 11, 100)]
+
+
+def test_two_separate_spans_stay_separate(spark, tmp_path):
+    s1, s2 = _tok("x", 70), _tok("y", 80)
+    d = _docs(
+        spark,
+        tmp_path,
+        [
+            s1 + " " + _tok("gap", 40) + " " + s2,
+            s1 + " " + _tok("other", 55) + " " + s2,
+        ],
+    )
+    assert _spans(spark, d, 64) == [
+        (0, 0, 70),
+        (0, 110, 80),
+        (1, 0, 70),
+        (1, 125, 80),
+    ]
+
+
+def test_span_len_sums_match_substring_span_dedup_contract(spark, tmp_path):
+    """VERDICT done-criterion: at the SAME k, the unbounded-span op's
+    per-doc span_len totals must equal substring_span_dedup's
+    dup_tokens — they compute the same coverage, one as intervals, one
+    as counts."""
+    shared = _tok("sh", 15)
+    d = _docs(
+        spark,
+        tmp_path,
+        [
+            _tok("a", 5) + " " + shared,
+            shared + " " + _tok("b", 5),
+            _tok("c", 3),
+            _tok("dd", 25) + " " + _tok("dd", 6),
+            _tok("p", K) + " " + _tok("q", 9) + " " + _tok("p", K),
+        ],
+    )
+    cov = {i: r["dup_tokens"] for i, r in _run(spark, d).items()}
+    totals: dict[int, int] = {i: 0 for i in cov}
+    for doc_id, _start, length in _spans(spark, d, K):
+        totals[doc_id] += length
+    assert totals == cov
+
+
+def test_exact_substr_duckdb_oracle_agrees(spark, tmp_path):
+    """Registered L=50 form vs its DuckDB oracle on a planted corpus
+    holding a 60-token cross-doc span and an 80-token intra-doc
+    repeat."""
+    shared = _tok("sh", 60)
+    rep = _tok("r", 80)
+    d = _docs(
+        spark,
+        tmp_path,
+        [
+            shared + " " + _tok("a", 20),
+            _tok("b", 30) + " " + shared,
+            rep + " " + _tok("mid", 10) + " " + rep,
+            _tok("u", 90),
+        ],
+    )
+    got = set(
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in q.Q["exact_substr_spans"](spark, d).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = set(map(tuple, con.execute(q.SQL["exact_substr_spans"]).fetchall()))
+    assert got == want
+    assert (0, 0, 60) in got and (1, 30, 60) in got
+    assert (2, 0, 80) in got and (2, 90, 80) in got

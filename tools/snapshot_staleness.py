@@ -57,20 +57,32 @@ def audit(ordering: list[str] | None = None) -> tuple[int, list[Entry]]:
     """Return (latest_round, entries). ``ordering`` defaults to the live
     registry ordering (imports the package; pass explicitly in tests
     that already hold it)."""
+    import sys
+
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    from webcollector_spark.plans.queries import (
+        Q,
+        REGISTRATION_ROUND,
+        _snapshot_ordered,
+    )
+
     if ordering is None:
-        import sys
-
-        if REPO not in sys.path:
-            sys.path.insert(0, REPO)
-        from webcollector_spark.plans.queries import Q, _snapshot_ordered
-
         ordering = list(_snapshot_ordered(Q))
     rounds = _snapshot_rounds()
     latest = max(rounds) if rounds else 0
     entries = []
     for pos, name in enumerate(ordering):
         last = max((r for r, keys in rounds.items() if name in keys), default=None)
-        staleness = latest - last if last is not None else MAX_STALENESS
+        if last is not None:
+            staleness = latest - last
+        else:
+            # never driver-checked: age from registration (entries
+            # registered before round tracking began count as r<=4 and
+            # are immediately stale; a this-round registration cannot
+            # have a row yet and gets one round of grace)
+            registered = REGISTRATION_ROUND.get(name, latest)
+            staleness = MAX_STALENESS if latest >= registered else 1
         scheduled = pos < SNAPSHOT_CAP
         entries.append(
             Entry(name, pos, last, scheduled, staleness >= MAX_STALENESS)

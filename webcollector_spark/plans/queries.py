@@ -4238,6 +4238,126 @@ def q_substring_span_dedup(spark, sf):
     )
 
 
+# True ExactSubstr span dedup (Lee et al. 2022 §4.1, length-unbounded):
+# emit the MAXIMAL duplicated spans themselves — per doc, every maximal
+# token interval in which each position lies inside some substring of
+# length >= L that occurs more than once in the corpus (intra- or
+# cross-doc). This is the removal set the paper's suffix-array pipeline
+# computes: "position covered by a duplicated substring of length >= L"
+# is EXACTLY "position covered by a duplicated L-token window" (a
+# longer duplicated substring covers via its windows; a duplicated
+# window IS such a substring), so the documented two-pass
+# fixed-k->extend form is exact, not an approximation: pass 1 marks
+# duplicated L-windows with one hash-partitioned count-over window
+# (never joining or broadcasting the exploded side); pass 2 is
+# gaps-and-islands per doc — a 500-token duplicated region comes out as
+# ONE 500-token span, unbounded by L. L=50 is the paper's production
+# threshold. substring_span_dedup (k=8) keeps the per-doc coverage
+# TOTALS at finer granularity; the contract that this operator's
+# span_len sums equal its dup_tokens when run at the same k is pinned
+# in tests/test_substring_dedup.py. Scale shape identical to
+# substring_span_dedup: two shuffles (by window hash, by doc), output
+# O(spans) <= O(docs x few).
+_EXSUB_L = 50
+
+
+def exact_substr_spans(docs: DataFrame, L: int) -> DataFrame:
+    """docs(doc_id, text) -> (doc_id, span_start, span_len): maximal
+    intervals of positions covered by duplicated L-token windows."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+    base = docs.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens")
+    )
+    occ = (
+        base.filter(F.col("n_tokens") >= L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_tokens") - L)
+            ).alias("pos"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.array_join(F.slice("toks", F.col("pos") + 1, L), " ")
+            ).alias("h"),
+        )
+    )
+    dup = (
+        occ.withColumn("c", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("c") > 1)
+        .select("doc_id", "pos")
+    )
+    prior_end = F.max(F.col("pos") + L).over(
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # gap (pos past every prior window's end) opens a new island; a
+    # touching interval (pos == prior_end) extends contiguous coverage
+    brk = (F.col("pos") > F.coalesce(prior_end, F.lit(-1))).cast("int")
+    grp = dup.select(
+        "doc_id",
+        "pos",
+        F.sum(brk)
+        .over(Window.partitionBy("doc_id").orderBy("pos"))
+        .alias("g"),
+    )
+    return (
+        grp.groupBy("doc_id", "g")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(L) - F.min("pos"))
+            .cast("long")
+            .alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_len")
+    )
+
+
+@register(
+    "exact_substr_spans",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i+1:i+{_EXSUB_L}], ' ')) AS h
+      FROM t, unnest(generate_series(0, len(toks) - {_EXSUB_L})) AS u(i)
+      WHERE len(toks) >= {_EXSUB_L}
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS c FROM occ
+      ) WHERE c > 1
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + {_EXSUB_L}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), -1) THEN 1 ELSE 0 END AS brk
+      FROM dup
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM isl
+    )
+    SELECT doc_id,
+           min(pos)::bigint AS span_start,
+           (max(pos) + {_EXSUB_L} - min(pos))::bigint AS span_len
+    FROM grp GROUP BY doc_id, g
+    """,
+)
+def q_exact_substr_spans(spark, sf):
+    return exact_substr_spans(_t(spark, sf, "documents"), _EXSUB_L)
+
+
 # ---------------------------------------------------------------------------
 # Caption-side curation over the image+caption corpus (the graft's
 # payload table). The corpus is engine-generated
@@ -6456,6 +6576,15 @@ def q_lsh_incremental_dedup(spark, sf):
 # never-driver-checked entries must come FIRST this round (VERDICT r3
 # item 1). All entries — both lists — pass tools/check_oracle.py at
 # sf0.001 and sf0.01 locally regardless of snapshot position.
+
+# Registration round of entries added AFTER the r05 reorder/freeze;
+# anything absent was registered r01-r04. tools/snapshot_staleness.py
+# exempts an entry from never-driver-checked violations until a full
+# driver round has passed since its registration (a new entry CANNOT
+# have a row yet, and the freeze keeps it out of the top-50 until r06).
+REGISTRATION_ROUND: dict[str, int] = {
+    "exact_substr_spans": 5,
+}
 
 _SNAPSHOT_FIRST = [
     # r05 backlog: the 40 registry entries that have never appeared in any
