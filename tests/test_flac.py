@@ -183,3 +183,113 @@ def test_oracle_rebuild_is_stable():
         fresh.sort_values("audio_id").reset_index(drop=True),
         committed.sort_values("audio_id").reset_index(drop=True),
     )
+
+
+# ---------------------------------------------------------------------------
+# LPC subframes (r5, VERDICT r4 item 6): quantized-coefficient integer
+# prediction, orders 1-32 on decode, order-8 Levinson-Durbin on encode.
+
+
+def _count_subframes(data):
+    cnt = {"lpc": 0, "fixed": 0}
+    rl, rf = flac._reconstruct_lpc, flac._reconstruct_fixed
+
+    def spy_l(*a, **k):
+        cnt["lpc"] += 1
+        return rl(*a, **k)
+
+    def spy_f(*a, **k):
+        cnt["fixed"] += 1
+        return rf(*a, **k)
+
+    flac._reconstruct_lpc, flac._reconstruct_fixed = spy_l, spy_f
+    try:
+        flac.decode_flac(data)
+    finally:
+        flac._reconstruct_lpc, flac._reconstruct_fixed = rl, rf
+    return cnt
+
+
+def _resonant_pcm(n=8000, seed=1):
+    rng = np.random.default_rng(seed)
+    e = rng.normal(scale=200, size=n)
+    x = np.zeros(n)
+    for i in range(2, n):
+        x[i] = 1.6 * x[i - 1] - 0.81 * x[i - 2] + e[i]
+    return np.clip(np.round(x), -32768, 32767).astype(np.int16)
+
+
+def test_lpc_roundtrip_bit_exact_and_beats_fixed():
+    """A resonant (AR-2) signal is what LPC exists for: the encoder
+    must pick LPC subframes, the stream must decode bit-exactly, and
+    the LPC stream must be smaller than a fixed-predictors-only one."""
+    pcm = _resonant_pcm()
+    enc = flac.encode_flac(pcm, 8000)
+    dec, sr = flac.decode_flac(enc)
+    assert np.array_equal(dec, pcm) and sr == 8000
+    cnt = _count_subframes(enc)
+    assert cnt["lpc"] > 0 and cnt["fixed"] == 0
+    # disable the LPC candidate to get the fixed-only size
+    orig = flac._lpc_quantize
+    flac._lpc_quantize = lambda *a, **k: None
+    try:
+        enc_fixed = flac.encode_flac(pcm, 8000)
+    finally:
+        flac._lpc_quantize = orig
+    assert np.array_equal(flac.decode_flac(enc_fixed)[0], pcm)
+    assert _count_subframes(enc_fixed)["lpc"] == 0
+    assert len(enc) < len(enc_fixed)
+
+
+def test_corpus_contains_real_lpc_subframes():
+    """The done-criterion: the audio_features_flac fixture must now
+    exercise the LPC decode path (the predictor real encoders emit)."""
+    tot = {"lpc": 0, "fixed": 0}
+    for r in media.flac_corpus_rows(16):
+        c = _count_subframes(r["bytes"])
+        tot["lpc"] += c["lpc"]
+        tot["fixed"] += c["fixed"]
+    assert tot["lpc"] > 0 and tot["fixed"] > 0  # both families live
+
+
+def test_lpc_decoder_handles_arbitrary_order_and_precision():
+    """Hand-build an order-3, 10-bit-precision LPC subframe (shapes our
+    encoder never emits) — third-party streams are not limited to
+    order 8 / 12-bit."""
+    order, prec, shift = 3, 10, 5
+    qcoef = np.array([17, -9, 4], np.int64)
+    rng = np.random.default_rng(3)
+    x = np.empty(64, np.int64)
+    x[:order] = [100, -50, 25]
+    resid = rng.integers(-40, 40, size=64 - order).astype(np.int64)
+    for i in range(order, 64):
+        acc = sum(int(qcoef[j]) * int(x[i - 1 - j]) for j in range(order))
+        x[i] = resid[i - order] + (acc >> shift)
+    bw = flac._BitWriter()
+    bw.write(0, 1)
+    bw.write(32 + (order - 1), 6)
+    bw.write(0, 1)
+    for s in x[:order]:
+        bw.write(int(s) & 0xFFFF, 16)
+    bw.write(prec - 1, 4)
+    bw.write(shift, 5)
+    for c in qcoef:
+        bw.write(int(c) & ((1 << prec) - 1), prec)
+    flac._write_residual(bw, resid)
+    br = flac._BitReader(bw.flush() + b"\x00\x00")
+    got = flac._read_subframe(br, 64)
+    assert np.array_equal(got, x)
+
+
+def test_negative_lpc_shift_refused():
+    bw = flac._BitWriter()
+    bw.write(0, 1)
+    bw.write(32, 6)  # LPC order 1
+    bw.write(0, 1)
+    bw.write(0, 16)  # warmup
+    bw.write(11, 4)  # precision 12
+    bw.write(0x1F, 5)  # shift = -1 in 5-bit two's complement
+    bw.write(1, 12)
+    br = flac._BitReader(bw.flush() + b"\x00\x00\x00")
+    with pytest.raises(NotImplementedError, match="negative LPC shift"):
+        flac._read_subframe(br, 4)

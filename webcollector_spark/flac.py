@@ -10,17 +10,23 @@ emits for the common case and every decoder must accept:
 * fixed-blocksize frames: 14-bit sync, CRC-8-protected header
   (UTF-8-coded frame number, 16-bit end-of-header blocksize), CRC-16
   over the whole frame;
-* per-channel subframes: CONSTANT, VERBATIM, and FIXED predictors of
-  order 0-4 (the k-th finite difference), residuals in partitioned
-  Rice coding (4-bit parameters, the 0b1111 verbatim-escape included);
+* per-channel subframes: CONSTANT, VERBATIM, FIXED predictors of
+  order 0-4 (the k-th finite difference), and LPC predictors of order
+  1-32 (quantized coefficients + shift from the subframe header, the
+  integer prediction real encoders emit — r5, VERDICT r4 item 6);
+  residuals in partitioned Rice coding (4-bit parameters, the 0b1111
+  verbatim-escape included);
 * MSB-first bit packing throughout (the opposite byte order of GIF's
   LZW — both directions of bit-level I/O are now exercised in the
   codec layer).
 
-16-bit mono/stereo (independent channels). Not implemented, honestly:
-LPC subframes, stereo decorrelation (left/side, mid/side), wasted
-bits, variable blocksize — the decoder raises NotImplementedError on
-them rather than mis-decoding.
+16-bit mono/stereo (independent channels). The encoder competes a
+Levinson-Durbin order-8 LPC candidate against the fixed orders per
+subframe, so encoded corpora exercise both predictor families. Not
+implemented, honestly: stereo decorrelation (left/side, mid/side),
+wasted bits, variable blocksize, negative LPC shifts — the decoder
+raises NotImplementedError/ValueError on them rather than
+mis-decoding.
 
 Lossless invariant: decode(encode(pcm)) == pcm bit-exact, and the
 decoder verifies CRC-8, CRC-16, and the STREAMINFO MD5 against the
@@ -203,28 +209,73 @@ def _reconstruct_fixed(
     return a
 
 
-def _write_subframe(bw: _BitWriter, x: np.ndarray) -> None:
-    """One channel of one frame: pick CONSTANT / best FIXED order."""
-    n = len(x)
-    if n and np.all(x == x[0]):
-        bw.write(0, 1)  # zero pad bit
-        bw.write(0, 6)  # CONSTANT
-        bw.write(0, 1)  # no wasted bits
-        bw.write(int(x[0]) & 0xFFFF, 16)
-        return
-    best_order, best_cost = 0, None
-    for order in range(min(5, n)):
-        resid = _fixed_residual(x, order)
-        cost = int(np.sum(np.abs(resid)))
-        if best_cost is None or cost < best_cost:
-            best_order, best_cost = order, cost
-    order = best_order
-    resid = _fixed_residual(x, order)
-    bw.write(0, 1)
-    bw.write(8 + order, 6)  # FIXED, order 0-4
-    bw.write(0, 1)
-    for s in x[:order]:  # warmup, verbatim
-        bw.write(int(s) & 0xFFFF, 16)
+_LPC_ORDER = 8
+_LPC_PRECISION = 12
+
+
+def _lpc_quantize(x: np.ndarray, order: int):
+    """Levinson-Durbin LPC for one subframe, quantized to the integer
+    (coefficients, shift) form the bitstream carries. Returns
+    (qcoef int64[order], shift) or None when the signal is degenerate
+    (zero autocorrelation / unstable recursion)."""
+    sig = x.astype(np.float64)
+    n = len(sig)
+    if n <= order:
+        return None
+    # autocorrelation (Welch-windowed, the classic choice; any
+    # deterministic window is legal — the residual is exact regardless)
+    w = 1.0 - (np.linspace(-1.0, 1.0, n)) ** 2
+    sw = sig * w
+    ac = np.array(
+        [np.dot(sw[: n - lag], sw[lag:]) for lag in range(order + 1)]
+    )
+    if ac[0] <= 0:
+        return None
+    err = ac[0]
+    lpc = np.zeros(order)
+    for i in range(order):
+        acc = ac[i + 1] - np.dot(lpc[:i], ac[i:0:-1][:i])
+        k = acc / err
+        lpc[: i + 1] = np.concatenate(
+            (lpc[:i] - k * lpc[:i][::-1], [k])
+        )
+        err *= 1.0 - k * k
+        if err <= 0:
+            return None
+    cmax = float(np.max(np.abs(lpc)))
+    if cmax <= 0 or not np.isfinite(cmax):
+        return None
+    # shift so the largest coefficient fills the signed precision
+    shift = _LPC_PRECISION - 1 - int(np.floor(np.log2(cmax))) - 1
+    shift = max(0, min(15, shift))
+    lim = 1 << (_LPC_PRECISION - 1)
+    qcoef = np.clip(
+        np.round(lpc * (1 << shift)), -lim, lim - 1
+    ).astype(np.int64)
+    if not qcoef.any():
+        return None
+    return qcoef, shift
+
+
+def _lpc_residual(
+    x: np.ndarray, qcoef: np.ndarray, shift: int
+) -> np.ndarray:
+    """Integer LPC residual: resid[i] = x[i] - (sum(c_j * x[i-1-j]) >>
+    shift) for i >= order — exact int64, matching the decoder."""
+    order = len(qcoef)
+    xi = x.astype(np.int64)
+    # vectorized prediction: correlate x with the coefficient taps
+    acc = np.zeros(len(xi) - order, np.int64)
+    for j in range(order):
+        acc += qcoef[j] * xi[order - 1 - j : len(xi) - 1 - j]
+    return xi[order:] - (acc >> shift)
+
+
+def _write_residual(
+    bw: _BitWriter, resid: np.ndarray
+) -> None:
+    """Partition-order-0 Rice residual block (4-bit parameters, with
+    the 0b1111 verbatim escape) — shared by FIXED and LPC subframes."""
     u = _zigzag(resid)
     bw.write(0, 2)  # residual coding method: 4-bit Rice
     bw.write(0, 4)  # partition order 0: one partition
@@ -244,6 +295,52 @@ def _write_subframe(bw: _BitWriter, x: np.ndarray) -> None:
                 bw.write(int(val) & ((1 << k) - 1), k)
 
 
+def _write_subframe(bw: _BitWriter, x: np.ndarray) -> None:
+    """One channel of one frame: pick CONSTANT / best FIXED order /
+    order-8 LPC, whichever residual is cheapest."""
+    n = len(x)
+    if n and np.all(x == x[0]):
+        bw.write(0, 1)  # zero pad bit
+        bw.write(0, 6)  # CONSTANT
+        bw.write(0, 1)  # no wasted bits
+        bw.write(int(x[0]) & 0xFFFF, 16)
+        return
+    best_order, best_cost = 0, None
+    for order in range(min(5, n)):
+        resid = _fixed_residual(x, order)
+        cost = int(np.sum(np.abs(resid)))
+        if best_cost is None or cost < best_cost:
+            best_order, best_cost = order, cost
+    lpc = _lpc_quantize(x, _LPC_ORDER) if n > _LPC_ORDER else None
+    if lpc is not None:
+        qcoef, shift = lpc
+        lpc_resid = _lpc_residual(x, qcoef, shift)
+        # header overhead of the LPC form, in residual-magnitude units:
+        # warmup + coefficient bits never pay off unless the residual
+        # genuinely shrinks, so bias the comparison by that fixed cost
+        overhead = (_LPC_ORDER - best_order) * 16 + 9 + _LPC_ORDER * _LPC_PRECISION
+        if int(np.sum(np.abs(lpc_resid))) + overhead < best_cost:
+            bw.write(0, 1)
+            bw.write(32 + (_LPC_ORDER - 1), 6)  # LPC, order-1 in low 5
+            bw.write(0, 1)
+            for s in x[:_LPC_ORDER]:
+                bw.write(int(s) & 0xFFFF, 16)
+            bw.write(_LPC_PRECISION - 1, 4)
+            bw.write(shift & 0x1F, 5)
+            for c in qcoef:
+                bw.write(int(c) & ((1 << _LPC_PRECISION) - 1), _LPC_PRECISION)
+            _write_residual(bw, lpc_resid)
+            return
+    order = best_order
+    resid = _fixed_residual(x, order)
+    bw.write(0, 1)
+    bw.write(8 + order, 6)  # FIXED, order 0-4
+    bw.write(0, 1)
+    for s in x[:order]:  # warmup, verbatim
+        bw.write(int(s) & 0xFFFF, 16)
+    _write_residual(bw, resid)
+
+
 def _read_subframe(br: _BitReader, n: int) -> np.ndarray:
     if br.read(1) != 0:
         raise ValueError("subframe padding bit set")
@@ -260,13 +357,31 @@ def _read_subframe(br: _BitReader, n: int) -> np.ndarray:
             v = br.read(16)
             out[i] = v - (1 << 16) if v & 0x8000 else v
         return out
-    if not 8 <= sftype <= 12:
-        raise NotImplementedError(f"subframe type {sftype} (LPC?) not supported")
-    order = sftype - 8
+    if 8 <= sftype <= 12:
+        is_lpc, order = False, sftype - 8
+    elif sftype >= 32:
+        is_lpc, order = True, (sftype & 0x1F) + 1
+    else:
+        raise NotImplementedError(f"subframe type {sftype} not supported")
     warmup = np.empty(order, np.int64)
     for i in range(order):
         v = br.read(16)
         warmup[i] = v - (1 << 16) if v & 0x8000 else v
+    qcoef, shift = None, 0
+    if is_lpc:
+        prec = br.read(4)
+        if prec == 0xF:
+            raise ValueError("invalid LPC coefficient precision 0b1111")
+        prec += 1
+        shift = br.read(5)
+        if shift & 0x10:
+            # 5-bit two's complement: negative shifts are spec-legal
+            # but unused by real encoders (libFLAC asserts >= 0)
+            raise NotImplementedError("negative LPC shift not supported")
+        qcoef = np.empty(order, np.int64)
+        for i in range(order):
+            v = br.read(prec)
+            qcoef[i] = v - (1 << prec) if v >> (prec - 1) else v
     if br.read(2) != 0:
         raise NotImplementedError("5-bit Rice parameters not supported")
     porder = br.read(4)
@@ -292,7 +407,28 @@ def _read_subframe(br: _BitReader, n: int) -> np.ndarray:
                 vals[i] = -(u + 1) >> 1 if u & 1 else u >> 1
             resid_parts.append(vals)
     resid = np.concatenate(resid_parts) if resid_parts else np.empty(0, np.int64)
+    if is_lpc:
+        return _reconstruct_lpc(warmup, resid, qcoef, shift)
     return _reconstruct_fixed(order, warmup, resid)
+
+
+def _reconstruct_lpc(
+    warmup: np.ndarray,
+    resid: np.ndarray,
+    qcoef: np.ndarray,
+    shift: int,
+) -> np.ndarray:
+    """x[i] = resid[i-order] + (sum_j qcoef[j] * x[i-1-j]) >> shift —
+    the exact int64 arithmetic of _lpc_residual, inverted. Sequential
+    by construction (each sample feeds the next prediction)."""
+    order = len(qcoef)
+    x = np.empty(order + len(resid), np.int64)
+    x[:order] = warmup
+    rev = qcoef[::-1].copy()  # taps aligned with x[i-order:i]
+    for i in range(order, len(x)):
+        acc = int(np.dot(rev, x[i - order : i]))
+        x[i] = resid[i - order] + (acc >> shift)
+    return x
 
 
 def encode_flac(pcm: np.ndarray, sample_rate: int) -> bytes:

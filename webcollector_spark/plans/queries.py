@@ -4674,23 +4674,26 @@ def q_semdedup_keepers(spark, sf):
         .filter(F.col("crk") == 1)
         .select("vec_id", F.col("cid").alias("cell"), "ve")
     )
-    # within-cell pairing: the equi-join on cell co-locates each cell's
-    # vectors on one reducer; never all-pairs across cells
-    a = cell_of.select(
-        F.col("cell"), F.col("vec_id").alias("ia"), F.col("ve").alias("va")
+    # within-cell pairing: salt-split oversized cells (r5, VERDICT r4
+    # item 5) — the K ∝ n recipe bounds the AVERAGE cell, but a dense
+    # embedding mode makes one hot cell one O(cell^2) straggler task;
+    # salted_self_pairs keeps the pair set exact while capping per-task
+    # work at ~split_target^2. Never all-pairs across cells.
+    from webcollector_spark.operators.pairs import salted_self_pairs
+
+    cand = salted_self_pairs(
+        cell_of,
+        group_col="cell",
+        id_col="vec_id",
+        payload_cols=["ve"],
+        split_target=2048,
     )
-    b = cell_of.select(
-        F.col("cell"), F.col("vec_id").alias("ib"), F.col("ve").alias("vb")
+    cos = dot(F.col("ve_a"), F.col("ve_b")) / (
+        F.sqrt(dot(F.col("ve_a"), F.col("ve_a")))
+        * F.sqrt(dot(F.col("ve_b"), F.col("ve_b")))
     )
-    cos = dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(dot(F.col("va"), F.col("va")))
-        * F.sqrt(dot(F.col("vb"), F.col("vb")))
-    )
-    pairs = (
-        a.join(b, ["cell"])
-        .filter(F.col("ia") < F.col("ib"))
-        .filter(cos >= _SEMDEDUP_TAU)
-        .select("ia", "ib")
+    pairs = cand.filter(cos >= _SEMDEDUP_TAU).select(
+        F.col("vec_id_a").alias("ia"), F.col("vec_id_b").alias("ib")
     )
     clusters = dedup_clusters(
         pairs, emb.select("vec_id"), id_col="vec_id", src="ia", dst="ib"
