@@ -674,3 +674,93 @@ def test_streaming_soft404_cross_batch_and_bounded_state(spark):
         assert r["share_pct"] >= 60
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_revalidation_cross_batch_304_and_refetch(spark):
+    """VERDICT r4 item 7 done-criterion: drain 1 cold-fetches every due
+    URL (all 200, validators stored); the page BUMPS between drains;
+    drain 2 (same work_dir — checkpoint resumes, validator store
+    persists) must refetch the bumped page (200, validator rotated) and
+    304 every unchanged one with the stored size recorded as saved.
+    The summary view is the batch revalidation_savings operator over
+    the streamed log."""
+    from pyspark.sql import functions as F
+
+    from webcollector_spark import fixtures
+    from webcollector_spark.sources.requester import SyntheticRequester
+
+    graph = fixtures.make_site_graph(12, n_hosts=3, out_degree=2)
+    corpus = fixtures.make_corpus(12)
+    req = SyntheticRequester(
+        graph.to_dict("records"), corpus.to_dict("records")
+    )
+    urls = sorted(graph[graph["http_code"] == 200]["url"].tolist())
+    due = [(u, u.split("/")[2]) for u in urls]
+    d = tempfile.mkdtemp(prefix="wc_reval_")
+    try:
+        spark.createDataFrame(due, P.REVAL_DUE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{d}/in")
+        q = P.revalidation_stream(
+            P.read_due_stream(spark, f"{d}/in"), req, f"{d}/work"
+        )
+        q.awaitTermination()
+        log1 = (
+            spark.read.schema(P.REVAL_LOG_SCHEMA)
+            .parquet(f"{d}/work/fetched")
+            .collect()
+        )
+        assert len(log1) == len(urls)
+        assert all(r.code == 200 and r.etag for r in log1)
+        sizes = {r.url: r.size_bytes for r in log1}
+        assert all(s > 0 for s in sizes.values())
+
+        bumped = urls[0]
+        req.bump_page(bumped)
+
+        # second drain: same work_dir, new due file, RE-pickled requester
+        spark.createDataFrame(due, P.REVAL_DUE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{d}/in")
+        q2 = P.revalidation_stream(
+            P.read_due_stream(spark, f"{d}/in"), req, f"{d}/work"
+        )
+        q2.awaitTermination()
+        log2 = {
+            r.url: r
+            for r in spark.read.schema(P.REVAL_LOG_SCHEMA)
+            .parquet(f"{d}/work/fetched")
+            .filter(F.col("batch_id") >= 1)
+            .collect()
+        }
+        assert set(log2) == set(urls)
+        etag1 = {r.url: r.etag for r in log1}
+        for u, r in log2.items():
+            if u == bumped:
+                assert r.code == 200 and r.etag != etag1[u]
+            else:
+                assert r.code == 304, u
+                assert r.size_bytes == sizes[u]  # saved = stored size
+                assert r.etag == etag1[u]
+        # validator store rotated only for the bumped page
+        with open(f"{d}/work/validators/CURRENT") as fh:
+            cur = fh.read().strip()
+        store = {
+            r.url: r
+            for r in spark.read.schema(P.REVAL_STORE_SCHEMA)
+            .parquet(f"{d}/work/validators/{cur}")
+            .collect()
+        }
+        assert store[bumped].etag == log2[bumped].etag != etag1[bumped]
+        assert all(store[u].etag == etag1[u] for u in urls if u != bumped)
+        # summary == batch operator over the same log, and the 304s
+        # show up as saved bytes
+        summ = {r.host: r for r in P.revalidation_summary(spark, f"{d}/work").collect()}
+        n_hosts = len({h for _, h in due})
+        assert len(summ) == n_hosts
+        assert sum(r.n_not_modified for r in summ.values()) == len(urls) - 1
+        assert sum(r.bytes_saved for r in summ.values()) == sum(
+            sizes[u] for u in urls if u != bumped
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

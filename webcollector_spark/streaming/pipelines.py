@@ -929,3 +929,206 @@ def soft404_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming conditional revalidation — foreachBatch (r5, VERDICT r4
+# item 7): the incremental twin of the batch recrawl-due ->
+# conditional-fetch -> 304 path (operators/fetch.py + recrawl.py,
+# tests/test_revalidate.py). A due-URL stream drains in micro-batches;
+# each batch sends stored validators (If-None-Match / If-Modified-
+# Since), logs 200-vs-304 outcomes with the byte savings, and folds
+# rotated validators back into a persistent store — so the savings
+# telemetry (operators/delta.revalidation_savings, the SAME operator
+# the batch dashboard uses) accrues continuously instead of per-round.
+
+REVAL_DUE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("host", T.StringType()),
+    ]
+)
+REVAL_STORE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("etag", T.StringType()),
+        T.StructField("last_modified", T.StringType()),
+        T.StructField("size_bytes", T.LongType()),
+    ]
+)
+REVAL_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("code", T.IntegerType()),
+        T.StructField("size_bytes", T.LongType()),
+        T.StructField("etag", T.StringType()),
+        T.StructField("last_modified", T.StringType()),
+        T.StructField("batch_id", T.LongType()),
+    ]
+)
+
+
+def read_due_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of recrawl-due URLs (what
+    recrawl.schedule_recrawl emits per round in batch)."""
+    reader = spark.readStream.schema(REVAL_DUE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def revalidation_stream(
+    rows: DataFrame,
+    requester,
+    work_dir: str,
+    query_name: str = "revalidation",
+):
+    """Start the conditional-refetch drain. State layout (the
+    crosshash versioned-parquet + CURRENT-pointer contract — an
+    Iceberg/LSM MERGE seam at production scale):
+
+    * `{work_dir}/validators/v{batch}` + CURRENT — url -> (etag,
+      last_modified, size_bytes), last-wins by url;
+    * `{work_dir}/fetched` — append-only fetch log, one row per
+      conditional fetch with the outcome code and `size_bytes` in the
+      revalidation_savings convention (200: bytes transferred; 304:
+      the stored size a full refetch WOULD have moved).
+
+    Validator persistence spans query restarts: a second availableNow
+    drain over the same work_dir resumes from the checkpoint (new due
+    files only) and sends the validators the first drain stored —
+    the cross-batch 304/refetch test shape. The requester ships to
+    executors per batch; fetches run in an Arrow map stage partitioned
+    by the incoming due rows."""
+    import os
+
+    import pandas as pd
+
+    summary_root = os.path.join(work_dir, "validators")
+    pointer = os.path.join(summary_root, "CURRENT")
+    fetched_dir = os.path.join(work_dir, "fetched")
+    os.makedirs(summary_root, exist_ok=True)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        store = _read_parquet_or_empty(
+            spark,
+            os.path.join(summary_root, "__none__"),
+            REVAL_STORE_SCHEMA,
+        )
+        if os.path.exists(pointer):
+            with open(pointer) as fh:
+                store = spark.read.schema(REVAL_STORE_SCHEMA).parquet(
+                    os.path.join(summary_root, fh.read().strip())
+                )
+        due = batch_df.select("url", "host").join(
+            store.select(
+                "url",
+                F.col("etag").alias("prev_etag"),
+                F.col("last_modified").alias("prev_lm"),
+                F.col("size_bytes").alias("prev_size"),
+            ),
+            "url",
+            "left",
+        )
+        bc = spark.sparkContext.broadcast(requester)
+
+        def run(pdfs):
+            req = bc.value
+            for pdf in pdfs:
+                out = []
+                for r in pdf.itertuples(index=False):
+                    p_etag = r.prev_etag if isinstance(r.prev_etag, str) else None
+                    p_lm = r.prev_lm if isinstance(r.prev_lm, str) else None
+                    resp = req.fetch(
+                        r.url, etag=p_etag, last_modified=p_lm
+                    )
+                    if resp.code == 304:
+                        # validators still match: zero payload moved;
+                        # size records what a full refetch would cost
+                        out.append(
+                            (
+                                r.url, r.host, 304,
+                                int(r.prev_size) if pd.notna(r.prev_size) else 0,
+                                resp.etag or p_etag,
+                                resp.last_modified or p_lm,
+                            )
+                        )
+                    elif resp.code == 200:
+                        body = resp.content or b""
+                        out.append(
+                            (
+                                r.url, r.host, 200, len(body),
+                                resp.etag, resp.last_modified,
+                            )
+                        )
+                    else:
+                        out.append(
+                            (r.url, r.host, int(resp.code), 0, None, None)
+                        )
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "url", "host", "code", "size_bytes",
+                        "etag", "last_modified",
+                    ],
+                )
+
+        fetched = due.mapInPandas(
+            run,
+            schema=(
+                "url string, host string, code int, size_bytes long, "
+                "etag string, last_modified string"
+            ),
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        # materialize ONCE (mapInPandas re-fetches per action otherwise)
+        fetched.write.mode("append").parquet(fetched_dir)
+        fetched = (
+            spark.read.schema(REVAL_LOG_SCHEMA)
+            .parquet(fetched_dir)
+            .filter(F.col("batch_id") == batch_id)
+        )
+        # last-wins validator merge: fetched urls overwrite, rest kept
+        upd = fetched.filter(F.col("code").isin(200, 304)).select(
+            "url", "host", "etag", "last_modified", "size_bytes"
+        )
+        merged = store.join(
+            upd.select("url"), "url", "left_anti"
+        ).unionByName(upd)
+        vdir = f"v{batch_id}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(summary_root, vdir)
+        )
+        with open(pointer, "w") as fh:
+            fh.write(vdir)
+
+    import os
+
+    return (
+        rows.writeStream.foreachBatch(_process)
+        .queryName(query_name)
+        .option(
+            "checkpointLocation", os.path.join(work_dir, "checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def revalidation_summary(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Per-host savings over everything the stream has fetched so far —
+    the SAME batch operator (delta.revalidation_savings) the round
+    dashboard uses, fed by the streaming log: twin consistency is by
+    construction."""
+    import os
+
+    from webcollector_spark.operators.delta import revalidation_savings
+
+    log = _read_parquet_or_empty(
+        spark, os.path.join(work_dir, "fetched"), REVAL_LOG_SCHEMA
+    )
+    return revalidation_savings(log.select("host", "code", "size_bytes"))
