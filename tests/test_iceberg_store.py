@@ -79,7 +79,9 @@ def test_integration_with_real_iceberg_runtime(tmp_path):
         ICEBERG_JARS=/path/iceberg-spark-runtime-4.0_2.13-<v>.jar \\
             python -m pytest tests/test_iceberg_store.py -q
 
-    Vendoring attempt (VERDICT r3 item 8, dated 2026-08-18): the
+    Vendoring attempt (VERDICT r3 item 8, dated 2026-08-18; retried
+    2026-08-21 per VERDICT r4 item 8 — still blocked, identical
+    URLError [Errno -2] on repo1.maven.org): the
     sandbox cannot fetch the jar — DNS resolution itself is blocked
     (`curl https://repo1.maven.org/...` -> "Could not resolve host",
     urllib URLError [Errno -2]), no ~/.m2 or ~/.ivy2 cache exists, and

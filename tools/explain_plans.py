@@ -77,6 +77,10 @@ CHECKS = {
     # within-cell self-join co-locates on cell id (never all-pairs
     # across cells); components iterate JVM-side
     "semdedup_keepers": ["BroadcastNestedLoopJoin", "!EvalPython"],
+    # true ExactSubstr spans: duplicate marking is one window over the
+    # occurrence hash (never a join/broadcast of the exploded side);
+    # island grouping is per-doc windows + one aggregate, all JVM
+    "exact_substr_spans": ["Window", "HashAggregate", "!EvalPython"],
     # banded simhash: band join fans out on collisions only, no
     # quadratic stage, all JVM
     "simhash_neardup_banded": ["HashAggregate", "!EvalPython"],

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, "/root/repo")
 from webcollector_spark.operators.pairs import salted_self_pairs  # noqa: E402
 
-N = 40_000
+N = 20_000
 DIM = 16
 HOT_FRAC = 0.30
 K_CELLS = 32
@@ -113,19 +113,30 @@ def main():
         "hot_cell_frac": round(hot / N, 3),
         "n_cells": len(sizes),
     }
-    # correctness first: identical edge sets
-    sn = {(r.ia, r.ib) for r in naive_pairs(cell_of).collect()}
-    ss = {(r.ia, r.ib) for r in salted_pairs(cell_of).collect()}
-    assert sn == ss, (len(sn), len(ss))
-    out["edges"] = len(sn)
-    for name, fn in (("naive_one_task_per_cell", naive_pairs),
-                     ("salted_split_2048", salted_pairs)):
-        reps = []
-        for _ in range(3):
+    # one timed action per variant doubles as the correctness probe:
+    # identical edge sets via order-insensitive aggregates
+    def timed(fn, reps):
+        times, sig = [], None
+        for _ in range(reps):
             t0 = time.time()
-            fn(cell_of).count()
-            reps.append(round(time.time() - t0, 2))
-        out[name + "_sec"] = reps
+            row = (
+                fn(cell_of)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("ia") * 31 + F.col("ib")).alias("s"),
+                    F.expr("bit_xor(xxhash64(ia, ib))").alias("h"),
+                )
+                .collect()[0]
+            )
+            times.append(round(time.time() - t0, 2))
+            sig = (row.n, row.s, row.h)
+        return times, sig
+    t_naive, sig_naive = timed(naive_pairs, 2)
+    t_salted, sig_salted = timed(salted_pairs, 3)
+    assert sig_naive == sig_salted, (sig_naive, sig_salted)
+    out["edges"] = sig_naive[0]
+    out["naive_one_task_per_cell_sec"] = t_naive
+    out["salted_split_2048_sec"] = t_salted
     print(json.dumps(out, indent=2))
     with open("/root/repo/BENCH_SEMDEDUP_SKEW.json", "w") as f:
         json.dump(out, f, indent=2)
