@@ -293,3 +293,88 @@ def test_negative_lpc_shift_refused():
     br = flac._BitReader(bw.flush() + b"\x00\x00\x00")
     with pytest.raises(NotImplementedError, match="negative LPC shift"):
         flac._read_subframe(br, 4)
+
+
+# ---------------------------------------------------------------------------
+# Stereo decorrelation (r5): left/side, right/side, mid/side — the full
+# spec channel-assignment set, side channel at bps+1.
+
+
+def _correlated_stereo(n=9000, seed=5):
+    rng = np.random.default_rng(seed)
+    e = rng.normal(scale=150, size=n)
+    x = np.zeros(n)
+    for i in range(2, n):
+        x[i] = 1.5 * x[i - 1] - 0.7 * x[i - 2] + e[i]
+    delta = rng.integers(-30, 30, size=n)
+    L = np.clip(np.round(x), -30000, 30000).astype(np.int16)
+    R = np.clip(np.round(x) + delta, -30000, 30000).astype(np.int16)
+    return np.stack([L, R], axis=1)
+
+
+def test_stereo_every_channel_assignment_roundtrips(monkeypatch):
+    """Force each of the four spec channel assignments; every one must
+    decode bit-exactly (8=left/side, 9=right/side, 10=mid/side carry a
+    17-bit side channel; mid/side reconstructs via the side-low-bit
+    trick). Also covers negative-side and odd-sum mid truncation via
+    the +/-delta fixture."""
+    pcm = _correlated_stereo()
+
+    def force(code):
+        def f(l, r):  # built from the FRAME's own block slices
+            subs = {
+                1: [(l, 16), (r, 16)],
+                8: [(l, 16), (l - r, 17)],
+                9: [(l - r, 17), (r, 16)],
+                10: [((l + r) >> 1, 16), (l - r, 17)],
+            }
+            return code, subs[code]
+
+        return f
+
+    sizes = {}
+    for code in (1, 8, 9, 10):
+        monkeypatch.setattr(flac, "_pick_stereo_mode", force(code))
+        enc = flac.encode_flac(pcm, 16000)
+        got, sr = flac.decode_flac(enc)
+        assert np.array_equal(got, pcm), f"chan_code {code}"
+        sizes[code] = len(enc)
+    # on a correlated signal every decorrelated mode beats independent
+    assert all(sizes[c] < sizes[1] for c in (8, 9, 10)), sizes
+
+
+def test_stereo_mode_choice_is_signal_appropriate():
+    """The encoder's per-frame decision: correlated channels pick a
+    side-carrying mode; independent noise keeps independent coding."""
+    corr = _correlated_stereo()
+    code, _ = flac._pick_stereo_mode(
+        corr[:, 0].astype(np.int64), corr[:, 1].astype(np.int64)
+    )
+    assert code in (8, 9, 10)
+    rng = np.random.default_rng(9)
+    noise = rng.integers(-32768, 32767, size=(4096, 2)).astype(np.int64)
+    code2, _ = flac._pick_stereo_mode(noise[:, 0], noise[:, 1])
+    assert code2 == 1
+    # end-to-end both ways
+    assert np.array_equal(
+        flac.decode_flac(flac.encode_flac(corr, 8000))[0], corr
+    )
+    n16 = noise.astype(np.int16)
+    assert np.array_equal(
+        flac.decode_flac(flac.encode_flac(n16, 8000))[0], n16
+    )
+
+
+def test_mid_side_truncation_edge_exact():
+    """Odd L+R truncates mid; the side low bit must restore both
+    channels exactly — pin the arithmetic on tiny hand values."""
+    pcm = np.array(
+        [[3, 2], [-3, 2], [1, -2], [-32768, 32767], [32767, -32768]],
+        np.int16,
+    )
+    L = pcm[:, 0].astype(np.int64)
+    R = pcm[:, 1].astype(np.int64)
+    mid, side = (L + R) >> 1, L - R
+    mid2 = (mid << 1) | (side & 1)
+    assert np.array_equal((mid2 + side) >> 1, L)
+    assert np.array_equal((mid2 - side) >> 1, R)

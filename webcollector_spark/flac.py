@@ -20,13 +20,17 @@ emits for the common case and every decoder must accept:
   LZW — both directions of bit-level I/O are now exercised in the
   codec layer).
 
-16-bit mono/stereo (independent channels). The encoder competes a
-Levinson-Durbin order-8 LPC candidate against the fixed orders per
-subframe, so encoded corpora exercise both predictor families. Not
-implemented, honestly: stereo decorrelation (left/side, mid/side),
-wasted bits, variable blocksize, negative LPC shifts — the decoder
-raises NotImplementedError/ValueError on them rather than
-mis-decoding.
+16-bit mono/stereo. Stereo frames use the full spec channel-assignment
+set (r5): independent, left/side, right/side, and mid/side — the
+encoder picks the cheapest per frame exactly as real encoders do, the
+SIDE channel carries the spec's extra bit (bps+1), and mid/side
+reconstructs through the side-low-bit trick ((mid<<1 | side&1) ± side
+>> 1). The encoder also competes a Levinson-Durbin order-8 LPC
+candidate against the fixed orders per subframe, so encoded corpora
+exercise both predictor families and all four stereo modes. Not
+implemented, honestly: wasted bits, variable blocksize, negative LPC
+shifts — the decoder raises NotImplementedError/ValueError on them
+rather than mis-decoding.
 
 Lossless invariant: decode(encode(pcm)) == pcm bit-exact, and the
 decoder verifies CRC-8, CRC-16, and the STREAMINFO MD5 against the
@@ -295,15 +299,17 @@ def _write_residual(
                 bw.write(int(val) & ((1 << k) - 1), k)
 
 
-def _write_subframe(bw: _BitWriter, x: np.ndarray) -> None:
+def _write_subframe(bw: _BitWriter, x: np.ndarray, bps: int = 16) -> None:
     """One channel of one frame: pick CONSTANT / best FIXED order /
-    order-8 LPC, whichever residual is cheapest."""
+    order-8 LPC, whichever residual is cheapest. `bps` is 17 for the
+    SIDE channel of a decorrelated stereo frame."""
     n = len(x)
+    mask = (1 << bps) - 1
     if n and np.all(x == x[0]):
         bw.write(0, 1)  # zero pad bit
         bw.write(0, 6)  # CONSTANT
         bw.write(0, 1)  # no wasted bits
-        bw.write(int(x[0]) & 0xFFFF, 16)
+        bw.write(int(x[0]) & mask, bps)
         return
     best_order, best_cost = 0, None
     for order in range(min(5, n)):
@@ -324,7 +330,7 @@ def _write_subframe(bw: _BitWriter, x: np.ndarray) -> None:
             bw.write(32 + (_LPC_ORDER - 1), 6)  # LPC, order-1 in low 5
             bw.write(0, 1)
             for s in x[:_LPC_ORDER]:
-                bw.write(int(s) & 0xFFFF, 16)
+                bw.write(int(s) & mask, bps)
             bw.write(_LPC_PRECISION - 1, 4)
             bw.write(shift & 0x1F, 5)
             for c in qcoef:
@@ -337,25 +343,29 @@ def _write_subframe(bw: _BitWriter, x: np.ndarray) -> None:
     bw.write(8 + order, 6)  # FIXED, order 0-4
     bw.write(0, 1)
     for s in x[:order]:  # warmup, verbatim
-        bw.write(int(s) & 0xFFFF, 16)
+        bw.write(int(s) & mask, bps)
     _write_residual(bw, resid)
 
 
-def _read_subframe(br: _BitReader, n: int) -> np.ndarray:
+def _read_subframe(br: _BitReader, n: int, bps: int = 16) -> np.ndarray:
+    """One subframe at `bps` bits per sample — 16 for plain channels,
+    17 for the SIDE channel of a decorrelated stereo frame (the side
+    difference l-r needs one extra bit, per spec)."""
+    sign = 1 << (bps - 1)
     if br.read(1) != 0:
         raise ValueError("subframe padding bit set")
     sftype = br.read(6)
     if br.read(1) != 0:
         raise NotImplementedError("wasted bits not supported")
     if sftype == 0:  # CONSTANT
-        v = br.read(16)
-        v -= 1 << 16 if v & 0x8000 else 0
+        v = br.read(bps)
+        v -= (1 << bps) if v & sign else 0
         return np.full(n, v, np.int64)
     if sftype == 1:  # VERBATIM
         out = np.empty(n, np.int64)
         for i in range(n):
-            v = br.read(16)
-            out[i] = v - (1 << 16) if v & 0x8000 else v
+            v = br.read(bps)
+            out[i] = v - (1 << bps) if v & sign else v
         return out
     if 8 <= sftype <= 12:
         is_lpc, order = False, sftype - 8
@@ -365,8 +375,8 @@ def _read_subframe(br: _BitReader, n: int) -> np.ndarray:
         raise NotImplementedError(f"subframe type {sftype} not supported")
     warmup = np.empty(order, np.int64)
     for i in range(order):
-        v = br.read(16)
-        warmup[i] = v - (1 << 16) if v & 0x8000 else v
+        v = br.read(bps)
+        warmup[i] = v - (1 << bps) if v & sign else v
     qcoef, shift = None, 0
     if is_lpc:
         prec = br.read(4)
@@ -431,6 +441,36 @@ def _reconstruct_lpc(
     return x
 
 
+def _channel_cost(x: np.ndarray) -> int:
+    """Cheap per-channel size proxy (the classic encoder estimate):
+    best fixed-order residual magnitude sum."""
+    return min(
+        int(np.sum(np.abs(_fixed_residual(x, order))))
+        for order in range(min(5, max(1, len(x))))
+    )
+
+
+def _pick_stereo_mode(left: np.ndarray, right: np.ndarray):
+    """Choose the cheapest of the four spec channel assignments (the
+    decision every real stereo encoder makes per frame): independent
+    (code 1), left/side (8), right/side (9), mid/side (10). The SIDE
+    channel (l - r) carries bps+1 = 17 bits; mid is the truncated
+    average (l + r) >> 1, exactly invertible together with side."""
+    side = left - right
+    mid = (left + right) >> 1
+    c_l, c_r = _channel_cost(left), _channel_cost(right)
+    c_s, c_m = _channel_cost(side), _channel_cost(mid)
+    options = [
+        (c_l + c_r, 1, [(left, 16), (right, 16)]),
+        (c_l + c_s, 8, [(left, 16), (side, 17)]),
+        (c_s + c_r, 9, [(side, 17), (right, 16)]),
+        (c_m + c_s, 10, [(mid, 16), (side, 17)]),
+    ]
+    # deterministic tie-break: first-listed (independent) wins ties
+    best = min(options, key=lambda o: (o[0], o[1]))
+    return best[1], best[2]
+
+
 def encode_flac(pcm: np.ndarray, sample_rate: int) -> bytes:
     """int16 PCM, shape (n,) mono or (n, 2) stereo -> FLAC bytes."""
     assert pcm.dtype == np.int16
@@ -446,17 +486,24 @@ def encode_flac(pcm: np.ndarray, sample_rate: int) -> bytes:
     for fi, start in enumerate(range(0, n, _BLOCK)):
         block = pcm[start : start + _BLOCK]
         bs = len(block)
+        if channels == 2:
+            chan_code, subframes = _pick_stereo_mode(
+                block[:, 0].astype(np.int64), block[:, 1].astype(np.int64)
+            )
+        else:
+            chan_code = 0
+            subframes = [(block[:, 0].astype(np.int64), 16)]
         hdr = bytearray(b"\xff\xf8")  # sync + fixed-blocksize strategy
         # blocksize code 7 = 16-bit value at end; rate code 0 = STREAMINFO
         hdr.append(0x70)
-        # channel assignment (independent) | sample size 16 (code 4) | 0
-        hdr.append(((channels - 1) << 4) | (4 << 1))
+        # channel assignment | sample size 16 (code 4) | 0
+        hdr.append((chan_code << 4) | (4 << 1))
         hdr += _utf8_number(fi)
         hdr += struct.pack(">H", bs - 1)
         hdr.append(crc8(bytes(hdr)))
         bw = _BitWriter()
-        for ch in range(channels):
-            _write_subframe(bw, block[:, ch].astype(np.int64))
+        for sig, bps in subframes:
+            _write_subframe(bw, sig, bps)
         body = bw.flush()
         frame = bytes(hdr) + body
         frames += frame + struct.pack(">H", crc16(frame))
@@ -554,16 +601,35 @@ def decode_flac(data: bytes, verify_md5: bool = True):
             pass  # from STREAMINFO (16 here)
         else:
             raise NotImplementedError("only 16-bit frames supported")
-        if chan_code >= 8:
-            raise NotImplementedError("stereo decorrelation not supported")
-        channels = chan_code + 1
+        if chan_code > 10:
+            raise ValueError(f"reserved channel assignment {chan_code}")
+        decorrelated = chan_code >= 8
+        channels = 2 if decorrelated else chan_code + 1
         if channels != info["channels"]:
             raise ValueError("frame/STREAMINFO channel mismatch")
         hdr_end = br.byte_pos()
         expect_crc8 = br.read(8)
         if crc8(data[frame_start:hdr_end]) != expect_crc8:
             raise ValueError(f"frame header CRC-8 mismatch at {frame_start}")
-        chans = [_read_subframe(br, bs) for _ in range(channels)]
+        if decorrelated:
+            # SIDE channel (l - r) carries one extra bit per spec:
+            # 8 = left/side, 9 = right/side, 10 = mid/side
+            bps_pair = {8: (16, 17), 9: (17, 16), 10: (16, 17)}[chan_code]
+            c0 = _read_subframe(br, bs, bps_pair[0])
+            c1 = _read_subframe(br, bs, bps_pair[1])
+            if chan_code == 8:  # left/side
+                left, side = c0, c1
+                chans = [left, left - side]
+            elif chan_code == 9:  # right/side
+                side, right = c0, c1
+                chans = [right + side, right]
+            else:  # mid/side: mid = (l+r)>>1 truncates; side's low
+                # bit restores it (the libFLAC reconstruction)
+                mid, side = c0, c1
+                mid2 = (mid << 1) | (side & 1)
+                chans = [(mid2 + side) >> 1, (mid2 - side) >> 1]
+        else:
+            chans = [_read_subframe(br, bs) for _ in range(channels)]
         br.align()
         body_end = br.byte_pos()
         (expect_crc16,) = struct.unpack(">H", data[body_end : body_end + 2])
