@@ -378,3 +378,56 @@ def test_mid_side_truncation_edge_exact():
     mid2 = (mid << 1) | (side & 1)
     assert np.array_equal((mid2 + side) >> 1, L)
     assert np.array_equal((mid2 - side) >> 1, R)
+
+
+# ---------------------------------------------------------------------------
+# Wasted bits (r5): shared low zero bits code at bps-k + unary k header.
+
+
+def test_wasted_bits_roundtrip_and_reclaim_padding():
+    """8-bit audio padded to 16 (every sample a multiple of 256) must
+    round-trip exactly AND cost ~the same as the unpadded 8-bit-range
+    encoding — the wasted-bits header reclaims the shift."""
+    rng = np.random.default_rng(2)
+    sm = np.cumsum(rng.integers(-3, 4, size=6000))
+    pcm = ((rng.integers(-32, 31, size=6000) + sm) * 256).clip(
+        -32768, 32512
+    ).astype(np.int16)
+    enc = flac.encode_flac(pcm, 8000)
+    dec, sr = flac.decode_flac(enc)
+    assert np.array_equal(dec, pcm)
+    dense = flac.encode_flac(
+        (pcm.astype(np.int64) // 256).astype(np.int16), 8000
+    )
+    assert len(enc) <= len(dense) + 64  # padding is fully reclaimed
+    # stereo + decorrelation path with padding
+    pcm2 = (rng.integers(-128, 127, size=(5000, 2)) * 256).astype(np.int16)
+    assert np.array_equal(
+        flac.decode_flac(flac.encode_flac(pcm2, 8000))[0], pcm2
+    )
+
+
+def test_wasted_bits_handcrafted_subframe():
+    """Third-party shape: a CONSTANT subframe with k=3 wasted bits —
+    value codes at 13 bits and shifts back by 3."""
+    bw = flac._BitWriter()
+    bw.write(0, 1)
+    bw.write(0, 6)  # CONSTANT
+    bw.write(1, 1)  # wasted flag
+    bw.write(1, 3)  # k-1 = 2 unary zeros then the 1 -> k = 3
+    bw.write((-100) & 0x1FFF, 13)
+    br = flac._BitReader(bw.flush() + b"\x00")
+    got = flac._read_subframe(br, 5, 16)
+    assert np.array_equal(got, np.full(5, -800, np.int64))
+
+
+def test_wasted_bits_exceeding_width_refused():
+    bw = flac._BitWriter()
+    bw.write(0, 1)
+    bw.write(0, 6)
+    bw.write(1, 1)  # wasted flag
+    bw.write(1, 16)  # k = 16 == bps: invalid
+    bw.write(0, 8)
+    br = flac._BitReader(bw.flush() + b"\x00\x00\x00")
+    with pytest.raises(ValueError, match="wasted bits exceed"):
+        flac._read_subframe(br, 4, 16)

@@ -27,10 +27,12 @@ SIDE channel carries the spec's extra bit (bps+1), and mid/side
 reconstructs through the side-low-bit trick ((mid<<1 | side&1) ± side
 >> 1). The encoder also competes a Levinson-Durbin order-8 LPC
 candidate against the fixed orders per subframe, so encoded corpora
-exercise both predictor families and all four stereo modes. Not
-implemented, honestly: wasted bits, variable blocksize, negative LPC
-shifts — the decoder raises NotImplementedError/ValueError on them
-rather than mis-decoding.
+exercise both predictor families and all four stereo modes. Wasted
+bits (r5) are read and written: shared low zero bits (8-bit audio
+padded to 16 — the classic case) code at bps-k with the unary k header
+and shift back on decode. Not implemented, honestly: variable
+blocksize, negative LPC shifts — the decoder raises
+NotImplementedError/ValueError on them rather than mis-decoding.
 
 Lossless invariant: decode(encode(pcm)) == pcm bit-exact, and the
 decoder verifies CRC-8, CRC-16, and the STREAMINFO MD5 against the
@@ -304,11 +306,30 @@ def _write_subframe(bw: _BitWriter, x: np.ndarray, bps: int = 16) -> None:
     order-8 LPC, whichever residual is cheapest. `bps` is 17 for the
     SIDE channel of a decorrelated stereo frame."""
     n = len(x)
+    # wasted bits: shared low zero bits across the subframe (8-bit
+    # audio padded to 16 is the classic case) — samples code at
+    # bps-wasted and the decoder shifts back
+    wasted = 0
+    nz = x[x != 0]
+    if len(nz):
+        low = np.bitwise_and(nz, -nz)
+        wasted = min(int(low.min()).bit_length() - 1, bps - 1)
+    if wasted:
+        x = x >> wasted
+        bps -= wasted
+
+    def header(type_code: int) -> None:
+        bw.write(0, 1)  # zero pad bit
+        bw.write(type_code, 6)
+        if wasted:
+            bw.write(1, 1)  # wasted flag
+            bw.write(1, wasted)  # (wasted-1) unary zeros then the 1
+        else:
+            bw.write(0, 1)
+
     mask = (1 << bps) - 1
     if n and np.all(x == x[0]):
-        bw.write(0, 1)  # zero pad bit
-        bw.write(0, 6)  # CONSTANT
-        bw.write(0, 1)  # no wasted bits
+        header(0)  # CONSTANT
         bw.write(int(x[0]) & mask, bps)
         return
     best_order, best_cost = 0, None
@@ -326,9 +347,7 @@ def _write_subframe(bw: _BitWriter, x: np.ndarray, bps: int = 16) -> None:
         # genuinely shrinks, so bias the comparison by that fixed cost
         overhead = (_LPC_ORDER - best_order) * 16 + 9 + _LPC_ORDER * _LPC_PRECISION
         if int(np.sum(np.abs(lpc_resid))) + overhead < best_cost:
-            bw.write(0, 1)
-            bw.write(32 + (_LPC_ORDER - 1), 6)  # LPC, order-1 in low 5
-            bw.write(0, 1)
+            header(32 + (_LPC_ORDER - 1))  # LPC, order-1 in low 5
             for s in x[:_LPC_ORDER]:
                 bw.write(int(s) & mask, bps)
             bw.write(_LPC_PRECISION - 1, 4)
@@ -339,9 +358,7 @@ def _write_subframe(bw: _BitWriter, x: np.ndarray, bps: int = 16) -> None:
             return
     order = best_order
     resid = _fixed_residual(x, order)
-    bw.write(0, 1)
-    bw.write(8 + order, 6)  # FIXED, order 0-4
-    bw.write(0, 1)
+    header(8 + order)  # FIXED, order 0-4
     for s in x[:order]:  # warmup, verbatim
         bw.write(int(s) & mask, bps)
     _write_residual(bw, resid)
@@ -350,23 +367,31 @@ def _write_subframe(bw: _BitWriter, x: np.ndarray, bps: int = 16) -> None:
 def _read_subframe(br: _BitReader, n: int, bps: int = 16) -> np.ndarray:
     """One subframe at `bps` bits per sample — 16 for plain channels,
     17 for the SIDE channel of a decorrelated stereo frame (the side
-    difference l-r needs one extra bit, per spec)."""
-    sign = 1 << (bps - 1)
+    difference l-r needs one extra bit, per spec). Wasted bits (r5):
+    flag=1 means k >= 1 shared low zero bits; k-1 unary-coded zeros
+    follow, samples code at bps-k and shift left k on output."""
     if br.read(1) != 0:
         raise ValueError("subframe padding bit set")
     sftype = br.read(6)
-    if br.read(1) != 0:
-        raise NotImplementedError("wasted bits not supported")
+    wasted = 0
+    if br.read(1):
+        wasted = 1
+        while br.read(1) == 0:
+            wasted += 1
+        if wasted >= bps:
+            raise ValueError("wasted bits exceed sample width")
+        bps -= wasted
+    sign = 1 << (bps - 1)
     if sftype == 0:  # CONSTANT
         v = br.read(bps)
         v -= (1 << bps) if v & sign else 0
-        return np.full(n, v, np.int64)
+        return np.full(n, v, np.int64) << wasted
     if sftype == 1:  # VERBATIM
         out = np.empty(n, np.int64)
         for i in range(n):
             v = br.read(bps)
             out[i] = v - (1 << bps) if v & sign else v
-        return out
+        return out << wasted
     if 8 <= sftype <= 12:
         is_lpc, order = False, sftype - 8
     elif sftype >= 32:
@@ -418,8 +443,8 @@ def _read_subframe(br: _BitReader, n: int, bps: int = 16) -> np.ndarray:
             resid_parts.append(vals)
     resid = np.concatenate(resid_parts) if resid_parts else np.empty(0, np.int64)
     if is_lpc:
-        return _reconstruct_lpc(warmup, resid, qcoef, shift)
-    return _reconstruct_fixed(order, warmup, resid)
+        return _reconstruct_lpc(warmup, resid, qcoef, shift) << wasted
+    return _reconstruct_fixed(order, warmup, resid) << wasted
 
 
 def _reconstruct_lpc(
