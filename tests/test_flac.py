@@ -431,3 +431,49 @@ def test_wasted_bits_exceeding_width_refused():
     br = flac._BitReader(bw.flush() + b"\x00\x00\x00")
     with pytest.raises(ValueError, match="wasted bits exceed"):
         flac._read_subframe(br, 4, 16)
+
+
+# ---------------------------------------------------------------------------
+# Variable blocksize (r5): strategy bit 1 + sample-number frame headers.
+
+
+def test_variable_blocksize_roundtrip_and_header_shape():
+    rng = np.random.default_rng(11)
+    pcm = (
+        np.cumsum(rng.integers(-50, 51, size=10000))
+        .clip(-30000, 30000)
+        .astype(np.int16)
+    )
+    enc = flac.encode_flac(pcm, 16000, block_sizes=[3000, 1500, 4096, 1404])
+    dec, sr = flac.decode_flac(enc)
+    assert np.array_equal(dec, pcm) and sr == 16000
+    # STREAMINFO signals variable via min != max blocksize
+    assert struct.unpack(">HH", enc[8:12]) == (1404, 4096)
+    # first frame sync carries strategy bit 1 (0xFFF9)
+    assert enc[42] == 0xFF and enc[43] == 0xF9
+    # stereo + decorrelation under variable blocksize
+    pcm2 = np.stack([pcm, (pcm // 2 + 9).astype(np.int16)], axis=1)
+    enc2 = flac.encode_flac(pcm2, 16000, block_sizes=[5000, 5000])
+    assert np.array_equal(flac.decode_flac(enc2)[0], pcm2)
+
+
+def test_frame_number_coherence_enforced():
+    """Splicing frames out of order must raise even though each frame's
+    own CRC is intact — the coded number pins stream position."""
+    pcm = _smooth(9000)  # three fixed-strategy frames
+    data = flac.encode_flac(pcm, 16000)
+    # find the three frame starts
+    starts = [
+        i
+        for i in range(42, len(data) - 1)
+        if data[i] == 0xFF and data[i + 1] == 0xF8
+    ]
+    assert len(starts) == 3
+    spliced = (
+        data[: starts[0]]
+        + data[starts[1] : starts[2]]  # frame 1 first
+        + data[starts[0] : starts[1]]  # then frame 0
+        + data[starts[2] :]
+    )
+    with pytest.raises(ValueError, match="frame number|MD5"):
+        flac.decode_flac(bytes(spliced))

@@ -30,9 +30,11 @@ candidate against the fixed orders per subframe, so encoded corpora
 exercise both predictor families and all four stereo modes. Wasted
 bits (r5) are read and written: shared low zero bits (8-bit audio
 padded to 16 — the classic case) code at bps-k with the unary k header
-and shift back on decode. Not implemented, honestly: variable
-blocksize, negative LPC shifts — the decoder raises
-NotImplementedError/ValueError on them rather than mis-decoding.
+and shift back on decode. Variable-blocksize streams (r5) decode and
+(for test fixtures) encode: strategy bit 1, sample-number frame
+headers validated against the decoded position, min!=max blocksize in
+STREAMINFO. Not implemented, honestly: negative LPC shifts — the
+decoder raises NotImplementedError on them rather than mis-decoding.
 
 Lossless invariant: decode(encode(pcm)) == pcm bit-exact, and the
 decoder verifies CRC-8, CRC-16, and the STREAMINFO MD5 against the
@@ -496,8 +498,17 @@ def _pick_stereo_mode(left: np.ndarray, right: np.ndarray):
     return best[1], best[2]
 
 
-def encode_flac(pcm: np.ndarray, sample_rate: int) -> bytes:
-    """int16 PCM, shape (n,) mono or (n, 2) stereo -> FLAC bytes."""
+def encode_flac(
+    pcm: np.ndarray,
+    sample_rate: int,
+    block_sizes: list[int] | None = None,
+) -> bytes:
+    """int16 PCM, shape (n,) mono or (n, 2) stereo -> FLAC bytes.
+
+    `block_sizes` switches to the VARIABLE-blocksize strategy (frame
+    sync bit 1, sample-number frame header) with the given per-frame
+    sizes — the stream shape some third-party encoders emit; default is
+    the fixed-_BLOCK strategy every mainstream encoder uses."""
     assert pcm.dtype == np.int16
     if pcm.ndim == 1:
         pcm = pcm[:, None]
@@ -507,9 +518,21 @@ def encode_flac(pcm: np.ndarray, sample_rate: int) -> bytes:
         pcm.astype("<i2").tobytes()  # interleaved little-endian, as spec
     ).digest()
 
+    if block_sizes is None:
+        starts = list(range(0, n, _BLOCK))
+        variable = False
+    else:
+        assert sum(block_sizes) == n and all(b > 0 for b in block_sizes)
+        starts, acc = [], 0
+        for b in block_sizes:
+            starts.append(acc)
+            acc += b
+        variable = True
+
     frames = bytearray()
-    for fi, start in enumerate(range(0, n, _BLOCK)):
-        block = pcm[start : start + _BLOCK]
+    for fi, start in enumerate(starts):
+        end = starts[fi + 1] if fi + 1 < len(starts) else n
+        block = pcm[start:end]
         bs = len(block)
         if channels == 2:
             chan_code, subframes = _pick_stereo_mode(
@@ -518,12 +541,15 @@ def encode_flac(pcm: np.ndarray, sample_rate: int) -> bytes:
         else:
             chan_code = 0
             subframes = [(block[:, 0].astype(np.int64), 16)]
-        hdr = bytearray(b"\xff\xf8")  # sync + fixed-blocksize strategy
+        # sync + blocksize strategy (bit 0 fixed / 1 variable)
+        hdr = bytearray(b"\xff\xf9" if variable else b"\xff\xf8")
         # blocksize code 7 = 16-bit value at end; rate code 0 = STREAMINFO
         hdr.append(0x70)
         # channel assignment | sample size 16 (code 4) | 0
         hdr.append((chan_code << 4) | (4 << 1))
-        hdr += _utf8_number(fi)
+        # fixed strategy codes the FRAME number; variable codes the
+        # frame's first SAMPLE number
+        hdr += _utf8_number(start if variable else fi)
         hdr += struct.pack(">H", bs - 1)
         hdr.append(crc8(bytes(hdr)))
         bw = _BitWriter()
@@ -534,7 +560,12 @@ def encode_flac(pcm: np.ndarray, sample_rate: int) -> bytes:
         frames += frame + struct.pack(">H", crc16(frame))
 
     streaminfo = bytearray()
-    streaminfo += struct.pack(">HH", _BLOCK, _BLOCK)  # min/max blocksize
+    if block_sizes is None:
+        bs_min = bs_max = _BLOCK
+    else:
+        # min != max is the STREAMINFO-level variable-blocksize signal
+        bs_min, bs_max = min(block_sizes), max(block_sizes)
+    streaminfo += struct.pack(">HH", bs_min, bs_max)  # min/max blocksize
     streaminfo += b"\x00\x00\x00" * 2  # min/max frame size: unknown
     # 20-bit rate | 3-bit channels-1 | 5-bit bps-1 | 36-bit total samples
     packed = (sample_rate << 44) | ((channels - 1) << 41) | (15 << 36) | n
@@ -586,6 +617,7 @@ def decode_flac(data: bytes, verify_md5: bool = True):
         raise NotImplementedError("more than 2 channels not supported")
 
     chunks = []
+    samples_decoded = 0
     while pos < len(data):
         frame_start = pos
         br = _BitReader(data, pos)
@@ -594,14 +626,13 @@ def decode_flac(data: bytes, verify_md5: bool = True):
             raise ValueError(f"bad frame sync at byte {frame_start}")
         if br.read(1) != 0:
             raise ValueError("reserved bit set")
-        if br.read(1) != 0:
-            raise NotImplementedError("variable blocksize not supported")
+        variable = br.read(1) == 1
         bs_code = br.read(4)
         sr_code = br.read(4)
         chan_code = br.read(4)
         size_code = br.read(3)
         br.read(1)  # reserved
-        _read_utf8_number(br)
+        coded_number = _read_utf8_number(br)
         if bs_code == 6:
             bs = br.read(8) + 1
         elif bs_code == 7:
@@ -661,6 +692,21 @@ def decode_flac(data: bytes, verify_md5: bool = True):
         if crc16(data[frame_start:body_end]) != expect_crc16:
             raise ValueError(f"frame CRC-16 mismatch at {frame_start}")
         pos = body_end + 2
+        # coherence check on the coded number (the CRC-8 already
+        # guarantees integrity; this catches reordered/spliced frames):
+        # fixed strategy codes the frame INDEX, variable the frame's
+        # first SAMPLE number
+        if variable:
+            if coded_number != samples_decoded:
+                raise ValueError(
+                    f"variable-blocksize frame at sample {coded_number}, "
+                    f"expected {samples_decoded}"
+                )
+        elif coded_number != len(chunks):
+            raise ValueError(
+                f"frame number {coded_number}, expected {len(chunks)}"
+            )
+        samples_decoded += bs
         chunks.append(np.stack(chans, axis=1))
 
     pcm = np.concatenate(chunks) if chunks else np.empty((0, 1), np.int64)
