@@ -219,3 +219,91 @@ def test_exact_substr_duckdb_oracle_agrees(spark, tmp_path):
     assert got == want
     assert (0, 0, 60) in got and (1, 30, 60) in got
     assert (2, 0, 80) in got and (2, 90, 80) in got
+
+
+# ---------------------------------------------------------------------------
+# Independent suffix-array oracle for exact_substr_spans: Lee et al.
+# 2022's actual construction (sorted suffix array + adjacent-LCP), no
+# windows, no hashing — a position is duplicated iff the longest
+# duplicated prefix of SOME suffix covering it reaches L.
+
+
+def _sa_spans(texts, L):
+    import re as _re
+
+    docs = [
+        [w for w in _re.split(r"\s+", t.lower()) if w] for t in texts
+    ]
+    suffixes = [
+        (d, i) for d, toks in enumerate(docs) for i in range(len(toks))
+    ]
+    suffixes.sort(key=lambda s: docs[s[0]][s[1] :])
+
+    def lcp(a, b):
+        ta, tb = docs[a[0]][a[1] :], docs[b[0]][b[1] :]
+        n = 0
+        for x, y in zip(ta, tb):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    # longest duplicated prefix per suffix = max LCP with a sorted
+    # neighbor (the classic suffix-array property)
+    dup_len = {}
+    for j, s in enumerate(suffixes):
+        m = 0
+        if j > 0:
+            m = max(m, lcp(suffixes[j - 1], s))
+        if j + 1 < len(suffixes):
+            m = max(m, lcp(s, suffixes[j + 1]))
+        dup_len[s] = m
+    # coverage: window [i, i+L) for every suffix with dup prefix >= L,
+    # unioned into maximal per-doc intervals
+    spans = []
+    for d in range(len(docs)):
+        marks = sorted(
+            i for (dd, i), m in dup_len.items() if dd == d and m >= L
+        )
+        cur = None
+        for i in marks:
+            if cur and i <= cur[1]:
+                cur[1] = max(cur[1], i + L)
+            else:
+                if cur:
+                    spans.append((d, cur[0], cur[1] - cur[0]))
+                cur = [i, i + L]
+        if cur:
+            spans.append((d, cur[0], cur[1] - cur[0]))
+    return sorted(spans)
+
+
+def test_suffix_array_oracle_agrees_on_planted_corpus(spark, tmp_path):
+    shared = _tok("sh", 60)
+    rep = _tok("r", 80)
+    texts = [
+        shared + " " + _tok("a", 20),
+        _tok("b", 30) + " " + shared,
+        rep + " " + _tok("mid", 10) + " " + rep,
+        _tok("u", 90),
+        _tok("p", 25) + " " + shared + " " + _tok("q", 5) + " " + shared,
+    ]
+    d = _docs(spark, tmp_path, texts)
+    assert _spans(spark, d, 50) == _sa_spans(texts, 50)
+
+
+def test_suffix_array_oracle_agrees_on_random_corpora(spark, tmp_path):
+    """Randomized cross-check over a small alphabet (forces heavy
+    accidental repetition): the window/hash construction must equal the
+    true suffix-array computation on every seed."""
+    import random
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        texts = [
+            " ".join(rng.choice("ab cd ef gh".split()) for _ in range(60))
+            for _ in range(6)
+        ]
+        d = _docs(spark, tmp_path / f"s{seed}", texts)
+        for L in (4, 8):
+            assert _spans(spark, d, L) == _sa_spans(texts, L), (seed, L)
