@@ -66,7 +66,33 @@ def main() -> None:
     n3 = final.count()
     print(f"after near-dup clustering: {n3} ({n2 - n3} near dupes)")
 
-    # 4. deterministic split assignment on the surviving set
+    # 4. span-level duplication audit (r5): the TRUE ExactSubstr form —
+    # maximal duplicated intervals (length-unbounded) still present in
+    # the survivor set; a production run rewrites or drops these spans
+    spans = Q["exact_substr_spans"](spark, sf).join(final, "doc_id")
+    audit = spans.agg(
+        F.count("*").alias("spans"),
+        F.coalesce(F.sum("span_len"), F.lit(0)).alias("dup_tokens"),
+        F.coalesce(F.max("span_len"), F.lit(0)).alias("longest"),
+    ).collect()[0]
+    print(
+        f"residual duplicated spans (>=50 tokens) among survivors: "
+        f"{audit.spans} spans, {audit.dup_tokens} tokens, "
+        f"longest {audit.longest}"
+    )
+
+    # 5. tokenizer fit (r5): tokens per doc under the learned BPE
+    # merges — the compression the tokenizer buys on the curated set
+    toks = Q["bpe_token_counts"](spark, sf).join(final, "doc_id")
+    fit = toks.agg(
+        F.sum("bpe_tokens").alias("bpe"), F.sum("words").alias("words")
+    ).collect()[0]
+    print(
+        f"BPE tokenization over survivors: {fit.bpe} tokens for "
+        f"{fit.words} words ({fit.bpe / max(fit.words, 1):.2f} tok/word)"
+    )
+
+    # 6. deterministic split assignment on the surviving set
     split = Q["train_val_split"](spark, sf)
     print("split sizes over the full corpus (stable identity hash):")
     split.orderBy("split").show()
