@@ -4,7 +4,7 @@ The within-cell pair generators (SemDeDup cells, LSH buckets) co-locate
 each group on one reducer via the equi-join on the group key — O(n_g^2)
 work on ONE task per group. Bounded-average recipes (K ∝ n) keep the
 *average* group small, but a real distribution has dense modes: one hot
-group becomes one straggler task (VERDICT r4 item 2 on SemDeDup).
+group becomes one straggler task (VERDICT r4 item 5, SemDeDup).
 
 `salted_self_pairs` makes the pair generation exact AND bounded per
 task: groups above `split_target` rows are hash-split into S =

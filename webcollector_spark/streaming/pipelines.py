@@ -1106,8 +1106,6 @@ def revalidation_stream(
         with open(pointer, "w") as fh:
             fh.write(vdir)
 
-    import os
-
     return (
         rows.writeStream.foreachBatch(_process)
         .queryName(query_name)
