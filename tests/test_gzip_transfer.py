@@ -145,3 +145,46 @@ def test_robots_txt_gzip_decoded(monkeypatch):
     assert got == body.decode()
     rules, delay = RobotsCache.parse_rules(got)
     assert rules == [("/private/", False)] and delay == 2.0
+
+
+def test_capped_inflate_fuzz_truncation_points():
+    """Every truncation point of a gzip/deflate stream must either
+    salvage a correct prefix (partial=True) or raise — never return
+    wrong bytes, never blow past the cap."""
+    from webcollector_spark.sources.requester import capped_inflate
+
+    body = (b"<p>" + b"the quick brown fox " * 500 + b"</p>") * 3
+    for encoding, enc in (
+        ("gzip", gzip.compress(body)),
+        ("deflate", zlib.compress(body)),
+    ):
+        for cut in range(1, len(enc), max(1, len(enc) // 23)):
+            try:
+                got = capped_inflate(enc[:cut], encoding, 1 << 20, partial=True)
+            except Exception:
+                continue  # undecodable prefix: raising is legal
+            assert body.startswith(got), (encoding, cut)
+        # cap honored at every cap value
+        for cap in (0, 1, 7, 100, len(body) - 1, len(body)):
+            got = capped_inflate(enc, encoding, cap, partial=True)
+            assert got == body[:cap], (encoding, cap)
+            if cap < len(body):
+                with pytest.raises(ValueError, match="inflated"):
+                    capped_inflate(enc, encoding, cap)
+
+
+def test_capped_inflate_garbage_never_succeeds_strict():
+    import random
+
+    from webcollector_spark.sources.requester import capped_inflate
+
+    rng = random.Random(4)
+    for _ in range(20):
+        junk = bytes(rng.randrange(256) for _ in range(200))
+        for encoding in ("gzip", "deflate"):
+            try:
+                out = capped_inflate(junk, encoding, 1 << 16)
+            except Exception:
+                continue  # expected for almost all junk
+            # freak accidental decode: output still bounded
+            assert len(out) <= 1 << 16

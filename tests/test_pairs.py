@@ -80,3 +80,21 @@ def test_split_map_broadcast_holds_only_hot_groups(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
     assert _salted(df, target=10) == _naive(df)
+
+
+def test_randomized_group_distributions_match_naive(spark):
+    """Property sweep: random Zipf-ish group-size mixes, random split
+    targets — pair-set equality must hold in every regime (pure
+    no-split, mixed, all-hot)."""
+    import random
+
+    for seed in (3, 4, 5):
+        rng = random.Random(seed)
+        sizes = {
+            g: rng.choice([1, 2, 3, 5, 9, 17, 40])
+            for g in range(rng.randint(3, 8))
+        }
+        sizes[99] = rng.choice([60, 90])  # one hot group
+        df = _df(spark, sizes)
+        for target in (1, 4, 16, 1000):
+            assert _salted(df, target) == _naive(df), (seed, target)
