@@ -275,7 +275,7 @@ def test_lpc_decoder_handles_arbitrary_order_and_precision():
     bw.write(shift, 5)
     for c in qcoef:
         bw.write(int(c) & ((1 << prec) - 1), prec)
-    flac._write_residual(bw, resid)
+    flac._write_residual(bw, resid, 64, order)
     br = flac._BitReader(bw.flush() + b"\x00\x00")
     got = flac._read_subframe(br, 64)
     assert np.array_equal(got, x)
@@ -477,3 +477,57 @@ def test_frame_number_coherence_enforced():
     )
     with pytest.raises(ValueError, match="frame number|MD5"):
         flac.decode_flac(bytes(spliced))
+
+
+# ---------------------------------------------------------------------------
+# Partitioned Rice residuals (r5): cost-optimal partition order on
+# encode; exercises the decoder's nparts>1 path with real output.
+
+
+def _nonstationary_pcm(seed=3):
+    rng = np.random.default_rng(seed)
+    segs = []
+    for i in range(8):  # alternate quiet/loud every 512 inside a block
+        amp = 15 if i % 2 == 0 else 4000
+        segs.append(rng.integers(-amp, amp + 1, size=512))
+    return np.concatenate(segs).astype(np.int16)
+
+
+def test_partitioned_rice_roundtrip_and_compression(monkeypatch):
+    pcm = _nonstationary_pcm()
+    enc = flac.encode_flac(pcm, 8000)
+    assert np.array_equal(flac.decode_flac(enc)[0], pcm)
+    monkeypatch.setattr(flac, "_MAX_PORDER", 0)
+    enc0 = flac.encode_flac(pcm, 8000)
+    assert np.array_equal(flac.decode_flac(enc0)[0], pcm)
+    # a per-region Rice parameter must beat the single global one on a
+    # quiet/loud alternating block — materially, not marginally
+    assert len(enc) < 0.85 * len(enc0), (len(enc), len(enc0))
+
+
+def test_partition_order_respects_spec_constraints(monkeypatch):
+    """Blocksize not divisible by 2^porder (the short LAST frame) and
+    first-partition-holds-warmup cases must still round-trip at every
+    cap — the chooser may only pick legal orders."""
+    rng = np.random.default_rng(7)
+    for n in (4097, 4100, 5000, 777, 33):  # short/odd final frames
+        pcm = (
+            np.cumsum(rng.integers(-60, 61, size=n))
+            .clip(-30000, 30000)
+            .astype(np.int16)
+        )
+        for cap in (0, 3, 6):
+            monkeypatch.setattr(flac, "_MAX_PORDER", cap)
+            enc = flac.encode_flac(pcm, 8000)
+            assert np.array_equal(flac.decode_flac(enc)[0], pcm), (n, cap)
+
+
+def test_partitioned_with_lpc_stereo_and_wasted_bits():
+    """All r5 features composed in one stream: stereo decorrelation,
+    LPC subframes, wasted bits, partitioned residuals."""
+    pcm_mono = _nonstationary_pcm(9).astype(np.int64)
+    L = (pcm_mono * 4).clip(-32768, 32767) & ~1  # one shared low zero bit
+    R = (L + np.arange(len(L)) % 7 * 2 - 6).clip(-32768, 32767)
+    pcm = np.stack([L, R], axis=1).astype(np.int16)
+    enc = flac.encode_flac(pcm, 16000)
+    assert np.array_equal(flac.decode_flac(enc)[0], pcm)

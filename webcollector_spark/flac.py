@@ -279,28 +279,66 @@ def _lpc_residual(
     return xi[order:] - (acc >> shift)
 
 
-def _write_residual(
-    bw: _BitWriter, resid: np.ndarray
-) -> None:
-    """Partition-order-0 Rice residual block (4-bit parameters, with
-    the 0b1111 verbatim escape) — shared by FIXED and LPC subframes."""
+def _part_plan(resid: np.ndarray) -> tuple[int, int, int]:
+    """(bits, k, width) for one Rice partition: k == 0xF means the
+    verbatim escape at `width` bits; otherwise Rice parameter k."""
     u = _zigzag(resid)
-    bw.write(0, 2)  # residual coding method: 4-bit Rice
-    bw.write(0, 4)  # partition order 0: one partition
     k = _best_rice_k(u)
     if k >= 15 or (len(u) and int(u.max()) >> k > 4096):
-        # verbatim escape: raw residuals at a fixed width
         width = max(int(u.max()).bit_length() + 1, 1) if len(u) else 1
+        return 4 + 5 + width * len(resid), 0xF, width
+    return 4 + int(np.sum(u >> k)) + (k + 1) * len(u), k, 0
+
+
+def _write_part(bw: _BitWriter, resid: np.ndarray, k: int, width: int) -> None:
+    if k == 0xF:  # verbatim escape: raw residuals at a fixed width
         bw.write(0xF, 4)
         bw.write(width, 5)
         for r in resid:
             bw.write(int(r) & ((1 << width) - 1), width)
     else:
         bw.write(k, 4)
-        for val in u:
+        for val in _zigzag(resid):
             bw.write_unary(int(val) >> k)
             if k:
                 bw.write(int(val) & ((1 << k) - 1), k)
+
+
+_MAX_PORDER = 6
+
+
+def _write_residual(
+    bw: _BitWriter, resid: np.ndarray, n: int, order: int
+) -> None:
+    """Partitioned Rice residual block (4-bit parameters, the 0b1111
+    verbatim escape) — shared by FIXED and LPC subframes. The partition
+    order is chosen cost-optimally per subframe, exactly as real
+    encoders do: a nonstationary block (quiet half, loud half) gets one
+    Rice parameter per region instead of one global compromise.
+    Spec constraints: blocksize divisible by 2^porder, and the first
+    partition (which loses `order` warmup residuals) stays non-empty."""
+    plans = {}
+    best_p, best_bits = 0, None
+    for porder in range(_MAX_PORDER + 1):
+        nparts = 1 << porder
+        cnt = n >> porder
+        if n % nparts or cnt <= order:
+            break
+        parts = []
+        bits = 0
+        for p in range(nparts):
+            s = max(p * cnt - order, 0)
+            e = (p + 1) * cnt - order
+            b, k, w = _part_plan(resid[s:e])
+            parts.append((s, e, k, w))
+            bits += b
+        plans[porder] = parts
+        if best_bits is None or bits < best_bits:
+            best_p, best_bits = porder, bits
+    bw.write(0, 2)  # residual coding method: 4-bit Rice
+    bw.write(best_p, 4)
+    for s, e, k, w in plans[best_p]:
+        _write_part(bw, resid[s:e], k, w)
 
 
 def _write_subframe(bw: _BitWriter, x: np.ndarray, bps: int = 16) -> None:
@@ -356,14 +394,14 @@ def _write_subframe(bw: _BitWriter, x: np.ndarray, bps: int = 16) -> None:
             bw.write(shift & 0x1F, 5)
             for c in qcoef:
                 bw.write(int(c) & ((1 << _LPC_PRECISION) - 1), _LPC_PRECISION)
-            _write_residual(bw, lpc_resid)
+            _write_residual(bw, lpc_resid, n, _LPC_ORDER)
             return
     order = best_order
     resid = _fixed_residual(x, order)
     header(8 + order)  # FIXED, order 0-4
     for s in x[:order]:  # warmup, verbatim
         bw.write(int(s) & mask, bps)
-    _write_residual(bw, resid)
+    _write_residual(bw, resid, n, order)
 
 
 def _read_subframe(br: _BitReader, n: int, bps: int = 16) -> np.ndarray:
