@@ -129,8 +129,12 @@ def test_unsupported_features_raise():
     with pytest.raises(NotImplementedError, match="predictor 3"):
         lzw = tiff.encode_tiff(px, compression=5, predictor=2)
         tiff.decode_tiff(patch_entry(lzw, 317, 3))  # float predictor
-    with pytest.raises(NotImplementedError, match="photometric 3"):
-        tiff.decode_tiff(patch_entry(good, 262, 3))  # palette
+    # palette is supported in r5, but an RGB file relabeled photometric
+    # 3 has no ColorMap and must refuse rather than mis-decode
+    with pytest.raises(ValueError, match="ColorMap"):
+        tiff.decode_tiff(patch_entry(good, 262, 3))
+    with pytest.raises(NotImplementedError, match="photometric 1"):
+        tiff.decode_tiff(patch_entry(good, 262, 1))  # grayscale
     with pytest.raises(NotImplementedError, match="samples/pixel"):
         tiff.decode_tiff(patch_entry(good, 277, 1))
     with pytest.raises(NotImplementedError, match="planar"):
@@ -179,3 +183,70 @@ def test_spark_dataflow_matches_committed_oracle(spark):
     assert got["psnr_ok"].all() and got["phash_match"].all()
     assert (got["image_id"].values == exp["image_id"].values).all()
     assert np.allclose(got["psnr_db"].values, exp["psnr_db"].values)
+
+
+# ---------------------------------------------------------------------------
+# Tile organization + palette-color (r5).
+
+
+def test_tiled_roundtrips_every_codec_and_order():
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, size=(37, 53, 3)).astype(np.uint8)
+    for bo in ("<", ">"):
+        for comp in (1, 5, 32773):
+            for pred in (1, 2):
+                enc = tiff.encode_tiff_tiled(px, 16, 32, bo, comp, pred)
+                got = tiff.decode_tiff(enc)
+                assert np.array_equal(got, px), (bo, comp, pred)
+
+
+def test_tiled_edge_padding_clipped_exactly():
+    """37x53 with 16x32 tiles: both edges partial — padding must never
+    leak into the output, and the tile grid must be 4 across, 2 down."""
+    rng = np.random.default_rng(12)
+    px = rng.integers(0, 256, size=(37, 53, 3)).astype(np.uint8)
+    enc = tiff.encode_tiff_tiled(px, 16, 32)
+    assert np.array_equal(tiff.decode_tiff(enc), px)
+    # exact tile-size single-tile case
+    one = rng.integers(0, 256, size=(32, 16, 3)).astype(np.uint8)
+    assert np.array_equal(
+        tiff.decode_tiff(tiff.encode_tiff_tiled(one, 16, 32)), one
+    )
+
+
+def test_tiled_non_multiple_of_16_refused_on_encode():
+    px = np.zeros((16, 16, 3), np.uint8)
+    with pytest.raises(AssertionError, match="x16"):
+        tiff.encode_tiff_tiled(px, 15, 16)
+
+
+def test_palette_roundtrips_and_high_byte_rule():
+    rng = np.random.default_rng(9)
+    idx = rng.integers(0, 256, size=(29, 41)).astype(np.uint8)
+    cmap = rng.integers(0, 256, size=(256, 3)).astype(np.uint8)
+    for comp in (1, 5, 32773):
+        enc = tiff.encode_tiff_palette(idx, cmap, "<", comp)
+        assert np.array_equal(tiff.decode_tiff(enc), cmap[idx]), comp
+    # the 16-bit map scales by 257, so the round trip is exact at the
+    # high byte for EVERY 8-bit value (0xFF -> 0xFFFF >> 8 == 0xFF)
+    full = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    gray = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    got = tiff.decode_tiff(tiff.encode_tiff_palette(full, gray))
+    assert np.array_equal(got[:, :, 0], full)
+
+
+def test_palette_missing_colormap_raises():
+    rng = np.random.default_rng(10)
+    idx = rng.integers(0, 256, size=(8, 8)).astype(np.uint8)
+    cmap = rng.integers(0, 256, size=(256, 3)).astype(np.uint8)
+    data = bytearray(tiff.encode_tiff_palette(idx, cmap))
+    # zero out the ColorMap tag id (320 -> 0) in the sorted IFD
+    import struct as _s
+
+    n = _s.unpack_from("<H", data, 8)[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if _s.unpack_from("<H", data, off)[0] == 320:
+            _s.pack_into("<H", data, off, 999)
+    with pytest.raises(ValueError, match="ColorMap"):
+        tiff.decode_tiff(bytes(data))
