@@ -133,8 +133,12 @@ def test_unsupported_features_raise():
     # 3 has no ColorMap and must refuse rather than mis-decode
     with pytest.raises(ValueError, match="ColorMap"):
         tiff.decode_tiff(patch_entry(good, 262, 3))
-    with pytest.raises(NotImplementedError, match="photometric 1"):
-        tiff.decode_tiff(patch_entry(good, 262, 1))  # grayscale
+    # grayscale is supported in r5; an RGB file relabeled photometric
+    # 1 trips the samples-per-pixel cross-check instead
+    with pytest.raises(NotImplementedError, match="samples/pixel"):
+        tiff.decode_tiff(patch_entry(good, 262, 1))
+    with pytest.raises(NotImplementedError, match="photometric 5"):
+        tiff.decode_tiff(patch_entry(good, 262, 5))  # CMYK
     with pytest.raises(NotImplementedError, match="samples/pixel"):
         tiff.decode_tiff(patch_entry(good, 277, 1))
     with pytest.raises(NotImplementedError, match="planar"):
@@ -250,3 +254,18 @@ def test_palette_missing_colormap_raises():
             _s.pack_into("<H", data, off, 999)
     with pytest.raises(ValueError, match="ColorMap"):
         tiff.decode_tiff(bytes(data))
+
+
+def test_grayscale_both_photometrics_roundtrip():
+    rng = np.random.default_rng(13)
+    g = rng.integers(0, 256, size=(23, 31)).astype(np.uint8)
+    want = np.repeat(g[:, :, None], 3, axis=2)
+    for comp in (1, 5, 32773):
+        # BlackIsZero: stored as-is
+        enc = tiff.encode_tiff_gray(g, "<", comp)
+        assert np.array_equal(tiff.decode_tiff(enc), want), comp
+        # WhiteIsZero: stored inverted, decode re-inverts
+        enc0 = tiff.encode_tiff_gray(g, ">", comp, white_is_zero=True)
+        assert np.array_equal(tiff.decode_tiff(enc0), want), comp
+        # really inverted on disk: the raster bytes differ
+        assert enc[-g.size :] != enc0[-g.size :] or comp != 1

@@ -9,7 +9,8 @@ files — the format scanners/archives actually serve.
 Subset (TIFF 6.0 "baseline RGB" + extensions): 8-bit RGB, chunky
 planar config, strip- AND tile-organized rasters (§15: fixed-size
 padded tiles, r5), palette-color photometric 3 with the 16-bit
-ColorMap (r5), little- ("II") and big-endian ("MM") files,
+ColorMap (r5), grayscale photometrics 0/1 incl. the WhiteIsZero
+inversion (r5), little- ("II") and big-endian ("MM") files,
 Compression 1 (none), 32773 (PackBits — the spec's own RLE) and 5
 (LZW — TIFF's variant is MSB-first bit packing with the EarlyChange
 code-width bump, the OPPOSITE byte order of GIF's LZW; both
@@ -365,9 +366,12 @@ def decode_tiff(data: bytes) -> np.ndarray:
         spp_want = 1
         if _TAG_COLORMAP not in ifd:
             raise ValueError("palette TIFF missing ColorMap")
+    elif photometric in (0, 1):  # bilevel/grayscale (r5): 0 inverts
+        spp_want = 1
     else:
         raise NotImplementedError(
-            f"TIFF photometric {photometric} not supported (RGB/palette)"
+            f"TIFF photometric {photometric} not supported "
+            "(grayscale/RGB/palette)"
         )
     spp = _tag_uint(ifd, _TAG_SPP, e, default=1)
     if spp != spp_want:
@@ -455,6 +459,11 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raise ValueError("ColorMap too short for 8-bit indices")
         lut = (cmap[: 3 * 256].reshape(3, 256).T >> 8).astype(np.uint8)
         return lut[plane[:, :, 0]]
+    if photometric in (0, 1):
+        g = plane[:, :, 0]
+        if photometric == 0:  # WhiteIsZero: invert to the usual scale
+            g = (255 - g.astype(np.int16)).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
     return plane
 
 
@@ -619,6 +628,77 @@ def encode_tiff_palette(
     out += struct.pack(e + "H", n_entries)
     out += b"".join(entry_list) + struct.pack(e + "I", 0)
     out += struct.pack(e + "768H", *cmap16)
+    if n_strips > 1:
+        out += struct.pack(e + f"{n_strips}I", *strip_offsets)
+        out += struct.pack(e + f"{n_strips}I", *(len(s) for s in strips))
+    else:
+        out += b"\x00" * 8
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def encode_tiff_gray(
+    gray: np.ndarray,
+    byte_order: str = "<",
+    compression: int = _COMP_NONE,
+    rows_per_strip: int = 16,
+    white_is_zero: bool = False,
+) -> bytes:
+    """8-bit grayscale HxW -> photometric 1 (BlackIsZero) or 0
+    (WhiteIsZero — stored inverted, the fax/scanner legacy scale) TIFF
+    (r5). Decode replicates to RGB."""
+    h, w = gray.shape
+    assert gray.dtype == np.uint8
+    assert byte_order in ("<", ">")
+    if compression not in (_COMP_NONE, _COMP_LZW, _COMP_PACKBITS):
+        raise ValueError(f"unsupported compression {compression}")
+    e = byte_order
+    stored = (255 - gray.astype(np.int16)).astype(np.uint8) if white_is_zero else gray
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        raw = stored[y0 : y0 + rows_per_strip].tobytes()
+        if compression == _COMP_PACKBITS:
+            raw = packbits_encode(raw)
+        elif compression == _COMP_LZW:
+            raw = tiff_lzw_encode(raw)
+        strips.append(raw)
+    n_strips = len(strips)
+
+    n_entries = 9
+    ifd_off = 8
+    ifd_size = 2 + 12 * n_entries + 4
+    offsets_off = ifd_off + ifd_size
+    counts_off = offsets_off + 4 * n_strips
+    data_off = counts_off + 4 * n_strips
+    strip_offsets = []
+    pos = data_off
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+
+    entry_list = [
+        _entry(e, _TAG_WIDTH, 4, 1, w),
+        _entry(e, _TAG_LENGTH, 4, 1, h),
+        _entry(e, _TAG_BITS, 3, 1, 8),
+        _entry(e, _TAG_COMPRESSION, 3, 1, compression),
+        _entry(e, _TAG_PHOTOMETRIC, 3, 1, 0 if white_is_zero else 1),
+        _entry(
+            e, _TAG_STRIP_OFFSETS, 4, n_strips,
+            strip_offsets[0] if n_strips == 1 else offsets_off,
+        ),
+        _entry(e, _TAG_SPP, 3, 1, 1),
+        _entry(e, _TAG_ROWS_PER_STRIP, 4, 1, rows_per_strip),
+        _entry(
+            e, _TAG_STRIP_COUNTS, 4, n_strips,
+            len(strips[0]) if n_strips == 1 else counts_off,
+        ),
+    ]
+    entry_list.sort(key=lambda b: struct.unpack(e + "H", b[:2])[0])
+    out = bytearray()
+    out += (b"II" if e == "<" else b"MM") + struct.pack(e + "HI", 42, ifd_off)
+    out += struct.pack(e + "H", n_entries)
+    out += b"".join(entry_list) + struct.pack(e + "I", 0)
     if n_strips > 1:
         out += struct.pack(e + f"{n_strips}I", *strip_offsets)
         out += struct.pack(e + f"{n_strips}I", *(len(s) for s in strips))
