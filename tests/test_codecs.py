@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from webcollector_spark import codecs, fixtures
 
@@ -255,10 +256,10 @@ def test_png_all_color_types_decode():
         pal[idx],
     )
 
-    import pytest
-
-    with pytest.raises(ValueError, match="16-bit"):
-        codecs.decode_png(make_png(w, h, 16, 2, b""))
+    # depth 16 decodes since r5 (see test_png16_*); a non-palette
+    # sub-byte depth is still malformed
+    with pytest.raises(ValueError, match="bad PNG bit depth"):
+        codecs.decode_png(make_png(w, h, 4, 2, b""))
     with pytest.raises(ValueError, match="PLTE"):
         codecs.decode_png(
             make_png(w, h, 8, 3, b"".join(b"\x00" + idx[y].tobytes() for y in range(h)))
@@ -447,3 +448,105 @@ def test_png_adaptive_filters_roundtrip_and_compress():
         n = codecs.encode_png(noise, interlace=interlace, filters=True)
         assert np.array_equal(codecs.decode_png(n), noise)
         assert len(n) <= len(codecs.encode_png(noise, interlace=interlace)) + 64
+
+
+# ---------------------------------------------------------------------------
+# 16-bit PNG decode (r5): high-byte downsample, filter unit nch*2.
+
+
+def _build_png16(samples16, ctype, filters=None):
+    import struct as _s
+    import zlib as _z
+
+    h, w = samples16.shape[:2]
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    arr = samples16.reshape(h, w * nch)
+    be = arr.astype(">u2").tobytes()
+    rb = w * nch * 2
+    rows = bytearray()
+    prev = b"\x00" * rb
+    for y in range(h):
+        row = be[y * rb : (y + 1) * rb]
+        f = filters[y] if filters else 0
+        if f == 0:
+            rows += b"\x00" + row
+        elif f == 2:  # Up
+            rows += b"\x02" + bytes(
+                (a - b) & 0xFF for a, b in zip(row, prev)
+            )
+        elif f == 1:  # Sub at the 16-bit filter unit (nch*2 bytes)
+            bpp = nch * 2
+            out = bytearray()
+            for x in range(rb):
+                left = row[x - bpp] if x >= bpp else 0
+                out.append((row[x] - left) & 0xFF)
+            rows += b"\x01" + bytes(out)
+        prev = row
+
+    def chunk(tag, payload):
+        c = tag + payload
+        return (
+            _s.pack(">I", len(payload)) + c + _s.pack(">I", _z.crc32(c))
+        )
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(bytes(rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png16_every_color_type_high_byte():
+    rng = np.random.default_rng(21)
+    s16 = rng.integers(0, 65536, size=(9, 7, 3)).astype(np.uint16)
+    want = (s16 >> 8).astype(np.uint8)
+    assert np.array_equal(codecs.decode_png(_build_png16(s16, 2)), want)
+    rgba = rng.integers(0, 65536, size=(4, 5, 4)).astype(np.uint16)
+    assert np.array_equal(
+        codecs.decode_png(_build_png16(rgba, 6)),
+        (rgba[:, :, :3] >> 8).astype(np.uint8),
+    )
+    g = rng.integers(0, 65536, size=(5, 6)).astype(np.uint16)
+    assert np.array_equal(
+        codecs.decode_png(_build_png16(g, 0)), (g >> 8).astype(np.uint8)
+    )
+    ga = rng.integers(0, 65536, size=(5, 6, 2)).astype(np.uint16)
+    assert np.array_equal(
+        codecs.decode_png(_build_png16(ga, 4)),
+        (ga[:, :, 0] >> 8).astype(np.uint8),
+    )
+
+
+def test_png16_filters_use_two_byte_unit():
+    """Sub/Up at 16-bit must reference the neighbor SAMPLE (nch*2 bytes
+    back), not the neighbor byte — a one-byte unit would corrupt every
+    filtered row."""
+    rng = np.random.default_rng(22)
+    s16 = rng.integers(0, 65536, size=(9, 7, 3)).astype(np.uint16)
+    want = (s16 >> 8).astype(np.uint8)
+    got = codecs.decode_png(
+        _build_png16(s16, 2, filters=[1, 2, 0, 1, 2, 0, 1, 2, 0])
+    )
+    assert np.array_equal(got, want)
+
+
+def test_png16_palette_still_refused():
+    import struct as _s
+    import zlib as _z
+
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+
+    def chunk(tag, payload):
+        c = tag + payload
+        return _s.pack(">I", len(payload)) + c + _s.pack(">I", _z.crc32(c))
+
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(b"\x00" * 10))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette depth"):
+        codecs.decode_png(bad)

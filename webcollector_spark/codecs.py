@@ -187,13 +187,14 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> pixels: every color type the web serves at 8-bit
-    depth — RGB (2), RGBA (6, alpha dropped), grayscale (0, returns
-    HxW like the JPEG path), gray+alpha (4, alpha dropped), palette
-    (3, at ALL sub-byte depths 1/2/4/8) — both interlace methods
-    (none + Adam7) and all five scanline filter types. 16-bit depths
-    raise; alpha is dropped rather than composited (the crawl treats
-    pixels as content identity, not presentation)."""
+    """PNG bytes -> pixels: every color type the web serves — RGB (2),
+    RGBA (6, alpha dropped), grayscale (0, returns HxW like the JPEG
+    path), gray+alpha (4, alpha dropped), palette (3, at ALL sub-byte
+    depths 1/2/4/8) — at 8-bit AND 16-bit depths (16-bit downsamples
+    via the big-endian high byte, r5), both interlace methods (none +
+    Adam7) and all five scanline filter types. Alpha is dropped rather
+    than composited (the crawl treats pixels as content identity, not
+    presentation)."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, w, h = 8, 0, 0
@@ -214,8 +215,8 @@ def decode_png(data: bytes) -> np.ndarray:
             if ctype == 3:
                 if depth not in (1, 2, 4, 8):
                     raise ValueError(f"bad palette depth {depth}")
-            elif depth != 8:
-                raise ValueError("16-bit PNG not supported")
+            elif depth not in (8, 16):
+                raise ValueError(f"bad PNG bit depth {depth}")
             if interlace not in (0, 1):
                 raise ValueError(f"bad PNG interlace method {interlace}")
         elif tag == b"PLTE":
@@ -237,6 +238,15 @@ def decode_png(data: bytes) -> np.ndarray:
             else:
                 rec = _unfilter(raw, ph, pw, nch)
             return rec.reshape(ph, pw, nch)
+        if depth == 16:
+            # 16-bit samples (r5): the filter unit is nch*2 bytes
+            # (spec §9); downsample to 8-bit via the big-endian high
+            # byte — the standard presentation reduction
+            if (raw[:, 0] == 0).all():
+                rec = raw[:, 1:].copy()
+            else:
+                rec = _unfilter(raw, ph, pw, nch * 2)
+            return rec.reshape(ph, pw, nch, 2)[..., 0].copy()
         # sub-byte palette: filters act on the PACKED bytes (bpp=1)
         rb = rowbytes(pw)
         rec = _unfilter(raw, ph, rb, 1)
