@@ -313,10 +313,16 @@ def test_bmp_rejections():
     good = bytearray(codecs.encode_bmp(px))
     with pytest.raises(ValueError, match="not a BMP"):
         codecs.decode_bmp(b"XX" + bytes(good[2:]))
+    # RLE8 is supported in r5 but only at 8bpp; a 24bpp file relabeled
+    # BI_RLE8 is malformed
     rle = bytearray(good)
     struct.pack_into("<I", rle, 30, 1)  # BI_RLE8
-    with pytest.raises(NotImplementedError, match="compression"):
+    with pytest.raises(ValueError, match="requires 8bpp"):
         codecs.decode_bmp(bytes(rle))
+    rle4 = bytearray(good)
+    struct.pack_into("<I", rle4, 30, 2)  # BI_RLE4 still refused
+    with pytest.raises(NotImplementedError, match="compression 2"):
+        codecs.decode_bmp(bytes(rle4))
     core = bytearray(good)
     struct.pack_into("<I", core, 14, 12)  # BITMAPCOREHEADER
     with pytest.raises(NotImplementedError, match="core header"):
@@ -550,3 +556,74 @@ def test_png16_palette_still_refused():
     )
     with pytest.raises(ValueError, match="palette depth"):
         codecs.decode_png(bad)
+
+
+# ---------------------------------------------------------------------------
+# BMP 8bpp palette + BI_RLE8 (r5).
+
+
+def test_bmp_rle8_roundtrip_and_escapes():
+    rng = np.random.default_rng(14)
+    pal = rng.integers(0, 256, size=(256, 3)).astype(np.uint8)
+    idx = (
+        np.repeat(rng.integers(0, 256, size=(23, 9)), 4, axis=1)[:, :31]
+        .astype(np.uint8)
+    )
+    enc = codecs.encode_bmp_rle8(idx, pal)
+    assert np.array_equal(codecs.decode_bmp(enc), pal[idx])
+    assert codecs.sniff_header(enc[:64]) == ("bmp", 31, 23)
+    # delta escape: skipped pixels stay palette[0]
+    body = bytes([2, 7, 0, 2, 3, 0, 2, 9, 0, 1])  # run, delta(3,0), run, EOB
+    pal2 = np.zeros((256, 3), np.uint8)
+    pal2[7] = (1, 2, 3)
+    pal2[9] = (4, 5, 6)
+    hdr = codecs.encode_bmp_rle8(np.zeros((1, 8), np.uint8), pal2)
+    data_off = int.from_bytes(hdr[10:14], "little")
+    crafted = bytearray(hdr[:data_off]) + body
+    import struct as _s
+
+    _s.pack_into("<ii", crafted, 18, 8, 1)  # w=8, h=1 bottom-up
+    got = codecs.decode_bmp(bytes(crafted))
+    want = np.zeros((1, 8, 3), np.uint8)
+    want[0, 0:2] = (1, 2, 3)
+    want[0, 5:7] = (4, 5, 6)
+    assert np.array_equal(got, want)
+
+
+def test_bmp_rle8_absolute_mode():
+    """Absolute-mode packets (escape n>=3) carry literal indices and
+    pad to a word boundary — decode a hand-built stream."""
+    pal = np.zeros((256, 3), np.uint8)
+    for i in range(10):
+        pal[i] = (i, i * 2, i * 3)
+    base = codecs.encode_bmp_rle8(np.zeros((1, 8), np.uint8), pal)
+    data_off = int.from_bytes(base[10:14], "little")
+    # absolute run of 5 (odd -> 1 pad byte), then a 3-run, then EOL+EOB
+    body = bytes([0, 5, 1, 2, 3, 4, 5, 0, 3, 9, 0, 0, 0, 1])
+    crafted = bytearray(base[:data_off]) + body
+    import struct as _s
+
+    _s.pack_into("<ii", crafted, 18, 8, 1)
+    got = codecs.decode_bmp(bytes(crafted))
+    want = pal[np.array([[1, 2, 3, 4, 5, 9, 9, 9]], np.uint8)]
+    assert np.array_equal(got, want)
+
+
+def test_bmp_8bpp_uncompressed_palette():
+    rng = np.random.default_rng(15)
+    pal = rng.integers(0, 256, size=(256, 3)).astype(np.uint8)
+    idx = rng.integers(0, 256, size=(6, 7)).astype(np.uint8)
+    # build: take the RLE encoder's header/palette, swap compression 0
+    # and a padded raw raster
+    base = codecs.encode_bmp_rle8(idx, pal)
+    data_off = int.from_bytes(base[10:14], "little")
+    stride = (7 + 3) & ~3
+    raster = np.zeros((6, stride), np.uint8)
+    raster[:, :7] = idx[::-1]
+    crafted = bytearray(base[:data_off]) + raster.tobytes()
+    import struct as _s
+
+    _s.pack_into("<I", crafted, 30, 0)  # BI_RGB
+    _s.pack_into("<I", crafted, 34, raster.size)
+    got = codecs.decode_bmp(bytes(crafted))
+    assert np.array_equal(got, pal[idx])

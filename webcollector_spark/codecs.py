@@ -343,10 +343,58 @@ def encode_bmp(pixels: np.ndarray, top_down: bool = False) -> bytes:
     return out + raster
 
 
+def _bmp_palette(data: bytes, bisize: int, clr_used: int) -> np.ndarray:
+    """Color table after the info header: BGRX quads -> (n, 3) RGB."""
+    n = clr_used or 256
+    off = 14 + bisize
+    raw = np.frombuffer(data, np.uint8, n * 4, off).reshape(n, 4)
+    return raw[:, 2::-1].copy()  # BGR -> RGB
+
+
+def _bmp_rle8(data: bytes, off: int, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 (r5): (count, index) run pairs; escape 0 -> 0 end-of-
+    line, 1 end-of-bitmap, 2 delta(dx, dy), n>=3 absolute mode of n
+    indices word-padded. Rows are bottom-up; skipped pixels stay 0."""
+    idx = np.zeros((h, w), np.uint8)
+    x = y = 0
+    i = off
+    while i + 1 < len(data):
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt:  # encoded run
+            end = min(x + cnt, w)
+            if y < h:
+                idx[y, x:end] = val
+            x = end
+            continue
+        if val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            if i + 1 >= len(data):
+                raise ValueError("BMP RLE8 delta truncated")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode: val literal indices, word-aligned
+            if i + val > len(data):
+                raise ValueError("BMP RLE8 absolute run truncated")
+            end = min(x + val, w)
+            if y < h:
+                idx[y, x:end] = np.frombuffer(
+                    data, np.uint8, end - x, i
+                )
+            x += val
+            i += val + (val & 1)
+    return idx[::-1]  # bottom-up
+
+
 def decode_bmp(data: bytes) -> np.ndarray:
     """BMP bytes -> RGB8 HxWx3. Accepts BITMAPINFOHEADER and the
     larger V4/V5 headers (same 40-byte prefix), 24bpp and 32bpp
-    BI_RGB, bottom-up (positive height) and top-down (negative)."""
+    BI_RGB, 8bpp palette BI_RGB and BI_RLE8 (r5), bottom-up (positive
+    height) and top-down (negative)."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
     (data_off,) = struct.unpack("<I", data[10:14])
@@ -354,12 +402,34 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if bisize < 40:
         raise NotImplementedError(f"BMP core header ({bisize}) not supported")
     w, hh, _planes, bpp, compression = struct.unpack("<iiHHI", data[18:34])
-    if compression != 0:
-        raise NotImplementedError(f"BMP compression {compression} not supported")
-    if bpp not in (24, 32):
-        raise NotImplementedError(f"{bpp}bpp BMP not supported")
+    (clr_used,) = struct.unpack("<I", data[46:50])
     top_down = hh < 0
     h = abs(hh)
+    if compression == 1:  # BI_RLE8
+        if bpp != 8:
+            raise ValueError(f"BI_RLE8 requires 8bpp, got {bpp}")
+        if top_down:
+            raise ValueError("RLE BMPs cannot be top-down")
+        pal = _bmp_palette(data, bisize, clr_used)
+        idx = _bmp_rle8(data, data_off, w, h)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP palette index out of range")
+        return pal[idx]
+    if compression != 0:
+        raise NotImplementedError(f"BMP compression {compression} not supported")
+    if bpp == 8:  # uncompressed palette (r5)
+        pal = _bmp_palette(data, bisize, clr_used)
+        stride = (w + 3) & ~3
+        if data_off + stride * h > len(data):
+            raise ValueError("BMP raster truncated")
+        raster = np.frombuffer(data, np.uint8, stride * h, data_off)
+        idx = raster.reshape(h, stride)[:, :w]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP palette index out of range")
+        rgb = pal[idx]
+        return np.ascontiguousarray(rgb if top_down else rgb[::-1])
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"{bpp}bpp BMP not supported")
     nch = bpp // 8
     stride = (w * nch + 3) & ~3
     if data_off + stride * h > len(data):
@@ -370,6 +440,42 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if not top_down:
         rgb = rgb[::-1]
     return np.ascontiguousarray(rgb)
+
+
+def encode_bmp_rle8(
+    indices: np.ndarray, palette: np.ndarray
+) -> bytes:
+    """8-bit index plane HxW + RGB palette (<=256x3) -> BI_RLE8 BMP
+    (r5 fixture encoder): per bottom-up row, maximal runs as (count,
+    index) pairs, end-of-line after each row, end-of-bitmap last."""
+    h, w = indices.shape
+    assert indices.dtype == np.uint8
+    n_pal, c = palette.shape
+    assert c == 3 and n_pal <= 256 and palette.dtype == np.uint8
+    body = bytearray()
+    for row in indices[::-1]:  # bottom-up
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and run < 255 and row[x + run] == row[x]:
+                run += 1
+            body += bytes([run, int(row[x])])
+            x += run
+        body += b"\x00\x00"  # end of line
+    body += b"\x00\x01"  # end of bitmap
+    pal_quads = bytearray()
+    for r, g, b in palette:
+        pal_quads += bytes([b, g, r, 0])
+    pal_quads += b"\x00" * 4 * (256 - n_pal)
+    data_off = 14 + 40 + 4 * 256
+    out = b"BM" + struct.pack(
+        "<IHHI", data_off + len(body), 0, 0, data_off
+    )
+    out += struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 8, 1, len(body), 2835, 2835, 256, 0,
+    )
+    return out + bytes(pal_quads) + bytes(body)
 
 
 def encode_ico(images: list[np.ndarray], png_from: int = 64) -> bytes:
