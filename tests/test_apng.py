@@ -173,3 +173,40 @@ def test_static_png_decoder_renders_frame_zero():
     assert np.array_equal(codecs.decode_png(data), frames[0])
     assert np.array_equal(codecs.decode(data), frames[0])  # magic dispatch
     assert codecs.sniff_header(data[:64])[0] == "png"
+
+
+def test_default_image_before_first_fctl_is_skipped():
+    """Spec: an IDAT not preceded by fcTL is the DEFAULT image and is
+    NOT part of the animation — a conforming decoder skips it (r5;
+    previously refused). Animation frames then arrive via fdAT only."""
+    import struct as _s
+
+    import numpy as np
+
+    from webcollector_spark import apng
+
+    h = w = 8
+    rng = np.random.default_rng(17)
+    default_img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    f0 = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    f1 = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+
+    out = bytearray(apng._PNG_SIG)
+    out += apng._chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    out += apng._chunk(b"acTL", _s.pack(">II", 2, 0))
+    out += apng._chunk(b"IDAT", apng._frame_payload(default_img))  # skipped
+    out += apng._chunk(
+        b"fcTL", _s.pack(">IIIIIHHBB", 0, w, h, 0, 0, 1, 10, 0, 0)
+    )
+    out += apng._chunk(b"fdAT", _s.pack(">I", 1) + apng._frame_payload(f0))
+    out += apng._chunk(
+        b"fcTL", _s.pack(">IIIIIHHBB", 2, w, h, 0, 0, 1, 10, 0, 0)
+    )
+    out += apng._chunk(b"fdAT", _s.pack(">I", 3) + apng._frame_payload(f1))
+    out += apng._chunk(b"IEND", b"")
+
+    frames = apng.decode_apng(bytes(out))
+    assert len(frames) == 2
+    assert np.array_equal(frames[0][2], f0)  # NOT the default image
+    assert np.array_equal(frames[1][2], f1)
+    assert not np.array_equal(frames[0][2], default_img)

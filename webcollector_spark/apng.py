@@ -187,10 +187,11 @@ def decode_apng(data: bytes) -> list[tuple[int, int, np.ndarray]]:
             if pending is None:
                 if n_frames is None:
                     raise ValueError("not an APNG (no acTL before IDAT)")
-                raise NotImplementedError(
-                    "IDAT without a leading fcTL: the default image is "
-                    "not part of the animation"
-                )
+                # spec: an IDAT not preceded by fcTL is the DEFAULT
+                # image, excluded from the animation — a conforming
+                # animation decoder skips it (r5; the refusal here was
+                # over-strict for the many real APNGs shaped this way)
+                continue
             data_parts.append(body)
         elif tag == b"fdAT":
             (seq,) = struct.unpack(">I", body[:4])
