@@ -485,11 +485,15 @@ def make_corpus_ico(n: int = 100, seed: int = SEED) -> pd.DataFrame:
 
 
 def make_corpus_tiff(n: int = 100, seed: int = SEED) -> pd.DataFrame:
-    """input_hint-shaped corpus whose bytes are REAL baseline-RGB TIFF
-    (webcollector_spark.tiff): alternating II/MM byte orders and a
-    PackBits / none / LZW+Predictor-2 compression cycle, multi-strip,
-    including a height that leaves a short final strip. Lossless:
-    decode must be bit-exact."""
+    """input_hint-shaped corpus whose bytes are REAL TIFF
+    (webcollector_spark.tiff): alternating II/MM byte orders, a
+    PackBits / none / LZW+Predictor-2 compression cycle, and both
+    raster organizations: strip (multi-strip incl. a short final
+    strip) and §15 tiles (r5, every 4th row — padded edge tiles at
+    every compression). Palette/grayscale photometrics quantize, so
+    they stay unit-test-covered rather than breaking this corpus's
+    exact-ground-truth invariant. Lossless: decode must be
+    bit-exact."""
     from webcollector_spark import tiff
 
     rng = np.random.default_rng(seed)
@@ -501,13 +505,20 @@ def make_corpus_tiff(n: int = 100, seed: int = SEED) -> pd.DataFrame:
         h = int(sizes[rng.integers(0, len(sizes))])
         pixels = ground_truth_pixels(image_id, w, h)
         comp = (32773, 1, 5)[i % 3]
-        data = tiff.encode_tiff(
-            pixels,
-            byte_order="<" if i % 2 == 0 else ">",
-            compression=comp,
-            rows_per_strip=16,
-            predictor=2 if comp == 5 else 1,
-        )
+        bo = "<" if i % 2 == 0 else ">"
+        if i % 4 == 3:
+            data = tiff.encode_tiff_tiled(
+                pixels, 16, 16, bo, comp,
+                predictor=2 if comp == 5 else 1,
+            )
+        else:
+            data = tiff.encode_tiff(
+                pixels,
+                byte_order=bo,
+                compression=comp,
+                rows_per_strip=16,
+                predictor=2 if comp == 5 else 1,
+            )
         rows.append(
             {
                 "image_id": image_id,
