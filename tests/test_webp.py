@@ -198,3 +198,78 @@ def test_simple_two_symbol_code_is_stream_ordered():
         r1 = webp._BitReader(b"\x01")  # bit 1
         assert tree.read(r0) == s0
         assert tree.read(r1) == s1
+
+
+def test_meta_prefix_groups_decode():
+    """Hand-built two-group meta-prefix stream (r5): an 8x8 image
+    split into left/right 4-px blocks, prefix_bits=2, a 2x2 entropy
+    image selecting group (R<<8|G), group 0 carrying a 1-bit green
+    code and group 1 a different constant pixel — the shape libwebp
+    emits for large photos. The encoder never writes meta groups, so
+    this is a pure third-party-decode check."""
+    bw = webp._BitWriter()
+    bw.write(8 - 1, 14)
+    bw.write(8 - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache (level 0)
+    bw.write(1, 1)  # meta-prefix present
+    bw.write(0, 3)  # prefix_bits = 2 -> 4-px blocks -> 2x2 entropy img
+
+    def write_group(bw, gfreq, rsym, bsym, asym, galpha):
+        webp._write_prefix_code(bw, gfreq, galpha)
+        for sym in (rsym, bsym, asym):
+            webp._write_prefix_code(bw, {sym: 1}, 256)
+        webp._write_prefix_code(bw, {0: 1}, 40)  # distance: unused
+
+    galpha = 256 + webp._NUM_LENGTH_CODES  # no cache
+    # entropy image (2x2, raster [0,1,0,1]): its OWN cache bit first,
+    # then 5 codes; green carries the group id
+    bw.write(0, 1)
+    cg = webp._write_prefix_code(bw, {0: 2, 1: 2}, galpha)
+    for sym in (0, 0, 0):  # r, b, a single-symbol codes
+        webp._write_prefix_code(bw, {sym: 1}, 256)
+    webp._write_prefix_code(bw, {0: 1}, 40)
+    for gid in (0, 1, 0, 1):
+        code, length = cg[gid]
+        bw.write_code(code, length)  # r/b/a cost 0 bits (single-symbol)
+
+    # two main groups
+    cg0_holder = {}
+    # group 0: green in {10, 11} (1-bit code), r=5 b=6 a=7
+    cg0_holder[0] = None
+    cg0 = None
+    cg0 = webp._write_prefix_code(bw, {10: 1, 11: 1}, galpha)
+    for sym in (5, 6, 7):
+        webp._write_prefix_code(bw, {sym: 1}, 256)
+    webp._write_prefix_code(bw, {0: 1}, 40)
+    # group 1: constant pixel g=99 r=8 b=9 a=1 (all 0-bit codes)
+    write_group(bw, {99: 1}, 8, 9, 1, galpha)
+
+    # pixel data: scanline order; group by x block; group-0 greens
+    # alternate 10/11 in the order group-0 pixels appear
+    expected = np.zeros((8, 8, 3), np.uint8)
+    toggle = 0
+    for i in range(64):
+        x, y = i % 8, i // 8
+        if x < 4:  # group 0
+            g = 10 + toggle
+            toggle ^= 1
+            code, length = cg0[g]
+            bw.write_code(code, length)
+            expected[y, x] = (5, g, 6)
+        else:  # group 1: zero bits on the wire
+            expected[y, x] = (8, 99, 9)
+
+    payload = b"\x2f" + bw.flush()
+    import struct as _s
+
+    chunk = b"VP8L" + _s.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    data = b"RIFF" + _s.pack("<I", len(riff)) + riff
+
+    got = webp.decode_webp_lossless(data)
+    assert np.array_equal(got, expected)

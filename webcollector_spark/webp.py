@@ -14,9 +14,14 @@ entropy coding end to end:
 * a color cache (the multiplicative-hash indexed recent-color table);
 * the subtract-green transform.
 
+Meta-prefix groups DECODE (r5): a sub-resolution entropy image —
+itself an entropy-coded stream, recursion disallowed — selects one of
+K 5-code groups per 2^bits-pixel block via (R<<8|G); the group is
+re-resolved at every token start. The encoder stays single-group.
+
 Not implemented, honestly (NotImplementedError on decode, never
 emitted on encode): the predictor / cross-color / color-indexing
-transforms, meta-prefix groups, and the 120-entry 2D neighborhood
+transforms and the 120-entry 2D neighborhood
 distance map (codes 1..120 — the table is long and exact; risking a
 wrong reconstruction would corrupt pixels silently, the worst codec
 failure mode, so the encoder only emits linear distances and the
@@ -465,6 +470,90 @@ def encode_webp_lossless(
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
+def _decode_argb_stream(
+    br: _BitReader, w: int, h: int, allow_meta: bool
+) -> np.ndarray:
+    """One VP8L entropy-coded image stream (RFC 9649 §5): color-cache
+    info, prefix codes — including META-PREFIX groups at level 0 (r5):
+    a sub-resolution entropy image (itself an entropy-coded stream,
+    recursion disallowed) whose pixels' (R<<8|G) select one of K
+    5-code groups per 2^bits-pixel block — then the LZ77/cache token
+    loop. Sub-streams (the entropy image) carry NO meta bit at all
+    (libwebp reads it only when recursion is allowed)."""
+    cache_bits = br.read(4) if br.read(1) else 0
+    if cache_bits > 11:
+        raise ValueError("invalid color-cache size")
+    meta_idx = None
+    prefix_bits = 0
+    n_groups = 1
+    if allow_meta and br.read(1):
+        prefix_bits = br.read(3) + 2
+        sw = (w + (1 << prefix_bits) - 1) >> prefix_bits
+        sh = (h + (1 << prefix_bits) - 1) >> prefix_bits
+        sub = _decode_argb_stream(br, sw, sh, allow_meta=False)
+        meta_idx = ((sub >> np.uint32(8)) & np.uint32(0xFFFF)).astype(
+            np.int64
+        ).reshape(sh, sw)
+        n_groups = int(meta_idx.max()) + 1
+    green_alpha = 256 + _NUM_LENGTH_CODES + (
+        (1 << cache_bits) if cache_bits else 0
+    )
+    groups = [
+        (
+            _read_prefix_code(br, green_alpha),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 40),
+        )
+        for _ in range(n_groups)
+    ]
+    cache = np.zeros(1 << cache_bits, np.uint32) if cache_bits else None
+    n = w * h
+    out = np.zeros(n, np.uint32)
+    i = 0
+    while i < n:
+        if meta_idx is None:
+            tg, tr, tb, ta, td = groups[0]
+        else:  # group of the pixel the next token STARTS at
+            tg, tr, tb, ta, td = groups[
+                meta_idx[(i // w) >> prefix_bits, (i % w) >> prefix_bits]
+            ]
+        s = tg.read(br)
+        if s < 256:
+            g = s
+            r = tr.read(br)
+            b = tb.read(br)
+            a = ta.read(br)
+            v = np.uint32((a << 24) | (r << 16) | (g << 8) | b)
+            out[i] = v
+            if cache_bits:
+                cache[_cache_index(v, cache_bits)] = v
+            i += 1
+        elif s < 256 + _NUM_LENGTH_CODES:
+            length = _code_to_length(br, s - 256)
+            dcode = td.read(br)
+            d = _code_to_length(br, dcode)
+            if d <= 120:
+                raise NotImplementedError(
+                    "VP8L 2D neighborhood distance codes not supported"
+                )
+            dist = d - 120
+            if dist > i or i + length > n:
+                raise ValueError("VP8L back-reference out of range")
+            for j in range(length):  # overlapping copies are legal
+                v = out[i + j - dist]
+                out[i + j] = v
+                if cache_bits:
+                    cache[_cache_index(v, cache_bits)] = v
+            i += length
+        else:
+            idx = s - 256 - _NUM_LENGTH_CODES
+            out[i] = cache[idx]
+            i += 1
+    return out
+
+
 def decode_webp_lossless(data: bytes) -> np.ndarray:
     """WebP bytes -> RGB8 HxWx3 (VP8L lossless only; lossy VP8 and
     transforms beyond subtract-green raise NotImplementedError)."""
@@ -501,54 +590,7 @@ def decode_webp_lossless(data: bytes) -> np.ndarray:
             raise NotImplementedError(
                 f"VP8L transform {ttype} (predictor/color/indexing) not supported"
             )
-    cache_bits = br.read(4) if br.read(1) else 0
-    if cache_bits > 11:
-        raise ValueError("invalid color-cache size")
-    if br.read(1):
-        raise NotImplementedError("VP8L meta-prefix groups not supported")
-    green_alpha = 256 + _NUM_LENGTH_CODES + ((1 << cache_bits) if cache_bits else 0)
-    tg = _read_prefix_code(br, green_alpha)
-    tr = _read_prefix_code(br, 256)
-    tb = _read_prefix_code(br, 256)
-    ta = _read_prefix_code(br, 256)
-    td = _read_prefix_code(br, 40)
-    cache = np.zeros(1 << cache_bits, np.uint32) if cache_bits else None
-    n = w * h
-    out = np.zeros(n, np.uint32)
-    i = 0
-    while i < n:
-        s = tg.read(br)
-        if s < 256:
-            g = s
-            r = tr.read(br)
-            b = tb.read(br)
-            a = ta.read(br)
-            v = np.uint32((a << 24) | (r << 16) | (g << 8) | b)
-            out[i] = v
-            if cache_bits:
-                cache[_cache_index(v, cache_bits)] = v
-            i += 1
-        elif s < 256 + _NUM_LENGTH_CODES:
-            length = _code_to_length(br, s - 256)
-            dcode = td.read(br)
-            d = _code_to_length(br, dcode)
-            if d <= 120:
-                raise NotImplementedError(
-                    "VP8L 2D neighborhood distance codes not supported"
-                )
-            dist = d - 120
-            if dist > i or i + length > n:
-                raise ValueError("VP8L back-reference out of range")
-            for j in range(length):  # overlapping copies are legal
-                v = out[i + j - dist]
-                out[i + j] = v
-                if cache_bits:
-                    cache[_cache_index(v, cache_bits)] = v
-            i += length
-        else:
-            idx = s - 256 - _NUM_LENGTH_CODES
-            out[i] = cache[idx]
-            i += 1
+    out = _decode_argb_stream(br, w, h, allow_meta=True)
     a = (out >> 24) & 0xFF
     r = (out >> 16) & 0xFF
     g = (out >> 8) & 0xFF
