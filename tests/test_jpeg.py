@@ -327,7 +327,7 @@ def test_subsampled_bitstream_bit_exact_vs_straightline():
     # every Huffman path and the full MCU interleave exercised
     for w, h in ((64, 48), (33, 17), (16, 16), (31, 64)):
         px = _noise(w, h, seed=w * 100 + h)
-        for sub in ("444", "422", "420"):
+        for sub in ("444", "422", "420", "411", "440"):
             got = jpeg.decode_baseline(
                 jpeg.encode_baseline(px, quality=85, subsampling=sub)
             )
@@ -338,7 +338,7 @@ def test_subsampled_bitstream_bit_exact_vs_straightline():
 
 def test_subsampled_restart_markers_roundtrip():
     px = fixtures.smooth_field_pixels(5, 48, 32)
-    for sub in ("420", "422"):
+    for sub in ("420", "422", "411", "440"):
         plain = jpeg.decode_baseline(
             jpeg.encode_baseline(px, quality=90, subsampling=sub)
         )

@@ -217,3 +217,22 @@ def test_progressive_preview_operator(spark):
         else:
             assert not r["is_progressive"]
             assert r["scans_done"] is None and r["phash_preview"] is None
+
+
+def test_progressive_411_440_match_sequential():
+    """r5 layouts: progressive transport must reproduce the sequential
+    decode exactly at 4:1:1 and 4:4:0 too."""
+    import numpy as np
+
+    from webcollector_spark import fixtures, jpeg
+    from webcollector_spark.jpeg_progressive import encode_progressive
+
+    px = fixtures.smooth_field_pixels(7, 40, 24)
+    for sub in ("411", "440"):
+        prog = jpeg.decode_baseline(
+            encode_progressive(px, quality=92, subsampling=sub)
+        )
+        seq = jpeg.decode_baseline(
+            jpeg.encode_baseline(px, quality=92, subsampling=sub)
+        )
+        assert np.array_equal(prog, seq), sub

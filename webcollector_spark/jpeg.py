@@ -19,7 +19,7 @@ plus grayscale, implemented faithfully at the bitstream level:
   products over all blocks at once, quantization tables from DQT;
 * color: JFIF RGB <-> YCbCr.
 
-Progressive, arithmetic, 12-bit, and sampling-factor>2 streams raise
+Progressive routes to jpeg_progressive; arithmetic, 12-bit, and sampling-factor-3 streams raise
 ValueError — decode quality over silent wrong answers. The default
 quality (98) keeps round-trip PSNR above the input_hint's 40 dB gate
 even on full-range NOISE images, the worst case (measured 43.4 dB;
@@ -254,6 +254,10 @@ _SAMP_FACTORS = {
     "444": ((1, 1), (1, 1), (1, 1)),
     "422": ((2, 1), (1, 1), (1, 1)),
     "420": ((2, 2), (1, 1), (1, 1)),
+    # the DV-camera legacy layouts (r5): quarter-horizontal and
+    # half-vertical chroma — rarer, but real crawled JPEGs carry them
+    "411": ((4, 1), (1, 1), (1, 1)),
+    "440": ((1, 2), (1, 1), (1, 1)),
 }
 
 
@@ -523,10 +527,12 @@ def decode_baseline_at(data: bytes, start: int) -> tuple[np.ndarray, int]:
             for ci in range(nc):
                 cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
                 hi, vi = samp >> 4, samp & 0xF
-                if hi not in (1, 2) or vi not in (1, 2):
+                if hi not in (1, 2, 4) or vi not in (1, 2, 4):
+                    # 1/2/4 cover 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 /
+                    # 4:1:1; factor 3 would need fractional chroma
+                    # alignment the replication upsampler cannot do
                     raise ValueError(
-                        f"unsupported sampling factors {hi}x{vi} "
-                        "(1-2 each: 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0)"
+                        f"unsupported sampling factors {hi}x{vi}"
                     )
                 comps.append({"id": cid, "tq": tq, "hi": hi, "vi": vi})
         elif marker == 0xC2:  # SOF2: progressive — separate scan loop

@@ -532,7 +532,7 @@ def _decode_progressive(
             for ci in range(nc):
                 cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
                 hi, vi = samp >> 4, samp & 0xF
-                if hi not in (1, 2) or vi not in (1, 2):
+                if hi not in (1, 2, 4) or vi not in (1, 2, 4):
                     raise ValueError(
                         f"unsupported sampling factors {hi}x{vi}"
                     )
