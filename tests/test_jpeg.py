@@ -375,7 +375,7 @@ def test_make_corpus_jpeg_subsampled_invariants():
         assert codecs.phash64(px) == int(r["phash"])
         # the declared layout is actually in the SOF header
         sof = bytes(r["bytes"]).index(b"\xff\xc0")
-        want = (0x22, 0x22, 0x21)[i % 3]
+        want = (0x22, 0x22, 0x21, 0x22, 0x41, 0x12)[i % 6]
         assert bytes(r["bytes"])[sof + 11] == want
 
 

