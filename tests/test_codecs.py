@@ -627,3 +627,32 @@ def test_bmp_8bpp_uncompressed_palette():
     _s.pack_into("<I", crafted, 34, raster.size)
     got = codecs.decode_bmp(bytes(crafted))
     assert np.array_equal(got, pal[idx])
+
+
+def test_ico_core_header_dib_decodes():
+    """BITMAPCOREHEADER (12-byte, 16-bit dims) DIB entry — the Win2.x
+    legacy some ancient favicons carry (r5; previously refused)."""
+    import struct as _s
+
+    rng = np.random.default_rng(16)
+    px = rng.integers(0, 256, size=(8, 6, 3)).astype(np.uint8)
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    raster = np.zeros((h, stride), np.uint8)
+    raster[:, : w * 3] = px[::-1, :, ::-1].reshape(h, -1)  # bottom-up BGR
+    dib = _s.pack("<Ihh HH".replace(" ", ""), 12, w, h * 2, 1, 24)
+    payload = dib + raster.tobytes()
+    ico = (
+        b"\x00\x00\x01\x00\x01\x00"
+        + bytes([w, h, 0, 0]) + _s.pack("<HH", 1, 24)
+        + _s.pack("<II", len(payload), 22)
+        + payload
+    )
+    out = codecs.decode_ico(ico)
+    assert len(out) == 1 and np.array_equal(out[0], px)
+    assert np.array_equal(codecs.decode(ico), px)
+    # still refuses unknown in-between header sizes
+    bad = bytearray(ico)
+    _s.pack_into("<I", bad, 22, 16)
+    with pytest.raises(NotImplementedError, match="header size 16"):
+        codecs.decode_ico(bytes(bad))

@@ -544,9 +544,20 @@ def decode_ico(data: bytes) -> list[np.ndarray]:
             images.append(decode_png(payload))
             continue
         (bisize,) = struct.unpack("<I", payload[:4])
-        if bisize < 40:
-            raise NotImplementedError("ICO core-header DIB not supported")
-        w, hh, _planes, bpp, compression = struct.unpack("<iiHHI", payload[4:20])
+        if bisize == 12:
+            # BITMAPCOREHEADER (r5): the Win2.x legacy layout some very
+            # old favicons still carry — 16-bit dims, no compression
+            # field (always BI_RGB)
+            w, hh, _planes, bpp = struct.unpack("<hhHH", payload[4:12])
+            compression = 0
+        elif bisize < 40:
+            raise NotImplementedError(
+                f"ICO DIB header size {bisize} not supported"
+            )
+        else:
+            w, hh, _planes, bpp, compression = struct.unpack(
+                "<iiHHI", payload[4:20]
+            )
         if compression != 0 or bpp not in (24, 32):
             raise NotImplementedError(
                 f"ICO DIB bpp={bpp} compression={compression} not supported"
