@@ -256,3 +256,29 @@ class TestHtmlHelpers:
             "http://h.test/b",
             "http://h.test/a",
         ]
+
+
+def test_extract_news_pandas_udf_builds_and_runs(spark):
+    """The Arrow-batched extractor UDF must construct under postponed
+    annotations (regression: a function-local pandas import left
+    'pd.Series' unresolvable and pyspark rejected the signature) and
+    extract through the batch path."""
+    from webcollector_spark.functions.extractor import extract_news_udf
+
+    html = (
+        "<html><head><title>Big Story - Site</title></head>"
+        "<body><h1>Big Story</h1>"
+        "<div><p>" + "news body text here. " * 30 + "</p>"
+        "<p>2026-08-16 09:15:03</p></div></body></html>"
+    )
+    df = spark.createDataFrame([(html,), (None,)], "html string")
+    rows = (
+        df.select(extract_news_udf()("html").alias("n"))
+        .select("n.*")
+        .collect()
+    )
+    assert len(rows) == 2
+    assert rows[0].title == "Big Story"
+    assert "news body text" in rows[0].content
+    assert rows[0].time == "2026-08-16 09:15:03"
+    assert rows[1].title is None

@@ -35,6 +35,11 @@ import math
 import re
 from dataclasses import dataclass
 
+import pandas as pd  # module-level: postponed annotations on the
+# pandas UDF below resolve 'pd.Series'/'pd.DataFrame' through module
+# globals — a function-local import leaves them unresolvable and
+# pyspark's type-hint inference rejects the UDF signature
+
 from webcollector_spark.functions.dom import Element, parse_html
 
 _TIME_RE = re.compile(
